@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One registered engine query: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query
+  * over the same tables. Column names MUST match between the two — the
+  * driver sorts columns by name before hashing values.
+  */
+final case class GraftQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+trait QueryPack { def queries: Seq[GraftQuery] }
+
+/** Cross-engine determinism helpers.
+  *
+  * Money/ratio columns in the test data are exact to 2 decimals, so all
+  * large aggregations go through integer "cents" (exact in both Spark and
+  * DuckDB regardless of partitioning / accumulation order). Doubles that
+  * must appear in oracle-checked output are rounded after arithmetic whose
+  * operands are bit-identical in both engines.
+  */
+object Q {
+  /** Exact integer cents from a 2-decimal double column. `x*100` and
+    * `round` are computed on identical doubles in both engines.
+    */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+  def cents(name: String): Column = cents(col(name))
+
+  /** round(x, 6) — matches DuckDB `round(x, 6)` for identical inputs. */
+  def r6(c: Column): Column = round(c, 6)
+
+  /** Deterministic share-of-group: exact integer counts divided once. */
+  def share(pred: Column): Column =
+    r6(sum(when(pred, 1L).otherwise(0L)) * 1.0 / count(lit(1)))
+
+  def ts(s: String): Column = to_timestamp(lit(s))
+}

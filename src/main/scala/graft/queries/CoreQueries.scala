@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.{GraftQuery, Q, QueryPack, Tables}
+import graft.transform.QuantileBinner
+import org.apache.spark.sql.functions._
+
+/** Core relational workload: the flagship binning-design query (SURVEY.md
+  * §7.2, reference data_analysis.ipynb cell 10) plus TPC-H-shaped
+  * scan/agg/join queries exercising the harness star schema at scale.
+  *
+  * Scale notes: all aggregations are partial-aggregated map-side by Spark;
+  * dimension joins (customer/nation/region) are broadcast; money math runs
+  * in exact integer cents so results are independent of partitioning.
+  */
+object CoreQueries extends QueryPack {
+
+  /** data_analysis.ipynb cell 10: quantile-bin a skewed numeric column,
+    * then per-bucket row count + label distribution.
+    */
+  val flagship: GraftQuery = GraftQuery(
+    "flagship_bin_label_dist",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val model = QuantileBinner.fit(li, "l_extendedprice", 8)
+      model
+        .transform(li, "bucket")
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          Q.share(col("l_returnflag") === "R").as("share_r"),
+          Q.share(col("l_returnflag") === "A").as("share_a"),
+          Q.share(col("l_returnflag") === "N").as("share_n"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH e AS (
+        SELECT quantile_cont(l_extendedprice, 0.125) AS e1,
+               quantile_cont(l_extendedprice, 0.250) AS e2,
+               quantile_cont(l_extendedprice, 0.375) AS e3,
+               quantile_cont(l_extendedprice, 0.500) AS e4,
+               quantile_cont(l_extendedprice, 0.625) AS e5,
+               quantile_cont(l_extendedprice, 0.750) AS e6,
+               quantile_cont(l_extendedprice, 0.875) AS e7
+        FROM lineitem),
+      b AS (
+        SELECT CASE WHEN l_extendedprice <= e.e1 THEN 0
+                    WHEN l_extendedprice <= e.e2 THEN 1
+                    WHEN l_extendedprice <= e.e3 THEN 2
+                    WHEN l_extendedprice <= e.e4 THEN 3
+                    WHEN l_extendedprice <= e.e5 THEN 4
+                    WHEN l_extendedprice <= e.e6 THEN 5
+                    WHEN l_extendedprice <= e.e7 THEN 6
+                    ELSE 7 END AS bucket,
+               l_quantity, l_returnflag
+        FROM lineitem, e)
+      SELECT bucket,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             round(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS share_r,
+             round(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS share_a,
+             round(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS share_n
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
+  /** TPC-H Q1-shaped pricing summary; exact integer-cents money math. */
+  val pricingSummary: GraftQuery = GraftQuery(
+    "q1_pricing_summary",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= Q.ts("1998-09-01 00:00:00"))
+      val ep = Q.cents("l_extendedprice")
+      val disc = Q.cents("l_discount")
+      val tax = Q.cents("l_tax")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(ep).as("sum_base_price_cents"),
+          sum(ep * (lit(100L) - disc)).as("sum_disc_price_e4"),
+          sum(ep * (lit(100L) - disc) * (lit(100L) + tax)).as("sum_charge_e6"),
+          Q.r6(sum(col("l_quantity").cast("long")) * 1.0 / count(lit(1))).as("avg_qty"),
+          Q.r6(sum(ep) / 100.0 / count(lit(1))).as("avg_price"),
+          Q.r6(sum(disc) / 100.0 / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+             round(SUM(CAST(l_quantity AS BIGINT)) * 1.0 / COUNT(*), 6) AS avg_qty,
+             round(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*), 6) AS avg_price,
+             round(SUM(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(*), 6) AS avg_disc,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** TPC-H Q3-shaped: top-10 open orders by revenue for one segment.
+    * customer is broadcast; lineitem⋈orders shuffles on the join key only.
+    */
+  val topOrders: GraftQuery = GraftQuery(
+    "q3_top_order_revenue",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < Q.ts("1999-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > Q.ts("1997-01-01 00:00:00"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(sum(Q.cents("l_extendedprice") * (lit(100L) - Q.cents("l_discount")))
+          .as("revenue_e4"))
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("revenue_e4"))
+        .orderBy(desc("revenue_e4"), col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue_e4 DESC, o_orderkey
+      LIMIT 10"""))
+
+  /** TPC-H Q5-shaped: revenue by customer nation within each region.
+    * nation/region are broadcast dims; the fact-side join shuffles once.
+    */
+  val regionRevenue: GraftQuery = GraftQuery(
+    "q5_region_nation_revenue",
+    (s, dir) => {
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      val dims = n.join(r, col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+      val c = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(Q.cents("l_extendedprice") * (lit(100L) - Q.cents("l_discount")))
+          .as("revenue_e4"))
+        .orderBy(col("r_name"), desc("revenue_e4"), col("n_name"))
+    },
+    Some("""
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, revenue_e4 DESC, n_name"""))
+
+  override def queries: Seq[GraftQuery] =
+    Seq(flagship, pricingSummary, topOrders, regionRevenue)
+}
