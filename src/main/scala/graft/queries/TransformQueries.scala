@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.{GraftQuery, Q, QueryPack, Tables}
+import graft.transform._
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the fit/transform module (SURVEY §2.8
+  * M1-M5, §2.7 F10-F12).
+  */
+object TransformQueries extends QueryPack {
+
+  /** M1: alphabetical label encoding of nation names (vocab join). */
+  val labelEncode: GraftQuery = GraftQuery(
+    "label_encode_nation",
+    (s, dir) => {
+      val n = Tables(s, dir, "nation")
+      LabelEncoder.fit(n, "n_name")
+        .transform(n, "code")
+        .select("n_nationkey", "n_name", "code")
+        .orderBy("n_nationkey")
+    },
+    Some("""
+      SELECT n_nationkey, n_name,
+             CAST(dense_rank() OVER (ORDER BY n_name) - 1 AS INTEGER) AS code
+      FROM nation ORDER BY n_nationkey"""))
+
+  /** M1 unseen-category path: vocab fit on a subset, unseen -> -1
+    * (Sol_2.ipynb cell 4 fit=False branch).
+    */
+  val labelEncodeUnseen: GraftQuery = GraftQuery(
+    "label_encode_unseen",
+    (s, dir) => {
+      val n = Tables(s, dir, "nation")
+      LabelEncoder.fit(n.filter(col("n_regionkey") < 2), "n_name")
+        .transform(n, "code")
+        .select("n_nationkey", "n_name", "code")
+        .orderBy("n_nationkey")
+    },
+    Some("""
+      WITH vocab AS (
+        SELECT n_name AS v,
+               CAST(dense_rank() OVER (ORDER BY n_name) - 1 AS INTEGER) AS code
+        FROM nation WHERE n_regionkey < 2)
+      SELECT n_nationkey, n_name,
+             COALESCE(vocab.code, -1) AS code
+      FROM nation LEFT JOIN vocab ON n_name = vocab.v
+      ORDER BY n_nationkey"""))
+
+  /** M2: equal-width binning of c_acctbal (negative-to-positive range);
+    * per-bucket count + exact cent bounds. The oracle recomputes the
+    * linspace edges with identical double arithmetic.
+    */
+  val equalWidthBin: GraftQuery = GraftQuery(
+    "equal_width_bin_acctbal",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      EqualWidthBinner.fit(c, "c_acctbal", 8)
+        .transform(c, "bucket")
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          min(Q.cents("c_acctbal")).as("lo_cents"),
+          max(Q.cents("c_acctbal")).as("hi_cents"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH mm AS (
+        SELECT CAST(MIN(c_acctbal) AS DOUBLE) AS mn,
+               CAST(MAX(c_acctbal) AS DOUBLE) AS mx
+        FROM customer),
+      b AS (
+        SELECT CASE
+                 WHEN c_acctbal IS NULL OR c_acctbal < mn OR c_acctbal > mx THEN -1
+                 WHEN c_acctbal <= mn + (1 * (mx - mn)) / 8 THEN 0
+                 WHEN c_acctbal <= mn + (2 * (mx - mn)) / 8 THEN 1
+                 WHEN c_acctbal <= mn + (3 * (mx - mn)) / 8 THEN 2
+                 WHEN c_acctbal <= mn + (4 * (mx - mn)) / 8 THEN 3
+                 WHEN c_acctbal <= mn + (5 * (mx - mn)) / 8 THEN 4
+                 WHEN c_acctbal <= mn + (6 * (mx - mn)) / 8 THEN 5
+                 WHEN c_acctbal <= mn + (7 * (mx - mn)) / 8 THEN 6
+                 ELSE 7 END AS bucket,
+               c_acctbal
+        FROM customer, mm)
+      SELECT bucket, COUNT(*) AS n,
+             CAST(MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS lo_cents,
+             CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS hi_cents
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
+  /** M3: quantile binning of o_totalprice, per-bucket stats. */
+  val quantileBin: GraftQuery = GraftQuery(
+    "quantile_bin_totalprice",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      QuantileBinner.fit(o, "o_totalprice", 6)
+        .transform(o, "bucket")
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          min(Q.cents("o_totalprice")).as("lo_cents"),
+          max(Q.cents("o_totalprice")).as("hi_cents"))
+        .orderBy("bucket")
+    },
+    Some {
+      val probs = (1 to 5).map(i => i / 6.0)
+      val es = probs.zipWithIndex
+        .map { case (p, i) => s"quantile_cont(o_totalprice, $p) AS e${i + 1}" }
+        .mkString(", ")
+      s"""
+      WITH e AS (SELECT $es FROM orders),
+      b AS (
+        SELECT CASE WHEN o_totalprice <= e.e1 THEN 0
+                    WHEN o_totalprice <= e.e2 THEN 1
+                    WHEN o_totalprice <= e.e3 THEN 2
+                    WHEN o_totalprice <= e.e4 THEN 3
+                    WHEN o_totalprice <= e.e5 THEN 4
+                    ELSE 5 END AS bucket,
+               o_totalprice
+        FROM orders, e)
+      SELECT bucket, COUNT(*) AS n,
+             CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS lo_cents,
+             CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS hi_cents
+      FROM b GROUP BY bucket ORDER BY bucket"""
+    })
+
+  /** M4/F1-F4: derived-feature projection (guarded ratios, scalar-minus,
+    * weighted linear combination) over a bounded lineitem slice.
+    */
+  val derivedFeatures: GraftQuery = GraftQuery(
+    "derived_features_lineitem",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+      Features.derive(li, Seq(
+          "disc_price_e4" ->
+            (Q.cents("l_extendedprice") * (lit(100L) - Q.cents("l_discount"))),
+          "qty_per_dollar" ->
+            Q.r6(Features.ratio1(col("l_quantity"), col("l_extendedprice"))),
+          "tax_minus_disc_cents" ->
+            (Q.cents("l_tax") - Q.cents("l_discount")),
+          "weighted_score" -> Q.r6(col("l_quantity") * 0.3 +
+            col("l_extendedprice") / 1000 * 0.5 + col("l_discount") * 100 * 0.2)))
+        .select("l_orderkey", "l_linenumber", "disc_price_e4",
+          "qty_per_dollar", "tax_minus_disc_cents", "weighted_score")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS disc_price_e4,
+             round(l_quantity / (l_extendedprice + 1), 6) AS qty_per_dollar,
+             CAST(round(l_tax * 100) AS BIGINT) - CAST(round(l_discount * 100) AS BIGINT) AS tax_minus_disc_cents,
+             round(l_quantity * 0.3 + l_extendedprice / 1000 * 0.5 + l_discount * 100 * 0.2, 6) AS weighted_score
+      FROM lineitem WHERE l_orderkey < 300
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** M5: standardization (sklearn ddof=0) of l_quantity, bounded slice. */
+  val standardize: GraftQuery = GraftQuery(
+    "standardize_quantity",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      Standardizer.fit(li, "l_quantity", decimals = 0)
+        .transform(li.filter(col("l_orderkey") < 300), "z")
+        .select("l_orderkey", "l_linenumber", "z")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""
+      WITH m AS (
+        SELECT SUM(CAST(round(l_quantity * 1) AS BIGINT)) * 1.0 / COUNT(l_quantity) AS mean,
+               SUM(pow(CAST(CAST(round(l_quantity * 1) AS BIGINT) AS DOUBLE), 2)) AS s2,
+               COUNT(l_quantity) AS n
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             round((l_quantity - mean / 1.0) / (sqrt((s2 / n - mean * mean) * n / (n - 0)) / 1.0), 6) AS z
+      FROM lineitem, m WHERE l_orderkey < 300
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  override def queries: Seq[GraftQuery] = Seq(
+    labelEncode, labelEncodeUnseen, equalWidthBin, quantileBin,
+    derivedFeatures, standardize)
+}

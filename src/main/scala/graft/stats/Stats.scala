@@ -1,0 +1,159 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Profiling aggregations (SURVEY.md §2.4 A1–A10, A15; reference:
+  * sol_2/data_analysis.ipynb cells 1-7).
+  *
+  * Scale design: every operator is a single wide hash-aggregation (partial
+  * map-side combine, one shuffle) or a groupBy+window; nothing collects raw
+  * rows to the driver.
+  *
+  * Determinism design: columns carry a fixed decimal scale (the harness
+  * tables are exact to 2 decimals), so sums run on exact scaled integers
+  * and are independent of partitioning/accumulation order — required for
+  * the DuckDB differential oracle.
+  */
+object Stats {
+
+  /** round(x*10^d) as long — exact scaled integer from a fixed-decimal col. */
+  def scaled(c: Column, decimals: Int): Column =
+    round(c * math.pow(10, decimals)).cast("long")
+
+  /** Per-column profile: one output row per column (column, n_rows,
+    * n_nulls, n_distinct, mean, std, min, max). `decimals` gives each
+    * column's fixed decimal scale (for exact means).
+    * Single job: one wide agg, stacked to rows driver-side via union of
+    * literal projections on the 1-row result (data is one row — cheap).
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
+    val aggs = cols.flatMap { case (c, d) =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        sum(scaled(col(c), d)).as(s"${c}__ssum"),
+        round(stddev_samp(col(c)), 4).as(s"${c}__std"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { case (c, d) =>
+      row.select(
+        lit(c).as("column"),
+        col(s"${c}__n").as("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        round(col(s"${c}__ssum") / math.pow(10, d) / col(s"${c}__n"), 6)
+          .as("mean"),
+        col(s"${c}__std").as("std"),
+        col(s"${c}__min").as("min"),
+        col(s"${c}__max").as("max"))
+    }
+    perCol.reduce(_.unionByName(_)).orderBy("column")
+  }
+
+  /** value_counts(normalize=True): counts + share-of-total per value. */
+  def valueCounts(df: DataFrame, c: String): DataFrame =
+    df.groupBy(c)
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "share",
+        round(col("n") * 1.0 / sum("n").over(Window.partitionBy()), 6))
+      .orderBy(desc("n"), col(c))
+
+  /** df.isnull().sum() — null count per column, one row per column. */
+  def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val row = df.agg(
+      sum(when(col(cols.head).isNull, 1L).otherwise(0L)).as(cols.head),
+      cols.tail.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)): _*)
+    cols.map(c => row.select(lit(c).as("column"), col(c).as("n_nulls")))
+      .reduce(_.unionByName(_)).orderBy("column")
+  }
+
+  /** Pearson correlation for the given column pairs, one row per pair,
+    * all pairs in ONE aggregation pass.
+    */
+  def corrPairs(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__${b}")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    pairs.map { case (a, b) =>
+      row.select(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"${a}__${b}").as("corr"))
+    }.reduce(_.unionByName(_)).orderBy("col_a", "col_b")
+  }
+
+  /** Contingency counts + row-normalized shares (pd.crosstab + div):
+    * one row per `rowCol` value, count and share per `colCol` value.
+    * `colValues` pins the pivot columns (deterministic schema at scale —
+    * never let pivot discover values with an extra job).
+    */
+  def crosstabShares(
+      df: DataFrame, rowCol: String, colCol: String,
+      colValues: Seq[String]): DataFrame = {
+    val counts = colValues.map(v =>
+      sum(when(col(colCol) === v, 1L).otherwise(0L)).as(s"n_$v"))
+    val shares = colValues.map(v =>
+      round(
+        sum(when(col(colCol) === v, 1L).otherwise(0L)) * 1.0 / count(lit(1)),
+        6).as(s"share_$v"))
+    df.groupBy(rowCol)
+      .agg((counts ++ shares :+ count(lit(1)).as("n_total")).head,
+        (counts ++ shares :+ count(lit(1)).as("n_total")).tail: _*)
+      .orderBy(rowCol)
+  }
+
+  /** Shannon entropy (log2) and Gini impurity of a label column's
+    * distribution — reference house_predict.py:228-245. Two-level agg:
+    * groupBy label then one reduction; stays fully distributed.
+    */
+  def entropyGini(df: DataFrame, labelCol: String): DataFrame = {
+    val counts = df.groupBy(labelCol).agg(count(lit(1)).as("n"))
+    val tot = sum("n").over(Window.partitionBy())
+    counts
+      .select((col("n") * 1.0 / tot).as("p"))
+      .agg(
+        round(-sum(col("p") * log2(col("p"))), 6).as("entropy"),
+        round(lit(1.0) - sum(pow(col("p"), 2)), 6).as("gini"))
+  }
+
+  /** Bias-corrected sample skewness G1 and excess kurtosis G2 (pandas
+    * semantics, SURVEY §7.4.5) from exact central moments. Only for
+    * small-magnitude fixed-decimal columns (moments must stay in exact
+    * double range). Two jobs: exact mean, then central moments.
+    */
+  def skewKurtosis(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
+    val perCol = cols.map { case (c, d) =>
+      val scale = math.pow(10, d)
+      val m = df.agg(
+        sum(scaled(col(c), d)).as("s1"), count(col(c)).as("n")).head()
+      val n = m.getLong(1).toDouble
+      val mean = m.getLong(0) * 1.0 / n
+      val x = scaled(col(c), d).cast("double")
+      val mom = df
+        .agg(
+          sum(pow(x - mean, 2)).as("s2"),
+          sum(pow(x - mean, 3)).as("s3"),
+          sum(pow(x - mean, 4)).as("s4"))
+        .head()
+      val (m2, m3, m4) =
+        (mom.getDouble(0) / n, mom.getDouble(1) / n, mom.getDouble(2) / n)
+      val g1 = m3 / math.pow(m2, 1.5)
+      val skew = g1 * math.sqrt(n * (n - 1)) / (n - 2)
+      val g2 = m4 / (m2 * m2) - 3.0
+      val kurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+      (c, scale, skew, kurt)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    perCol.map { case (c, _, sk, ku) =>
+      (c, math.rint(sk * 1e6) / 1e6, math.rint(ku * 1e6) / 1e6)
+    }.toDF("column", "skewness", "kurtosis").orderBy("column")
+  }
+}

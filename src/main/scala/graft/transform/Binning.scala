@@ -43,6 +43,13 @@ object Binning {
     edges.foreach { e => if (e != last) { b += e; last = e } }
     b.result()
   }
+
+  /** Constant column: pandas `cut` raises; the engine degrades to a single
+    * [v,v] bucket instead (documented divergence — a raise is useless in a
+    * long-running distributed pipeline).
+    */
+  def atLeastOneBucket(edges: Array[Double]): Array[Double] =
+    if (edges.length >= 2) edges else Array(edges.head, edges.head)
 }
 
 /** Equal-frequency binning: edges are exact quantiles i/n with the end
@@ -60,7 +67,7 @@ object QuantileBinner {
     val qs = row.getSeq[Double](0).toArray
     qs(0) = row.getDouble(1)
     qs(qs.length - 1) = row.getDouble(2)
-    BinModel(column, Binning.dedupEdges(qs))
+    BinModel(column, Binning.atLeastOneBucket(Binning.dedupEdges(qs)))
   }
 }
 
@@ -76,6 +83,6 @@ object EqualWidthBinner {
     val edges = (0 to nBins).map { i =>
       if (i == nBins) mx else mn + i * (mx - mn) / nBins
     }.toArray
-    BinModel(column, Binning.dedupEdges(edges))
+    BinModel(column, Binning.atLeastOneBucket(Binning.dedupEdges(edges)))
   }
 }

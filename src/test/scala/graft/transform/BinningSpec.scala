@@ -1,0 +1,47 @@
+package graft.transform
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for pandas-`cut` edge semantics (FIXTURES.md §6). */
+class BinningSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("right-closed intervals with include_lowest and out-of-range -> -1") {
+    val model = BinModel("x", Array(0.0, 2.0, 4.0))
+    val df = Seq(
+      Some(0.0), Some(1.0), Some(2.0), Some(2.1), Some(4.0), Some(4.5),
+      Some(-0.5), None).toDF("x")
+    val got = model.transform(df, "b").select("b").as[Int].collect().toSeq
+    // pandas: [0,2] -> 0 (include_lowest), (2,4] -> 1, outside/NaN -> -1
+    assert(got == Seq(0, 0, 0, 1, 1, -1, -1, -1))
+  }
+
+  test("duplicates='drop' collapses equal edges") {
+    assert(Binning.dedupEdges(Array(1.0, 1.0, 2.0, 2.0, 2.0, 3.0)).toSeq ==
+      Seq(1.0, 2.0, 3.0))
+  }
+
+  test("quantile binner forces end edges to min/max and buckets partition") {
+    val df = Seq(1.0, 1.0, 1.0, 2.0, 3.0, 4.0, 100.0).toDF("x")
+    val m = QuantileBinner.fit(df, "x", 4)
+    assert(m.edges.head == 1.0 && m.edges.last == 100.0)
+    val codes = m.transform(df, "b").select("b").as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < m.nBins)) // every row in a bucket
+  }
+
+  test("equal-width binner: single-value column degenerates to one bucket") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("x")
+    val m = EqualWidthBinner.fit(df, "x", 4)
+    assert(m.nBins == 1)
+    assert(m.transform(df, "b").select("b").as[Int].collect().forall(_ == 0))
+  }
+
+  test("equal-width bucket codes are dense in [0, n)") {
+    val df = (0 to 80).map(_.toDouble).toDF("x")
+    val m = EqualWidthBinner.fit(df, "x", 8)
+    val codes =
+      m.transform(df, "b").select("b").as[Int].collect().distinct.sorted
+    assert(codes.toSeq == (0 until 8))
+  }
+}
