@@ -1,0 +1,87 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classification metrics as aggregation queries (SURVEY §2.4 A16-A19).
+  * Macro-averaged P/R/F1 with sklearn `zero_division=0` semantics — a
+  * class never predicted contributes F1=0 (this is what exposes the
+  * reference's degenerate 0.4365 baseline, SURVEY §7.4.4).
+  *
+  * Everything reduces via groupBy on (label, pred) or distinct scores
+  * first — the expensive input is aggregated once, all metric math runs on
+  * the tiny per-class/per-score result.
+  */
+object Metrics {
+
+  def accuracy(df: DataFrame, labelCol: String, predCol: String): DataFrame =
+    df.agg(round(
+      avg(when(col(labelCol) === col(predCol), 1.0).otherwise(0.0)), 6)
+      .as("accuracy"))
+
+  /** Confusion counts, one row per (label, pred) pair. */
+  def confusion(df: DataFrame, labelCol: String, predCol: String): DataFrame =
+    df.groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred")
+
+  /** Per-class support/tp/fp/fn and precision/recall/f1 (zero_division=0).
+    * Classes = distinct labels ∪ distinct predictions.
+    */
+  def perClass(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val byLabel = df.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("support"))
+    val byPred = df.groupBy(col(predCol).as("cls"))
+      .agg(count(lit(1)).as("n_pred"))
+    val diag = df.filter(col(labelCol) === col(predCol))
+      .groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("tp"))
+    val zero = lit(0L)
+    byLabel
+      .join(byPred, Seq("cls"), "full_outer")
+      .join(diag, Seq("cls"), "left")
+      .select(
+        col("cls"),
+        coalesce(col("support"), zero).as("support"),
+        coalesce(col("n_pred"), zero).as("n_pred"),
+        coalesce(col("tp"), zero).as("tp"))
+      .withColumn(
+        "precision",
+        when(col("n_pred") > 0, col("tp") * 1.0 / col("n_pred")).otherwise(0.0))
+      .withColumn(
+        "recall",
+        when(col("support") > 0, col("tp") * 1.0 / col("support")).otherwise(0.0))
+      .withColumn(
+        "f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(0.0))
+  }
+
+  /** Unweighted macro average of per-class metrics — one row. */
+  def macroAvg(df: DataFrame, labelCol: String, predCol: String): DataFrame =
+    perClass(df, labelCol, predCol).agg(
+      round(avg("precision"), 6).as("macro_precision"),
+      round(avg("recall"), 6).as("macro_recall"),
+      round(avg("f1"), 6).as("macro_f1"))
+
+  /** ROC-AUC via the Mann-Whitney U statistic with midrank tie handling,
+    * computed scale-out: aggregate (n_pos, n_neg) per distinct score, then
+    * a cumulative window over distinct scores (tiny). Equivalent to
+    * sklearn.roc_auc_score. `labelCol` must be 0/1.
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df.groupBy(col(scoreCol).as("score"))
+      .agg(
+        sum(col(labelCol).cast("long")).as("np"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("nn"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cumnn", coalesce(sum("nn").over(w), lit(0L)))
+      .agg(
+        round(
+          sum(col("np") * (col("cumnn") + col("nn") / 2.0)) /
+            (sum("np") * sum("nn")),
+          6).as("auc"))
+  }
+}

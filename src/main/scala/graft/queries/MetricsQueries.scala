@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.metrics.Metrics
+import graft.split.Splits
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for metrics + splitting (SURVEY §2.4 A16-A19,
+  * §2.8 M6). Labels/predictions are derived deterministically from
+  * lineitem so the whole evaluation pipeline is SQL-expressible:
+  * label = [l_returnflag = 'R'], pred = [l_discount >= 0.05].
+  */
+object MetricsQueries extends QueryPack {
+
+  private def labeled(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem").select(
+      when(col("l_returnflag") === "R", 1).otherwise(0).as("label"),
+      when(col("l_discount") >= 0.05, 1).otherwise(0).as("pred"),
+      col("l_discount").as("score"))
+
+  private val labeledSql =
+    """SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+              CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS pred,
+              l_discount AS score
+       FROM lineitem"""
+
+  val accuracy: GraftQuery = GraftQuery(
+    "accuracy_synth",
+    (s, dir) => Metrics.accuracy(labeled(s, dir), "label", "pred"),
+    Some(s"""
+      SELECT round(AVG(CASE WHEN label = pred THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+      FROM ($labeledSql)"""))
+
+  val confusion: GraftQuery = GraftQuery(
+    "confusion_matrix_synth",
+    (s, dir) => Metrics.confusion(labeled(s, dir), "label", "pred"),
+    Some(s"""
+      SELECT label, pred, COUNT(*) AS n FROM ($labeledSql)
+      GROUP BY label, pred ORDER BY label, pred"""))
+
+  private val perClassSql = s"""
+      WITH d AS ($labeledSql),
+      cls AS (SELECT DISTINCT label AS cls FROM d
+              UNION SELECT DISTINCT pred FROM d),
+      bl AS (SELECT label, COUNT(*) AS support FROM d GROUP BY label),
+      bp AS (SELECT pred, COUNT(*) AS n_pred FROM d GROUP BY pred),
+      dg AS (SELECT label, COUNT(*) AS tp FROM d WHERE label = pred GROUP BY label),
+      per AS (
+        SELECT cls.cls,
+               CAST(COALESCE(bl.support, 0) AS BIGINT) AS support,
+               CAST(COALESCE(bp.n_pred, 0) AS BIGINT) AS n_pred,
+               CAST(COALESCE(dg.tp, 0) AS BIGINT) AS tp
+        FROM cls LEFT JOIN bl ON bl.label = cls.cls
+                 LEFT JOIN bp ON bp.pred = cls.cls
+                 LEFT JOIN dg ON dg.label = cls.cls),
+      prf AS (
+        SELECT cls, support, n_pred, tp,
+               CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END AS "precision",
+               CASE WHEN support > 0 THEN tp * 1.0 / support ELSE 0.0 END AS recall
+        FROM per),
+      prf2 AS (
+        SELECT *, CASE WHEN "precision" + recall > 0
+                       THEN 2 * "precision" * recall / ("precision" + recall)
+                       ELSE 0.0 END AS f1
+        FROM prf)"""
+
+  val perClass: GraftQuery = GraftQuery(
+    "per_class_prf_synth",
+    (s, dir) => Metrics.perClass(labeled(s, dir), "label", "pred")
+      .select(col("cls"), col("support"), col("n_pred"), col("tp"),
+        round(col("precision"), 6).as("precision"),
+        round(col("recall"), 6).as("recall"),
+        round(col("f1"), 6).as("f1"))
+      .orderBy("cls"),
+    Some(s"""$perClassSql
+      SELECT cls, support, n_pred, tp, round("precision", 6) AS "precision",
+             round(recall, 6) AS recall, round(f1, 6) AS f1
+      FROM prf2 ORDER BY cls"""))
+
+  val macroF1: GraftQuery = GraftQuery(
+    "macro_f1_synth",
+    (s, dir) => Metrics.macroAvg(labeled(s, dir), "label", "pred"),
+    Some(s"""$perClassSql
+      SELECT round(AVG("precision"), 6) AS macro_precision,
+             round(AVG(recall), 6) AS macro_recall,
+             round(AVG(f1), 6) AS macro_f1
+      FROM prf2"""))
+
+  val rocAuc: GraftQuery = GraftQuery(
+    "roc_auc_synth",
+    (s, dir) => Metrics.rocAuc(labeled(s, dir), "score", "label"),
+    Some(s"""
+      WITH d AS ($labeledSql),
+      g AS (SELECT score, SUM(label) AS np, COUNT(*) - SUM(label) AS nn
+            FROM d GROUP BY score),
+      c AS (SELECT np, nn,
+                   COALESCE(SUM(nn) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumnn
+            FROM g)
+      SELECT round(SUM(np * (cumnn + nn / 2.0)) / (SUM(np) * SUM(nn)), 6) AS auc
+      FROM c"""))
+
+  val hashFold: GraftQuery = GraftQuery(
+    "hash_fold_counts",
+    (s, dir) => Splits.hashFold(Tables(s, dir, "lineitem"), "l_orderkey", 5)
+      .groupBy("fold").agg(count(lit(1)).as("n")).orderBy("fold"),
+    Some("""
+      SELECT CAST(l_orderkey % 5 AS INTEGER) AS fold, COUNT(*) AS n
+      FROM lineitem GROUP BY fold ORDER BY fold"""))
+
+  /** Stratified split: per-class sizes are exactly ceil(frac*n) regardless
+    * of the seed, so the count query IS oracle-expressible even though the
+    * row assignment is seeded randomness.
+    */
+  val stratified: GraftQuery = GraftQuery(
+    "stratified_split_counts",
+    (s, dir) => Splits
+      .stratifiedSplit(Tables(s, dir, "lineitem"), "l_returnflag", 0.8, 42)
+      .groupBy(col("l_returnflag").as("label"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "split"),
+    Some("""
+      WITH c AS (SELECT l_returnflag AS label, COUNT(*) AS n
+                 FROM lineitem GROUP BY l_returnflag)
+      SELECT label, CAST(0 AS INTEGER) AS split,
+             CAST(ceil(n * 0.8) AS BIGINT) AS n FROM c
+      UNION ALL
+      SELECT label, CAST(1 AS INTEGER) AS split,
+             n - CAST(ceil(n * 0.8) AS BIGINT) AS n FROM c
+      ORDER BY label, split"""))
+
+  override def queries: Seq[GraftQuery] = Seq(
+    accuracy, confusion, perClass, macroF1, rocAuc, hashFold, stratified)
+}

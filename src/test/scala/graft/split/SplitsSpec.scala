@@ -1,0 +1,30 @@
+package graft.split
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SplitsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("hashFold partitions all rows into k folds deterministically") {
+    val df = (1L to 100L).toDF("id")
+    val folds = Splits.hashFold(df, "id", 5).groupBy("fold").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(folds == Map(0 -> 20L, 1 -> 20L, 2 -> 20L, 3 -> 20L, 4 -> 20L))
+  }
+
+  test("stratified split: exact per-class proportions, disjoint, reproducible") {
+    val df = ((1 to 80).map(i => (i, "a")) ++ (1 to 20).map(i => (i + 100, "b")))
+      .toDF("id", "label")
+    val s1 = Splits.stratifiedSplit(df, "label", 0.75, 42)
+    val counts = s1.groupBy("label", "split").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(counts == Map(
+      ("a", 0) -> 60L, ("a", 1) -> 20L, ("b", 0) -> 15L, ("b", 1) -> 5L))
+    val s2 = Splits.stratifiedSplit(df, "label", 0.75, 42)
+    assert(s1.filter(col("split") === 0).select("id").collect().map(_.getInt(0)).sorted
+      sameElements
+      s2.filter(col("split") === 0).select("id").collect().map(_.getInt(0)).sorted)
+  }
+}
