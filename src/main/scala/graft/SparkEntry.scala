@@ -10,7 +10,7 @@ import graft.queries._
   */
 object SparkEntry {
   private lazy val packs: Seq[QueryPack] = Seq(
-    CoreQueries, StatsQueries, TransformQueries, MetricsQueries)
+    CoreQueries, StatsQueries, TransformQueries, MetricsQueries, DocQueries)
 
   lazy val allQueries: Seq[GraftQuery] = {
     val qs = packs.flatMap(_.queries)

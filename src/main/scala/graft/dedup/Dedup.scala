@@ -1,0 +1,118 @@
+package graft.dedup
+
+import graft.Q
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * groupBy), character-shingle Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: everything reduces through groupBy/join on
+  * shingle/signature keys — no driver-side collection, no cross joins of
+  * raw documents. MinHash-LSH turns the O(n²) pair problem into a
+  * band-bucket equi-join; SimHash compresses each doc to 63 bits.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by an arbitrary key expression: group size and
+    * kept (minimum) id per group with >1 member.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+      .filter(col("n") > 1)
+
+  /** Distinct character k-shingles, one row per (id, shingle). */
+  def shingleSet(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(
+        col(idCol),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 0))," +
+            s" i -> substring($textCol, i, $k))"))).as("sh"))
+
+  /** Exact Jaccard for given candidate id pairs (pairs with empty
+    * intersection are dropped — they'd be 0 anyway).
+    * `pairs` must have columns (id_a, id_b).
+    */
+  def jaccardForPairs(shingles: DataFrame, pairs: DataFrame): DataFrame = {
+    val a = shingles.toDF("id_a", "sh")
+    val b = shingles.toDF("id_b", "sh")
+    val sz = shingles.toDF("id", "sh")
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = a.join(pairs, Seq("id_a"))
+      .join(b, Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(sz.toDF("id_b", "n_b"), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        Q.r6(col("inter") * 1.0 / (col("n_a") + col("n_b") - col("inter")))
+          .as("jaccard"))
+  }
+
+  /** MinHash signatures: numHashes seeded xxhash64 permutations, min per
+    * doc. Returns (id, sig array<long>) — sig(i) uses seed i.
+    */
+  def minhashSignatures(
+      shingles: DataFrame, numHashes: Int): DataFrame = {
+    val spark = shingles.sparkSession
+    val seeds = spark.range(numHashes).toDF("seed")
+    shingles.toDF("id", "sh")
+      .crossJoin(broadcast(seeds))
+      .select(col("id"), col("seed"), xxhash64(col("sh"), col("seed")).as("h"))
+      .groupBy("id", "seed").agg(min("h").as("mh"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("seed"), col("mh")))).as("sm"))
+      .select(col("id"), expr("transform(sm, x -> x.mh)").as("sig"))
+  }
+
+  /** LSH candidate pairs: split signatures into `bands` bands, bucket by
+    * band hash, emit distinct id pairs sharing any bucket, with estimated
+    * similarity = fraction of matching minhashes.
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
+    val banded = sigs
+      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(
+        col("id"), col("sig"), col("band"),
+        xxhash64(
+          col("band"),
+          expr(s"slice(sig, band * (size(sig) div $bands) + 1, size(sig) div $bands)"))
+          .as("bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .select(
+        col("id_a"), col("id_b"),
+        Q.r6(
+          expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z))") *
+            1.0 / expr("size(sig_a)")).as("est_jaccard"))
+  }
+
+  /** 63-bit SimHash over whitespace tokens weighted by in-doc frequency.
+    * One explode + one wide aggregation; fingerprint assembled bitwise.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(
+        col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 63).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("w"))
+        .otherwise(-col("w"))).as(s"s$i")
+    }
+    val fp = (0 until 63)
+      .map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), fp.as("simhash"))
+  }
+}

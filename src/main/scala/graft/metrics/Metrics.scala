@@ -1,5 +1,6 @@
 package graft.metrics
 
+import graft.Q
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,8 +17,8 @@ import org.apache.spark.sql.functions._
 object Metrics {
 
   def accuracy(df: DataFrame, labelCol: String, predCol: String): DataFrame =
-    df.agg(round(
-      avg(when(col(labelCol) === col(predCol), 1.0).otherwise(0.0)), 6)
+    df.agg(Q.r6(
+      avg(when(col(labelCol) === col(predCol), 1.0).otherwise(0.0)))
       .as("accuracy"))
 
   /** Confusion counts, one row per (label, pred) pair. */
@@ -61,9 +62,9 @@ object Metrics {
   /** Unweighted macro average of per-class metrics — one row. */
   def macroAvg(df: DataFrame, labelCol: String, predCol: String): DataFrame =
     perClass(df, labelCol, predCol).agg(
-      round(avg("precision"), 6).as("macro_precision"),
-      round(avg("recall"), 6).as("macro_recall"),
-      round(avg("f1"), 6).as("macro_f1"))
+      Q.r6(avg("precision")).as("macro_precision"),
+      Q.r6(avg("recall")).as("macro_recall"),
+      Q.r6(avg("f1")).as("macro_f1"))
 
   /** ROC-AUC via the Mann-Whitney U statistic with midrank tie handling,
     * computed scale-out: aggregate (n_pos, n_neg) per distinct score, then
@@ -79,9 +80,8 @@ object Metrics {
       .rowsBetween(Window.unboundedPreceding, -1)
     g.withColumn("cumnn", coalesce(sum("nn").over(w), lit(0L)))
       .agg(
-        round(
+        Q.r6(
           sum(col("np") * (col("cumnn") + col("nn") / 2.0)) /
-            (sum("np") * sum("nn")),
-          6).as("auc"))
+            (sum("np") * sum("nn"))).as("auc"))
   }
 }

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.{GraftQuery, Q, QueryPack, Tables}
+import graft.dedup.Dedup
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication queries over the `documents` table.
+  * Token math is oracle-expressible via list functions; MinHash/SimHash
+  * (Spark-hash-based) are registered rows-only.
+  */
+object DocQueries extends QueryPack {
+
+  private val stop = Seq("the", "a")
+
+  val textStats: GraftQuery = GraftQuery(
+    "text_stats_docs",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val t = col("text")
+      d.select(
+        col("doc_id"),
+        TextOps.tokenCount(t).as("n_tokens"),
+        Q.r6(TextOps.avgTokenLen(t)).as("avg_token_len"),
+        Q.r6(TextOps.stopwordRatio(t, stop)).as("stop_ratio"),
+        Q.r6(TextOps.qualityScore(t, stop)).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS nt,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a'))) AS nstop
+        FROM documents)
+      SELECT doc_id,
+             nt AS n_tokens,
+             round((length(text) - (nt - 1)) * 1.0 / nt, 6) AS avg_token_len,
+             round(nstop * 1.0 / nt, 6) AS stop_ratio,
+             round(0.4 * least(length(text) / 500.0, 1.0)
+                 + 0.3 * (1.0 - nstop * 1.0 / nt)
+                 + 0.3 * least(((length(text) - (nt - 1)) * 1.0 / nt) / 8.0, 1.0), 6) AS quality
+      FROM b ORDER BY doc_id"""))
+
+  val langId: GraftQuery = GraftQuery(
+    "lang_id_confusion",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred"),
+    Some("""
+      WITH sc AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '), x -> x IN ('hash', 'merge'))) AS s_de,
+               len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS s_en,
+               len(list_filter(string_split(text, ' '), x -> x IN ('data', 'sort'))) AS s_es,
+               len(list_filter(string_split(text, ' '), x -> x IN ('query', 'window'))) AS s_fr,
+               len(list_filter(string_split(text, ' '), x -> x IN ('spark', 'stream'))) AS s_zh
+        FROM documents),
+      p AS (
+        SELECT lang,
+               CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END AS lang_pred
+        FROM sc)
+      SELECT lang, lang_pred, COUNT(*) AS n
+      FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""))
+
+  val fingerprint: GraftQuery = GraftQuery(
+    "fingerprint_docs",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, substr(md5(text), 1, 16) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  /** Exact dedup on a 20-char prefix key (the synthetic corpus has real
+    * collisions there).
+    */
+  val exactDedup: GraftQuery = GraftQuery(
+    "exact_dedup_prefix",
+    (s, dir) => Dedup.exactDupGroups(
+        Tables(s, dir, "documents"), "doc_id", substring(col("text"), 1, 20))
+      .orderBy("key"),
+    Some("""
+      SELECT substr(text, 1, 20) AS key, COUNT(*) AS n,
+             MIN(doc_id) AS keep_id
+      FROM documents GROUP BY key HAVING COUNT(*) > 1 ORDER BY key"""))
+
+  /** Exact 3-gram Jaccard for adjacent doc-id pairs (oracle-checked
+    * baseline for the MinHash estimate).
+    */
+  val jaccardAdjacent: GraftQuery = GraftQuery(
+    "ngram_jaccard_adjacent",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val sh = Dedup.shingleSet(d, "doc_id", "text", 3)
+      val pairs = d.select(
+        col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.jaccardForPairs(sh, pairs).orderBy("id_a")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS sh
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 2)) AS i
+              FROM documents)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.sh = b.sh
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      ORDER BY id_a"""))
+
+  /** MinHash(32) + LSH(8 bands): candidate near-dup pairs with estimated
+    * similarity >= 0.5. Spark-hash-based — rows-only check (no oracle).
+    */
+  val minhashLsh: GraftQuery = GraftQuery(
+    "minhash_lsh_candidates",
+    (s, dir) => {
+      val sh = Dedup.shingleSet(Tables(s, dir, "documents"), "doc_id", "text", 3)
+      val sigs = Dedup.minhashSignatures(sh, 32)
+      Dedup.lshCandidates(sigs, 8)
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    None)
+
+  /** SimHash fingerprints — rows-only (xxhash64 is Spark-specific). */
+  val simhashDocs: GraftQuery = GraftQuery(
+    "simhash_docs",
+    (s, dir) => Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("id"),
+    None)
+
+  override def queries: Seq[GraftQuery] = Seq(
+    textStats, langId, fingerprint, exactDedup, jaccardAdjacent, minhashLsh,
+    simhashDocs)
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{GraftQuery, QueryPack, Tables}
+import graft.{GraftQuery, Q, QueryPack, Tables}
 import graft.metrics.Metrics
 import graft.split.Splits
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -69,9 +69,9 @@ object MetricsQueries extends QueryPack {
     "per_class_prf_synth",
     (s, dir) => Metrics.perClass(labeled(s, dir), "label", "pred")
       .select(col("cls"), col("support"), col("n_pred"), col("tp"),
-        round(col("precision"), 6).as("precision"),
-        round(col("recall"), 6).as("recall"),
-        round(col("f1"), 6).as("f1"))
+        Q.r6(col("precision")).as("precision"),
+        Q.r6(col("recall")).as("recall"),
+        Q.r6(col("f1")).as("f1"))
       .orderBy("cls"),
     Some(s"""$perClassSql
       SELECT cls, support, n_pred, tp, round("precision", 6) AS "precision",

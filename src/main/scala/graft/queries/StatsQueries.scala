@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{GraftQuery, QueryPack, Tables}
+import graft.{GraftQuery, Q, QueryPack, Tables}
 import graft.stats.Stats
 
 /** Oracle-checked queries for the profiling module (SURVEY §2.4). */

@@ -1,5 +1,6 @@
 package graft.stats
 
+import graft.Q
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,7 +36,7 @@ object Stats {
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         countDistinct(col(c)).as(s"${c}__distinct"),
         sum(scaled(col(c), d)).as(s"${c}__ssum"),
-        round(stddev_samp(col(c)), 4).as(s"${c}__std"),
+        Q.r4(stddev_samp(col(c))).as(s"${c}__std"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }
@@ -46,7 +47,7 @@ object Stats {
         col(s"${c}__n").as("n_rows"),
         col(s"${c}__nulls").as("n_nulls"),
         col(s"${c}__distinct").as("n_distinct"),
-        round(col(s"${c}__ssum") / math.pow(10, d) / col(s"${c}__n"), 6)
+        Q.r6(col(s"${c}__ssum") / math.pow(10, d) / col(s"${c}__n"))
           .as("mean"),
         col(s"${c}__std").as("std"),
         col(s"${c}__min").as("min"),
@@ -61,7 +62,7 @@ object Stats {
       .agg(count(lit(1)).as("n"))
       .withColumn(
         "share",
-        round(col("n") * 1.0 / sum("n").over(Window.partitionBy()), 6))
+        Q.r6(col("n") * 1.0 / sum("n").over(Window.partitionBy())))
       .orderBy(desc("n"), col(c))
 
   /** df.isnull().sum() — null count per column, one row per column. */
@@ -79,7 +80,7 @@ object Stats {
     */
   def corrPairs(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
     val aggs = pairs.map { case (a, b) =>
-      round(corr(col(a), col(b)), 6).as(s"${a}__${b}")
+      Q.r6(corr(col(a), col(b))).as(s"${a}__${b}")
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     pairs.map { case (a, b) =>
@@ -100,9 +101,8 @@ object Stats {
     val counts = colValues.map(v =>
       sum(when(col(colCol) === v, 1L).otherwise(0L)).as(s"n_$v"))
     val shares = colValues.map(v =>
-      round(
-        sum(when(col(colCol) === v, 1L).otherwise(0L)) * 1.0 / count(lit(1)),
-        6).as(s"share_$v"))
+      Q.r6(
+        sum(when(col(colCol) === v, 1L).otherwise(0L)) * 1.0 / count(lit(1))).as(s"share_$v"))
     df.groupBy(rowCol)
       .agg((counts ++ shares :+ count(lit(1)).as("n_total")).head,
         (counts ++ shares :+ count(lit(1)).as("n_total")).tail: _*)
@@ -119,8 +119,8 @@ object Stats {
     counts
       .select((col("n") * 1.0 / tot).as("p"))
       .agg(
-        round(-sum(col("p") * log2(col("p"))), 6).as("entropy"),
-        round(lit(1.0) - sum(pow(col("p"), 2)), 6).as("gini"))
+        Q.r6(-sum(col("p") * log2(col("p")))).as("entropy"),
+        Q.r6(lit(1.0) - sum(pow(col("p"), 2))).as("gini"))
   }
 
   /** Bias-corrected sample skewness G1 and excess kurtosis G2 (pandas
@@ -152,8 +152,9 @@ object Stats {
     }
     val spark = df.sparkSession
     import spark.implicits._
-    perCol.map { case (c, _, sk, ku) =>
-      (c, math.rint(sk * 1e6) / 1e6, math.rint(ku * 1e6) / 1e6)
-    }.toDF("column", "skewness", "kurtosis").orderBy("column")
+    def r6(x: Double): Double = // DuckDB round(x, 6) parity (see Q.rd)
+      math.floor(math.abs(x) * 1e6 + 0.5) / 1e6 * math.signum(x) + 0.0
+    perCol.map { case (c, _, sk, ku) => (c, r6(sk), r6(ku)) }
+      .toDF("column", "skewness", "kurtosis").orderBy("column")
   }
 }

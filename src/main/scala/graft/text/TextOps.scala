@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, heuristic language ID, document
+  * fingerprinting. All pure Catalyst expressions (codegen'd, no UDFs) so
+  * they run at full scan speed over 100 TB of documents.
+  *
+  * Token ops assume single-space-normalized text (the `documents` table
+  * guarantee); pass a normalized column otherwise.
+  */
+object TextOps {
+
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Exact occurrences of one token (list-filter, not regex — overlap-safe). */
+  def countToken(c: Column, token: String): Column =
+    size(filter(tokens(c), x => x === lit(token)))
+
+  def countTokens(c: Column, toks: Seq[String]): Column =
+    toks.map(countToken(c, _)).reduce(_ + _)
+
+  /** Mean token length for single-space text: (chars - separators)/tokens. */
+  def avgTokenLen(c: Column): Column = {
+    val nt = tokenCount(c)
+    (length(c) - (nt - lit(1))) * 1.0 / nt
+  }
+
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column =
+    countTokens(c, stopwords) * 1.0 / tokenCount(c)
+
+  /** Composite quality score in [0,1]: length, non-stopword share, token
+    * length — the shape of the reference-style rule scoring
+    * (data_analysis.ipynb cell 8 risk flags), adapted to documents.
+    */
+  def qualityScore(c: Column, stopwords: Seq[String]): Column =
+    lit(0.4) * least(length(c) / 500.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - stopwordRatio(c, stopwords)) +
+      lit(0.3) * least(avgTokenLen(c) / 8.0, lit(1.0))
+
+  /** Marker-token language scores; argmax with alphabetical tie-break.
+    * A deterministic n-gram-style heuristic (real marker lists would come
+    * from per-language frequency profiles).
+    */
+  val defaultMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("hash", "merge"),
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "sort"),
+    "fr" -> Seq("query", "window"),
+    "zh" -> Seq("spark", "stream"))
+
+  def langId(
+      c: Column,
+      markers: Seq[(String, Seq[String])] = defaultMarkers): Column = {
+    val scores = markers.map { case (lang, toks) => lang -> countTokens(c, toks) }
+    // alphabetical langs win ties: lang_i wins iff score_i >= all later
+    val preds = scores.zipWithIndex.init.map { case ((lang, s), i) =>
+      (lang, scores.drop(i + 1).map(_._2).map(s >= _).reduce(_ && _))
+    }
+    preds.foldRight(lit(scores.last._1): Column) { case ((lang, cond), e) =>
+      when(cond, lit(lang)).otherwise(e)
+    }
+  }
+
+  /** 64-bit hex fingerprint: md5 prefix (cross-engine stable). */
+  def fingerprintMd5(c: Column): Column =
+    substring(md5(c.cast("binary")), 1, 16)
+}

@@ -1,5 +1,6 @@
 package graft.transform
 
+import graft.Q
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -50,7 +51,7 @@ object LabelEncoder {
 final case class StandardizeModel(
     column: String, mean: Double, std: Double) {
   def transform(df: DataFrame, out: String): DataFrame =
-    df.withColumn(out, round((col(column) - mean) / std, 6))
+    df.withColumn(out, Q.r6((col(column) - mean) / std))
 }
 
 object Standardizer {

@@ -1,0 +1,45 @@
+package graft.dedup
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "aa bb cc ee"),
+    (4L, "zz yy xx ww")).toDF("doc_id", "text")
+
+  test("exact dedup finds identical texts, keeps min id") {
+    val g = Dedup.exactDupGroups(docs, "doc_id", col("text")).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n") == 2 && g(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("shingle jaccard: identical docs = 1, disjoint pairs dropped") {
+    val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardForPairs(sh, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0 && j((1L, 3L)) < 1)
+    assert(!j.contains((1L, 4L))) // zero intersection -> dropped
+  }
+
+  test("minhash estimate: identical docs share full signature; LSH pairs them") {
+    val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSignatures(sh, 16)
+    val cand = Dedup.lshCandidates(sigs, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cand((1L, 2L)) == 1.0)
+    assert(!cand.contains((1L, 4L)))
+  }
+
+  test("simhash: identical docs get identical fingerprints, different differ") {
+    val fp = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(4L))
+  }
+}
