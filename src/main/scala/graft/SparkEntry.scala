@@ -10,7 +10,8 @@ import graft.queries._
   */
 object SparkEntry {
   private lazy val packs: Seq[QueryPack] = Seq(
-    CoreQueries, StatsQueries, TransformQueries, MetricsQueries, DocQueries)
+    CoreQueries, StatsQueries, TransformQueries, MetricsQueries, DocQueries,
+    EventQueries, SimQueries)
 
   lazy val allQueries: Seq[GraftQuery] = {
     val qs = packs.flatMap(_.queries)

@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack}
+import graft.streaming.EventOps
+
+/** Event-stream queries (net-new surface vs the reference — SURVEY §2.9).
+  * All temporal math runs on int64 nanos (= DuckDB `epoch_ns`), so even
+  * sessionization and as-of lookups are oracle-exact.
+  */
+object EventQueries extends QueryPack {
+
+  val hourly: GraftQuery = GraftQuery(
+    "events_hourly",
+    (s, dir) => EventOps.hourly(EventOps.events(s, dir)),
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      FROM events GROUP BY hour, event_type ORDER BY hour, event_type"""))
+
+  val sessionize: GraftQuery = GraftQuery(
+    "sessionize_users",
+    (s, dir) =>
+      EventOps.sessionize(EventOps.events(s, dir), 30L * 60 * 1000000L),
+    Some("""
+      WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      l AS (SELECT user_id, tus,
+                   lag(tus) OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id) AS prev
+            FROM x)
+      SELECT user_id, COUNT(*) AS n_events,
+             SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                      THEN 1 ELSE 0 END) AS n_sessions
+      FROM l GROUP BY user_id ORDER BY user_id"""))
+
+  val asofClick: GraftQuery = GraftQuery(
+    "asof_last_click_before_error",
+    (s, dir) => EventOps.lastClickBeforeError(EventOps.events(s, dir)),
+    Some("""
+      WITH x AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+                 FROM events),
+      w AS (SELECT event_id, user_id, event_type, tus,
+                   last_value(CASE WHEN event_type = 'click' THEN tus END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS last_click_us
+            FROM x)
+      SELECT event_id, user_id, tus AS ts_us, last_click_us
+      FROM w WHERE event_type = 'error' ORDER BY event_id"""))
+
+  override def queries: Seq[GraftQuery] = Seq(hourly, sessionize, asofClick)
+}

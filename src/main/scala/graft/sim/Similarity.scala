@@ -1,0 +1,74 @@
+package graft.sim
+
+import graft.Q
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Brute-force cosine top-k is the exactness baseline (one broadcast of the
+  * query vector + a full scan — embarrassingly parallel, no shuffle until
+  * the final top-k). The LSH variant is the scale path: random-hyperplane
+  * signatures bucket the corpus so each query only scores its bucket.
+  * All vector math is Catalyst `zip_with`/`aggregate` — codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns (sequential
+    * fold — deterministic element order).
+    */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normD(a: Column): Column = sqrt(dotD(a, a))
+
+  def cosine(a: Column, b: Column): Column = dotD(a, b) / (normD(a) * normD(b))
+
+  /** Exact top-k neighbors of one stored vector by cosine (rounded to 6
+    * decimals; ties broken by id for determinism).
+    */
+  def cosineTopK(
+      emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__qv"))
+    emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(
+        col(idCol),
+        Q.r6(cosine(col(vecCol), col("__qv"))).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Seeded random hyperplanes (driver-side, deterministic). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id for a vector column against fixed planes. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotD(vec, typedLit(p)) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** ANN top-k: score only vectors sharing the query's LSH bucket, exact
+    * cosine rerank inside the bucket. Recall < 1 by design; nPlanes trades
+    * bucket size vs recall.
+    */
+  def annTopK(
+      emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
+      nPlanes: Int = 8, dim: Int = 64, seed: Long = 42): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val bucketed = emb.withColumn("__bucket", lshBucket(col(vecCol), planes))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"), col("__bucket"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), Seq("__bucket"))
+      .select(col(idCol), Q.r6(cosine(col(vecCol), col("__qv"))).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream operators, written as batch-testable DataFrame transforms
+  * (the same logic drives Structured Streaming via `readStream` — see
+  * `streamingHourly`).
+  *
+  * The events table stores nanosecond timestamps, which Spark's parquet
+  * reader rejects; `nanosAsLong` turns them into raw int64 nanos — which
+  * is also exactly what DuckDB's `epoch_ns` yields, making every temporal
+  * computation oracle-exact.
+  */
+object EventOps {
+
+  /** Events with `ts` as int64 nanos, `ts_us` as int64 micros (= DuckDB
+    * `epoch_us` after its ns->us parquet truncation), and `event_ts` as a
+    * real timestamp.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** Tumbling-hour aggregation per event type. */
+  def hourly(df: DataFrame): DataFrame =
+    df.groupBy(
+        date_format(date_trunc("hour", col("event_ts")), "yyyy-MM-dd HH")
+          .as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(Q.cents("value")).as("sum_value_cents"))
+      .orderBy("hour", "event_type")
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapNs`. One shuffle
+    * (window by user).
+    */
+  def sessionize(df: DataFrame, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    df.withColumn("__prev", lag("ts_us", 1).over(w))
+      .withColumn(
+        "__new_sess",
+        when(col("__prev").isNull || col("ts_us") - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("__new_sess").as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  /** As-of lookup: for each 'error' event, the timestamp of that user's
+    * most recent 'click' at or before it (window last-ignoreNulls — the
+    * composable as-of-join primitive).
+    */
+  def lastClickBeforeError(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(
+        "last_click_us",
+        last(when(col("event_type") === "click", col("ts_us")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_click_us"))
+      .orderBy("event_id")
+  }
+
+  /** The hourly aggregation as a Structured Streaming query over the same
+    * parquet (watermark + tumbling window). Returns the streaming DF; the
+    * caller starts it (tests use a memory sink + processAllAvailable).
+    */
+  def streamingHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet") // source needs a directory
+      .parquet(sfDir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(Q.cents("value")).as("sum_value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"), col("sum_value_cents"))
+  }
+}

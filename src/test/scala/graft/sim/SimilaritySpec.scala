@@ -1,0 +1,32 @@
+package graft.sim
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  val emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to query
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite
+    (4L, Array(1.0f, 1.0f, 0.0f))    // 45 degrees
+  ).toDF("vec_id", "embedding")
+
+  test("cosine top-k ranks identical > 45deg > orthogonal > opposite") {
+    val got = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(1L, 4L, 2L, 3L))
+    assert(got(0)._2 == 1.0)
+    assert(math.abs(got(1)._2 - math.sqrt(0.5)) < 1e-5)
+    assert(got(2)._2 == 0.0 && got(3)._2 == -1.0)
+  }
+
+  test("ANN bucket search finds the identical vector") {
+    val got = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 2,
+      nPlanes = 4, dim = 3)
+      .collect().map(_.getLong(0))
+    assert(got.contains(1L)) // identical vector always shares the bucket
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventOpsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def us(minutes: Long): Long = minutes * 60L * 1000000L
+
+  test("sessionize splits on gaps > threshold") {
+    // user 7: events at t=0,10,20 then 60min gap -> 2 sessions
+    val df = Seq(
+      (1L, us(0), 7L), (2L, us(10), 7L), (3L, us(20), 7L), (4L, us(80), 7L),
+      (5L, us(5), 8L)).toDF("event_id", "ts_us", "user_id")
+    val got = EventOps.sessionize(df, us(30)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(7L) == ((4L, 2L)))
+    assert(got(8L) == ((1L, 1L)))
+  }
+
+  test("as-of last click before error") {
+    val df = Seq(
+      (1L, us(0), 7L, "click"), (2L, us(10), 7L, "view"),
+      (3L, us(20), 7L, "error"), (4L, us(30), 7L, "click"),
+      (5L, us(40), 7L, "error"), (6L, us(1), 9L, "error"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    val got = EventOps.lastClickBeforeError(df).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got(3L) == Some(us(0)))  // click at t=0
+    assert(got(5L) == Some(us(30))) // later click wins
+    assert(got(6L) == None)         // user 9 never clicked
+  }
+
+  test("structured streaming hourly agg matches the batch result") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = EventOps.hourly(EventOps.events(spark, sfDir))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val q = EventOps.streamingHourly(spark, sfDir)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hourly_stream")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batch)
+  }
+}
