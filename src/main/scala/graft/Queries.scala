@@ -44,6 +44,10 @@ object Q {
   /** round(x, 4) with DuckDB semantics. */
   def r4(c: Column): Column = rd(c, 1e4)
 
+  /** Driver-side scalar version of r6. */
+  def r6Double(x: Double): Double =
+    math.floor(math.abs(x) * 1e6 + 0.5) / 1e6 * math.signum(x) + 0.0
+
   /** Deterministic share-of-group: exact integer counts divided once. */
   def share(pred: Column): Column =
     r6(sum(when(pred, 1L).otherwise(0L)) * 1.0 / count(lit(1)))

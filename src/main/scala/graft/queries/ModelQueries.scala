@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.{GraftQuery, Q, QueryPack, Tables}
+import graft.metrics.Metrics
+import graft.model.Models
+import graft.multimodal.MediaOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MLlib model + multimodal-plumbing queries. Model training is
+  * rows-only (not SQL-expressible); the media-metadata stub is fully
+  * oracle-checked because the fake decode is deterministic arithmetic on
+  * the blob length.
+  */
+object ModelQueries extends QueryPack {
+
+  private def labeled(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax"),
+      col("l_extendedprice"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("label"))
+
+  private val feats = Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+
+  /** Multimodal: opaque binary column -> typed metadata via partition-wise
+    * stub decode; oracle mirrors the deterministic fake arithmetic.
+    */
+  val mediaMeta: GraftQuery = GraftQuery(
+    "media_metadata_stub",
+    (s, dir) => MediaOps.decodeMetadata(
+        Tables(s, dir, "documents").select(
+          col("doc_id"), col("text").cast("binary").as("media")),
+        "doc_id", "media")
+      .toDF().orderBy("media_id"),
+    Some("""
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS byte_len,
+             octet_length(encode(text)) % 640 AS width,
+             (octet_length(encode(text)) * 7) % 480 AS height,
+             octet_length(encode(text)) * 3 AS duration_ms
+      FROM documents ORDER BY media_id"""))
+
+  /** M10: balanced random forest, hash-split 80/20, evaluated with
+    * accuracy + macro-F1 + AUC (rows-only).
+    */
+  val rfEval: GraftQuery = GraftQuery(
+    "rf_train_eval",
+    (s, dir) => {
+      val d = labeled(s, dir)
+      val train = d.filter(pmod(col("l_orderkey"), lit(5)) =!= 0)
+      val valid = d.filter(pmod(col("l_orderkey"), lit(5)) === 0)
+      val model = Models.randomForest(feats, "label", numTrees = 5,
+        maxDepth = 4).fit(Models.withBalancedWeights(train, "label"))
+      val scored = model.transform(valid).select(
+        col("label"), col("prediction").cast("long").as("pred"))
+      Metrics.macroAvg(scored, "label", "pred")
+        .crossJoin(Metrics.accuracy(scored, "label", "pred"))
+    },
+    None)
+
+  /** M7: L1 feature selection — surviving features + coefficients. */
+  val l1Select: GraftQuery = GraftQuery(
+    "l1_feature_selection",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      Models.l1FeatureSelection(labeled(s, dir), feats, "label",
+          regParam = 0.001)
+        .map { case (f, c) => (f, Q.r6Double(c)) }
+        .toDF("feature", "coef").orderBy("feature")
+    },
+    None)
+
+  /** M12: 3-model comparison report on sf data (rows-only). */
+  val comparison: GraftQuery = GraftQuery(
+    "model_comparison",
+    (s, dir) => {
+      val d = labeled(s, dir)
+      val train = d.filter(pmod(col("l_orderkey"), lit(5)) =!= 0)
+      val valid = d.filter(pmod(col("l_orderkey"), lit(5)) === 0)
+      Models.comparisonReport(train, valid, "label", Seq(
+        "logreg" -> Models.logReg(feats, "label"),
+        "random_forest" -> Models.randomForest(feats, "label", numTrees = 5,
+          maxDepth = 4),
+        "gbt" -> Models.gbt(feats, "label", maxIter = 5, maxDepth = 3)))
+    },
+    None)
+
+  override def queries: Seq[GraftQuery] = Seq(
+    mediaMeta, rfEval, l1Select, comparison)
+}

@@ -152,9 +152,7 @@ object Stats {
     }
     val spark = df.sparkSession
     import spark.implicits._
-    def r6(x: Double): Double = // DuckDB round(x, 6) parity (see Q.rd)
-      math.floor(math.abs(x) * 1e6 + 0.5) / 1e6 * math.signum(x) + 0.0
-    perCol.map { case (c, _, sk, ku) => (c, r6(sk), r6(ku)) }
+    perCol.map { case (c, _, sk, ku) => (c, Q.r6Double(sk), Q.r6Double(ku)) }
       .toDF("column", "skewness", "kurtosis").orderBy("column")
   }
 }

@@ -1,0 +1,29 @@
+package graft.multimodal
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MediaOpsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  val docs = Seq((1L, "hello"), (2L, "a" * 700)).toDF("id", "txt")
+    .select(col("id"), col("txt").cast("binary").as("media"), col("txt"))
+
+  test("stub decode emits deterministic typed metadata per blob") {
+    val got = MediaOps.decodeMetadata(docs, "id", "media").collect()
+      .map(m => m.media_id -> m).toMap
+    assert(got(1L) == MediaMeta(1L, 5, 5, 35, 15))
+    assert(got(2L) == MediaMeta(2L, 700, 60, 100, 2100)) // 700%640, 4900%480
+  }
+
+  test("embedding stub is deterministic and fixed-dim") {
+    val a = MediaOps.extractEmbeddings(docs, "id", "media").collect()
+      .map(e => e.media_id -> e.embedding.toSeq).toMap
+    val b = MediaOps.extractEmbeddings(docs, "id", "media").collect()
+      .map(e => e.media_id -> e.embedding.toSeq).toMap
+    assert(a == b)
+    assert(a(1L).length == 8 && a(2L).length == 8)
+    assert(a(1L) != a(2L))
+  }
+}
