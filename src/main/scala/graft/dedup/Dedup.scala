@@ -57,15 +57,15 @@ object Dedup {
     */
   def minhashSignatures(
       shingles: DataFrame, numHashes: Int): DataFrame = {
-    val spark = shingles.sparkSession
-    val seeds = spark.range(numHashes).toDF("seed")
+    // all permutations as parallel min-aggregations in ONE pass over the
+    // shingles (no seed cross-join, one shuffle on id)
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"__m$i"))
     shingles.toDF("id", "sh")
-      .crossJoin(broadcast(seeds))
-      .select(col("id"), col("seed"), xxhash64(col("sh"), col("seed")).as("h"))
-      .groupBy("id", "seed").agg(min("h").as("mh"))
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("seed"), col("mh")))).as("sm"))
-      .select(col("id"), expr("transform(sm, x -> x.mh)").as("sig"))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("id"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
   /** LSH candidate pairs: split signatures into `bands` bands, bucket by
@@ -81,14 +81,16 @@ object Dedup {
           col("band"),
           expr(s"slice(sig, band * (size(sig) div $bands) + 1, size(sig) div $bands)"))
           .as("bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    // dedupe bare id pairs first (cheap shuffle), then join signatures
+    // back — never shuffle signature arrays through the pair distinct
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct()
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(
         col("id_a"), col("id_b"),
         Q.r6(

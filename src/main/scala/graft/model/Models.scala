@@ -76,10 +76,10 @@ object Models {
 
   def logReg(
       features: Seq[String], labelCol: String, regParam: Double = 0.0,
-      elasticNet: Double = 0.0): Pipeline = {
+      elasticNet: Double = 0.0, maxIter: Int = 25): Pipeline = {
     val lr = new LogisticRegression()
       .setLabelCol(labelCol).setFeaturesCol("features")
-      .setWeightCol("weight")
+      .setWeightCol("weight").setMaxIter(maxIter)
       .setRegParam(regParam).setElasticNetParam(elasticNet)
     new Pipeline().setStages(Array(assembler(features), lr))
   }
@@ -97,6 +97,26 @@ object Models {
     val coefs: Vector = lrm.coefficients
     features.zipWithIndex.map { case (f, i) => f -> coefs(i) }
       .filter { case (_, c) => math.abs(c) > 0 }
+  }
+
+  /** M11: k-fold cross-validated grid search scored by macro-F1
+    * (GridSearchCV(cv=k, scoring='f1_macro'), Sol_2.ipynb cell 9).
+    * Returns the fitted best model + its grid.
+    */
+  def crossValidate(
+      df: DataFrame, labelCol: String, pipeline: Pipeline,
+      grid: Array[ParamMap], numFolds: Int = 3, parallelism: Int = 4,
+      seed: Long = 42): org.apache.spark.ml.tuning.CrossValidatorModel = {
+    val ev = new MacroF1Evaluator().setLabelCol(labelCol)
+      .setPredictionCol("prediction")
+    new org.apache.spark.ml.tuning.CrossValidator()
+      .setEstimator(pipeline)
+      .setEvaluator(ev)
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(numFolds)
+      .setParallelism(parallelism)
+      .setSeed(seed)
+      .fit(withBalancedWeights(df, labelCol))
   }
 
   /** M12: fit each named pipeline on train, evaluate on validation,

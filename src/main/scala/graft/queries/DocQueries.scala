@@ -120,15 +120,16 @@ object DocQueries extends QueryPack {
       JOIN sz sb ON sb.doc_id = id_b
       ORDER BY id_a"""))
 
-  /** MinHash(32) + LSH(8 bands): candidate near-dup pairs with estimated
-    * similarity >= 0.5. Spark-hash-based — rows-only check (no oracle).
+  /** MinHash(32) + LSH(4 bands x 8 rows, candidate threshold ~0.84):
+    * near-dup pairs with estimated similarity >= 0.5. Spark-hash-based —
+    * rows-only check (no oracle).
     */
   val minhashLsh: GraftQuery = GraftQuery(
     "minhash_lsh_candidates",
     (s, dir) => {
       val sh = Dedup.shingleSet(Tables(s, dir, "documents"), "doc_id", "text", 3)
       val sigs = Dedup.minhashSignatures(sh, 32)
-      Dedup.lshCandidates(sigs, 8)
+      Dedup.lshCandidates(sigs, 4)
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
     },

