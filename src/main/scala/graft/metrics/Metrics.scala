@@ -66,6 +66,18 @@ object Metrics {
       Q.r6(avg("recall")).as("macro_recall"),
       Q.r6(avg("f1")).as("macro_f1"))
 
+  /** Support-weighted average of per-class metrics (sklearn
+    * average='weighted') — one row.
+    */
+  def weightedAvg(df: DataFrame, labelCol: String, predCol: String): DataFrame =
+    perClass(df, labelCol, predCol).agg(
+      Q.r6(sum(col("precision") * col("support")) / sum("support"))
+        .as("weighted_precision"),
+      Q.r6(sum(col("recall") * col("support")) / sum("support"))
+        .as("weighted_recall"),
+      Q.r6(sum(col("f1") * col("support")) / sum("support"))
+        .as("weighted_f1"))
+
   /** ROC-AUC via the Mann-Whitney U statistic with midrank tie handling,
     * computed scale-out: aggregate (n_pos, n_neg) per distinct score, then
     * a cumulative window over distinct scores (tiny). Equivalent to

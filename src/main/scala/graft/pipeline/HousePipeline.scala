@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import graft.metrics.Metrics
+import graft.split.Splits
+import graft.transform._
+import graft.tree.{DecisionTree, TreeModel, TreeParams}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end reproduction of the reference's canonical pipeline
+  * (house_predict.py `__main__`, traced in SURVEY §3 entry point 1):
+  *
+  *   scan -> preprocess (label-encode 3 categoricals fit on train∪test,
+  *   per-column equal-width/quantile binning, 7 derived features, quantile
+  *   binning of derived ratios) -> stratified 80/20 split -> decision-tree
+  *   fit -> accuracy + macro-F1 -> test predictions -> submission table.
+  *
+  * Everything is one lazy DataFrame DAG per stage; the tree is the
+  * level-wise trainer. Binning/encoding configs are parameters (the
+  * reference hard-codes them, house_predict.py:22-56); `referenceYear` is
+  * parameterized per SURVEY §7.4.6.
+  */
+object HousePipeline {
+
+  sealed trait Strategy
+  case object EqualWidth extends Strategy
+  case object Quantile extends Strategy
+
+  final case class Config(
+      categoricals: Seq[String] =
+        Seq("country", "property_type", "furnishing_status"),
+      binning: Seq[(String, Strategy, Int)] = Seq(
+        ("price", Quantile, 8),
+        ("loan_amount", EqualWidth, 8),
+        ("down_payment", EqualWidth, 8),
+        ("customer_salary", Quantile, 8),
+        ("monthly_expenses", Quantile, 8),
+        ("emi_to_income_ratio", Quantile, 8)),
+      derivedBinning: Seq[(String, Strategy, Int)] = Seq(
+        ("affordability_ratio", Quantile, 8),
+        ("loan_to_value", Quantile, 8),
+        ("down_payment_ratio", Quantile, 8),
+        ("payment_capacity", Quantile, 8)),
+      passthrough: Seq[String] = Seq(
+        "property_size_sqft", "constructed_year", "previous_owners", "rooms",
+        "bathrooms", "garage", "garden", "crime_cases_reported",
+        "legal_cases_on_property", "loan_tenure_years", "satisfaction_score",
+        "neighbourhood_rating", "connectivity_score"),
+      referenceYear: Int = 2025,
+      splitFrac: Double = 0.8,
+      seed: Long = 42,
+      tree: TreeParams = TreeParams(
+        maxDepth = 8, minSamplesSplit = 50, minSamplesLeaf = 25,
+        maxFeatures = Some("sqrt"), criterion = "entropy"))
+
+  final case class Result(
+      submission: DataFrame,      // (id, label) for the test table
+      valAccuracy: Double,
+      valMacroF1: Double,
+      model: TreeModel,
+      featureCols: Seq[String])
+
+  /** Fit-on-train / transform-both preprocessing (house_predict.py:109-208). */
+  def preprocess(
+      train: DataFrame, test: DataFrame, cfg: Config)
+      : (DataFrame, DataFrame, Seq[String]) = {
+    var tr = train
+    var te = test
+    val featureCols = Seq.newBuilder[String]
+
+    cfg.categoricals.foreach { c =>
+      val enc = LabelEncoder.fitConcat(train, test, c)
+      tr = enc.transform(tr, s"${c}_encoded")
+      te = enc.transform(te, s"${c}_encoded")
+      featureCols += s"${c}_encoded"
+    }
+    def bin(block: Seq[(String, Strategy, Int)]): Unit =
+      block.foreach { case (c, strat, k) =>
+        val model = strat match {
+          case EqualWidth => EqualWidthBinner.fit(tr, c, k)
+          case Quantile   => QuantileBinner.fit(tr, c, k)
+        }
+        tr = model.transform(tr, s"${c}_binned")
+        te = model.transform(te, s"${c}_binned")
+        featureCols += s"${c}_binned"
+      }
+    bin(cfg.binning)
+
+    val block = Features.houseScriptBlock(cfg.referenceYear)
+    tr = Features.derive(tr, block)
+    te = Features.derive(te, block)
+    featureCols ++= Seq("property_age", "risk_score", "quality_score")
+    bin(cfg.derivedBinning)
+
+    featureCols ++= cfg.passthrough
+    (tr, te, featureCols.result())
+  }
+
+  def run(train: DataFrame, test: DataFrame, cfg: Config = Config()): Result = {
+    val (tr, te, feats) = preprocess(train, test, cfg)
+    val split = Splits.stratifiedSplit(tr, "label", cfg.splitFrac, cfg.seed)
+      .persist()
+    val fitSet = split.filter(col("split") === 0)
+    val valSet = split.filter(col("split") === 1)
+    val model = DecisionTree.fit(fitSet, feats, "label", cfg.tree)
+    val scored = model.transform(valSet, "pred")
+      .select(col("label").cast("long").as("label"), col("pred"))
+    val acc = Metrics.accuracy(scored, "label", "pred").head().getDouble(0)
+    val f1 = Metrics.macroAvg(scored, "label", "pred")
+      .head().getAs[Double]("macro_f1")
+    val submission = model.transform(te, "label").select("id", "label")
+    split.unpersist()
+    Result(submission, acc, f1, model, feats)
+  }
+}

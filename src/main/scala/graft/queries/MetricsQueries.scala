@@ -87,6 +87,15 @@ object MetricsQueries extends QueryPack {
              round(AVG(f1), 6) AS macro_f1
       FROM prf2"""))
 
+  val weighted: GraftQuery = GraftQuery(
+    "weighted_prf_synth",
+    (s, dir) => Metrics.weightedAvg(labeled(s, dir), "label", "pred"),
+    Some(s"""$perClassSql
+      SELECT round(SUM("precision" * support) / SUM(support), 6) AS weighted_precision,
+             round(SUM(recall * support) / SUM(support), 6) AS weighted_recall,
+             round(SUM(f1 * support) / SUM(support), 6) AS weighted_f1
+      FROM prf2"""))
+
   val rocAuc: GraftQuery = GraftQuery(
     "roc_auc_synth",
     (s, dir) => Metrics.rocAuc(labeled(s, dir), "score", "label"),
@@ -131,5 +140,6 @@ object MetricsQueries extends QueryPack {
       ORDER BY label, split"""))
 
   override def queries: Seq[GraftQuery] = Seq(
-    accuracy, confusion, perClass, macroF1, rocAuc, hashFold, stratified)
+    accuracy, confusion, perClass, macroF1, weighted, rocAuc, hashFold,
+    stratified)
 }

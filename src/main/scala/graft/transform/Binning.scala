@@ -69,6 +69,23 @@ object QuantileBinner {
     qs(qs.length - 1) = row.getDouble(2)
     BinModel(column, Binning.atLeastOneBucket(Binning.dedupEdges(qs)))
   }
+
+  /** Scale path: Greenwald-Khanna approximate quantiles (single pass,
+    * bounded memory per executor — exact `percentile` buffers every value
+    * of a group in one reducer, which does not survive 100 TB).
+    * `relativeError=0` degenerates to exact.
+    */
+  def fitApprox(
+      df: DataFrame, column: String, nBins: Int,
+      relativeError: Double = 0.001): BinModel = {
+    val probs = (0 to nBins).map(i => i.toDouble / nBins).toArray
+    val qs = df.stat.approxQuantile(column, probs, relativeError)
+    val row = df.agg(
+      min(col(column)).cast("double"), max(col(column)).cast("double")).head()
+    qs(0) = row.getDouble(0)
+    qs(qs.length - 1) = row.getDouble(1)
+    BinModel(column, Binning.atLeastOneBucket(Binning.dedupEdges(qs)))
+  }
 }
 
 /** Equal-width binning: edges linspace(min, max, n+1) computed on the fit

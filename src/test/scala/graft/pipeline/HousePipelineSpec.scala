@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FIXTURES.md §1 house train-table schema (top level for the Encoder). */
+case class House(
+    id: Long, country: String, property_type: String,
+    furnishing_status: String, property_size_sqft: Long, price: Long,
+    constructed_year: Long, previous_owners: Long, rooms: Long,
+    bathrooms: Long, garage: Long, garden: Long,
+    crime_cases_reported: Long, legal_cases_on_property: Long,
+    customer_salary: Long, loan_amount: Long, loan_tenure_years: Long,
+    monthly_expenses: Long, down_payment: Long,
+    emi_to_income_ratio: Double, satisfaction_score: Long,
+    neighbourhood_rating: Long, connectivity_score: Long)
+
+/** SURVEY §5.2 item 4: end-to-end pipeline test on synthetic house-like
+  * data with the reference train/test schema (FIXTURES.md §1).
+  */
+class HousePipelineSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def synth(n: Int, idBase: Long, seed: Long): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val countries = Seq("USA", "India", "UK", "Japan")
+    val ptypes = Seq("Apartment", "Villa", "Studio")
+    val furn = Seq("Fully-Furnished", "Semi-Furnished", "Unfurnished")
+    (1 to n).map { i =>
+      val salary = 20000 + rng.nextInt(80000)
+      val price = 100000 + rng.nextInt(900000)
+      House(
+        idBase + i, countries(rng.nextInt(4)), ptypes(rng.nextInt(3)),
+        furn(rng.nextInt(3)), 500 + rng.nextInt(3500), price,
+        1980 + rng.nextInt(45), rng.nextInt(6), 1 + rng.nextInt(6),
+        1 + rng.nextInt(4), rng.nextInt(2), rng.nextInt(2), rng.nextInt(10),
+        rng.nextInt(5), salary, (price * (0.5 + rng.nextDouble() * 0.4)).toLong,
+        15 + rng.nextInt(16), 500 + rng.nextInt(3000),
+        (price * (0.1 + rng.nextDouble() * 0.2)).toLong,
+        0.03 + rng.nextDouble() * 0.3, 1 + rng.nextInt(10),
+        1 + rng.nextInt(10), 1 + rng.nextInt(10))
+    }.toDF()
+  }
+
+  test("reference pipeline shape produces a valid submission") {
+    // label correlated with affordability so the tree has signal
+    val train = synth(1500, 0, seed = 1)
+      .selectExpr("*",
+        "CAST(CASE WHEN customer_salary * 8 > price THEN 1 ELSE 0 END AS BIGINT) AS label")
+    val test = synth(600, 200000, seed = 2)
+    val r = HousePipeline.run(train, test,
+      HousePipeline.Config(tree = graft.tree.TreeParams(
+        maxDepth = 4, minSamplesSplit = 20, minSamplesLeaf = 10,
+        criterion = "entropy")))
+
+    val sub = r.submission.collect()
+    assert(sub.length == 600)                      // row count = test rows
+    assert(r.submission.columns.toSeq == Seq("id", "label"))
+    assert(sub.forall(row => Set(0L, 1L)(row.getLong(1)))) // label domain
+    assert(sub.map(_.getLong(0)).distinct.length == 600)   // ids preserved
+    assert(r.valAccuracy > 0.8)                    // learnable signal
+    assert(r.valMacroF1 > 0.5)
+    assert(r.featureCols.nonEmpty && r.model.depth > 0)
+  }
+
+  test("pipeline is deterministic for a fixed seed") {
+    val train = synth(800, 0, seed = 3)
+      .selectExpr("*",
+        "CAST(CASE WHEN customer_salary * 8 > price THEN 1 ELSE 0 END AS BIGINT) AS label")
+    val test = synth(200, 100000, seed = 4)
+    val cfg = HousePipeline.Config(tree = graft.tree.TreeParams(
+      maxDepth = 3, minSamplesSplit = 20, minSamplesLeaf = 10))
+    val a = HousePipeline.run(train, test, cfg)
+    val b = HousePipeline.run(train, test, cfg)
+    assert(a.model.root == b.model.root)
+    assert(a.submission.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      sameElements
+      b.submission.collect().map(r => (r.getLong(0), r.getLong(1))).sorted)
+  }
+}

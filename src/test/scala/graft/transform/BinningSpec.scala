@@ -37,6 +37,16 @@ class BinningSpec extends AnyFunSuite with SparkTestSession {
     assert(m.transform(df, "b").select("b").as[Int].collect().forall(_ == 0))
   }
 
+  test("approx quantile binner tracks the exact one on smooth data") {
+    val df = (1 to 10000).map(_.toDouble).toDF("x")
+    val exact = QuantileBinner.fit(df, "x", 4)
+    val approx = QuantileBinner.fitApprox(df, "x", 4, relativeError = 0.001)
+    assert(approx.nBins == 4)
+    exact.edges.zip(approx.edges).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 10000 * 0.002 + 1)
+    }
+  }
+
   test("equal-width bucket codes are dense in [0, n)") {
     val df = (0 to 80).map(_.toDouble).toDF("x")
     val m = EqualWidthBinner.fit(df, "x", 8)
