@@ -6,6 +6,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+final case class UserEvent(user_id: Long, ts_us: Long, event_id: Long)
+final case class SessionSummary(user_id: Long, n_events: Long, n_sessions: Long)
+final case class SessState(lastTs: Long, sessions: Long, events: Long)
+
 /** Event-stream operators, written as batch-testable DataFrame transforms
   * (the same logic drives Structured Streaming via `readStream` — see
   * `streamingHourly`).
@@ -72,6 +76,35 @@ object EventOps {
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("last_click_us"))
       .orderBy("event_id")
+  }
+
+  /** Custom-state streaming sessionization via `flatMapGroupsWithState`:
+    * per-user session counts maintained incrementally across micro-batches
+    * (the KeyValueGroupedDataset stateful-op surface). Events inside a
+    * micro-batch are sorted per user; state carries the last-seen
+    * timestamp across batches.
+    */
+  def statefulSessionCounts(
+      ds: org.apache.spark.sql.Dataset[UserEvent], gapUs: Long)
+      : org.apache.spark.sql.Dataset[SessionSummary] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[SessState]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          evs.foreach { e =>
+            val newSession =
+              st.lastTs == Long.MinValue || e.ts_us - st.lastTs > gapUs
+            st = SessState(
+              e.ts_us, st.sessions + (if (newSession) 1L else 0L),
+              st.events + 1L)
+          }
+          state.update(st)
+          Iterator(SessionSummary(user, st.events, st.sessions))
+      }
   }
 
   /** The hourly aggregation as a Structured Streaming query over the same

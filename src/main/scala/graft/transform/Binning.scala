@@ -18,8 +18,17 @@ final case class BinModel(column: String, edges: Array[Double]) {
   require(edges.length >= 2, s"need >=2 distinct edges for $column")
   def nBins: Int = edges.length - 1
 
-  /** Bucket-assignment expression implementing the `cut` semantics above. */
-  def expr: Column = {
+  /** Bucket-assignment expression implementing the `cut` semantics above:
+    * the native codegen'd binary-search expression (O(log k) per row,
+    * survives k in the thousands where a `when`-chain overflows codegen).
+    */
+  def expr: Column =
+    graft.expressions.CutBucket.cutBucket(col(column).cast("double"), edges.toSeq)
+
+  /** Equivalent composed-builtins form (O(k) `when`-chain) — kept for
+    * plan comparison and as the no-custom-expression fallback.
+    */
+  def exprWhenChain: Column = {
     val c = col(column).cast("double")
     // e1..e(n-1) carry codes 0..n-2 (right-closed); anything still in range
     // is the last bucket. include_lowest is implied by the `< edges.head`

@@ -33,6 +33,33 @@ class EventOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got(6L) == None)         // user 9 never clicked
   }
 
+  test("stateful streaming sessionization matches the batch operator") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = EventOps.sessionize(
+      EventOps.events(spark, sfDir), 30L * 60 * 1000000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .selectExpr("user_id", "ts div 1000 AS ts_us", "event_id")
+      .as[UserEvent]
+    val q = EventOps.statefulSessionCounts(stream, 30L * 60 * 1000000L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sess_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_stream")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+  }
+
   test("structured streaming hourly agg matches the batch result") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = EventOps.hourly(EventOps.events(spark, sfDir))
