@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
   private lazy val packs: Seq[QueryPack] = Seq(
     CoreQueries, StatsQueries, TransformQueries, MetricsQueries, DocQueries,
-    EventQueries, SimQueries, TreeQueries, ModelQueries, MiscQueries)
+    EventQueries, SimQueries, TreeQueries, ModelQueries, MiscQueries,
+    JoinWindowQueries)
 
   lazy val allQueries: Seq[GraftQuery] = {
     val qs = packs.flatMap(_.queries)

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.{GraftQuery, Q, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join-surface + frame-window breadth (SURVEY §2.3 J2, §2.5): semi and
+  * anti joins, rollup aggregation, running-frame windows — engine surface
+  * beyond the reference's own usage, all oracle-checked.
+  */
+object JoinWindowQueries extends QueryPack {
+
+  /** Left-semi: order priorities of orders containing any high-quantity
+    * line (EXISTS).
+    */
+  val semi: GraftQuery = GraftQuery(
+    "semi_big_orders",
+    (s, dir) => {
+      val big = Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45).select("l_orderkey")
+      Tables(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Left-anti: customers who never ordered (NOT EXISTS). */
+  val anti: GraftQuery = GraftQuery(
+    "anti_customers_no_orders",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders").select("o_custkey")
+      Tables(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Rollup: customer counts per region/nation with subtotals and grand
+    * total (nulls coalesced to 'ALL' for cross-engine stability).
+    */
+  val rollup: GraftQuery = GraftQuery(
+    "rollup_region_nation_customers",
+    (s, dir) => {
+      // via spark.sql: Spark 4.1's rollup analysis false-positives the
+      // ambiguous-self-join check on the DataFrame API after a dim join;
+      // the SQL surface plans the identical Expand + broadcast-join
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
+      Tables(s, dir, "region").createOrReplaceTempView("region_v")
+      s.sql("""
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               COUNT(*) AS n
+        FROM customer_v
+        JOIN nation_v ON c_nationkey = n_nationkey
+        JOIN region_v ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY region, nation""")
+    },
+    Some("""
+      SELECT COALESCE(r_name, 'ALL') AS region,
+             COALESCE(n_name, 'ALL') AS nation,
+             COUNT(*) AS n
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY region, nation"""))
+
+  /** Frame window: per-customer running order-value total in date order. */
+  val runningTotal: GraftQuery = GraftQuery(
+    "running_revenue_per_customer",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .withColumn("running_cents", sum(Q.cents("o_totalprice")).over(w))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("running_cents"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS running_cents
+      FROM orders WHERE o_custkey < 50
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
+  override def queries: Seq[GraftQuery] = Seq(semi, anti, rollup, runningTotal)
+}
