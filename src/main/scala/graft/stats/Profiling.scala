@@ -1,0 +1,108 @@
+package graft.stats
+
+import graft.Q
+import graft.transform.{BinModel, EqualWidthBinner, QuantileBinner}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's profiling rule engine and adaptive binning designer
+  * (data_analysis.ipynb cells 7-10, SURVEY §3 entry point 3).
+  *
+  * Per column: two aggregation passes (exact scaled-integer mean +
+  * cardinality + spread, then central moments), driver-side rule
+  * evaluation on the tiny result. All thresholds are the reference's
+  * (cell 8): CV>1.0, |skew|>2, kurtosis>3, unique_ratio>0.8,
+  * range>10·std.
+  */
+object Profiling {
+
+  final case class ColumnStats(
+      column: String, n: Long, nUnique: Long, uniqueRatio: Double,
+      mean: Double, std: Double, cv: Double, min: Double, max: Double,
+      range: Double, skewness: Double, kurtosis: Double)
+
+  def columnStats(df: DataFrame, cols: Seq[(String, Int)]): Seq[ColumnStats] =
+    cols.map { case (c, d) =>
+      val scale = math.pow(10, d)
+      val p1 = df.agg(
+        sum(Stats.scaled(col(c), d)).as("s1"),
+        count(col(c)).as("n"),
+        countDistinct(col(c)).as("nd"),
+        stddev_samp(col(c)).as("std"),
+        min(col(c)).cast("double").as("mn"),
+        max(col(c)).cast("double").as("mx")).head()
+      val n = p1.getAs[Long]("n").toDouble
+      val meanS = p1.getAs[Long]("s1") * 1.0 / n
+      val mean = meanS / scale
+      val std = p1.getAs[Double]("std")
+      val x = Stats.scaled(col(c), d).cast("double")
+      val p2 = df.agg(
+        sum(pow(x - meanS, 2)).as("s2"),
+        sum(pow(x - meanS, 3)).as("s3"),
+        sum(pow(x - meanS, 4)).as("s4")).head()
+      val (m2, m3, m4) =
+        (p2.getDouble(0) / n, p2.getDouble(1) / n, p2.getDouble(2) / n)
+      val g1 = m3 / math.pow(m2, 1.5)
+      val skew = g1 * math.sqrt(n * (n - 1)) / (n - 2)
+      val g2 = m4 / (m2 * m2) - 3.0
+      val kurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+      ColumnStats(c, n.toLong, p1.getAs[Long]("nd"),
+        p1.getAs[Long]("nd") * 1.0 / n, mean, std, std / mean,
+        p1.getAs[Double]("mn"), p1.getAs[Double]("mx"),
+        p1.getAs[Double]("mx") - p1.getAs[Double]("mn"), skew, kurt)
+    }
+
+  /** Overfitting-risk flags per column (cell 8 rules), flags as 0/1. */
+  def riskFlags(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    columnStats(df, cols).map { s =>
+      val highCv = if (s.cv > 1.0) 1 else 0
+      val highSkew = if (math.abs(s.skewness) > 2.0) 1 else 0
+      val highKurt = if (s.kurtosis > 3.0) 1 else 0
+      val highCard = if (s.uniqueRatio > 0.8) 1 else 0
+      val wideRange = if (s.range > 10 * s.std) 1 else 0
+      (s.column, s.nUnique, Q.r6Double(s.uniqueRatio), Q.r6Double(s.cv),
+        Q.r6Double(s.skewness), Q.r6Double(s.kurtosis), highCv, highSkew,
+        highKurt, highCard, wideRange,
+        highCv + highSkew + highKurt + highCard + wideRange)
+    }.toDF("column", "n_unique", "unique_ratio", "cv", "skewness",
+      "kurtosis", "high_cv", "high_skew", "high_kurtosis",
+      "high_cardinality", "wide_range", "risk_count")
+      .orderBy("column")
+  }
+
+  /** Adaptive binning design (cell 10): strategy by unique-ratio/skew
+    * thresholds, n_bins = clamp(floor(sqrt(n_unique)), 3, 10); returns
+    * the design report and fitted bin models.
+    */
+  final case class BinDesign(
+      column: String, strategy: String, nBins: Int, model: BinModel)
+
+  def designBinning(
+      df: DataFrame, cols: Seq[(String, Int)]): Seq[BinDesign] =
+    columnStats(df, cols).map { s =>
+      val strategy =
+        if (s.uniqueRatio > 0.5 || math.abs(s.skewness) > 1.0) "quantile"
+        else "equal_width"
+      val nBins = math.max(3, math.min(10, math.sqrt(s.nUnique).toInt))
+      val model = strategy match {
+        case "quantile"    => QuantileBinner.fit(df, s.column, nBins)
+        case "equal_width" => EqualWidthBinner.fit(df, s.column, nBins)
+      }
+      BinDesign(s.column, strategy, nBins, model)
+    }
+
+  def designReport(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = columnStats(df, cols)
+    designBinning(df, cols).zip(stats).map { case (d, s) =>
+      (d.column, s.nUnique, Q.r6Double(s.uniqueRatio),
+        Q.r6Double(s.skewness), d.strategy, d.nBins,
+        d.model.nBins) // effective bins after duplicate-edge drop
+    }.toDF("column", "n_unique", "unique_ratio", "skewness", "strategy",
+      "n_bins", "effective_bins")
+      .orderBy("column")
+  }
+}
