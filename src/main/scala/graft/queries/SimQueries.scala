@@ -47,6 +47,25 @@ object SimQueries extends QueryPack {
       FROM top JOIN embeddings USING (vec_id)
       GROUP BY label ORDER BY n DESC, label LIMIT 1"""))
 
+  /** Embedding-cosine near-dup pairs (brute-force oracle baseline). */
+  val nearDup: GraftQuery = GraftQuery(
+    "embedding_near_dup_pairs",
+    (s, dir) => Similarity.nearDupPairs(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4),
+    Some("""
+      WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                        CAST(unnest(embedding) AS DOUBLE) AS x
+                 FROM embeddings),
+      n AS (SELECT vec_id, SUM(x * x) AS nr FROM v GROUP BY vec_id),
+      d AS (SELECT a.vec_id AS ia, b.vec_id AS ib, SUM(a.x * b.x) AS dot
+            FROM v a JOIN v b ON a.pos = b.pos AND a.vec_id < b.vec_id
+            GROUP BY ia, ib),
+      c AS (SELECT ia AS id_a, ib AS id_b,
+                   round(dot / (sqrt(na.nr) * sqrt(nb.nr)), 6) AS cos
+            FROM d JOIN n na ON na.vec_id = ia JOIN n nb ON nb.vec_id = ib)
+      SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4
+      ORDER BY id_a, id_b"""))
+
   /** LSH-bucketed ANN — the 100-TB path: each query scores one bucket. */
   val annTopK: GraftQuery = GraftQuery(
     "ann_lsh_topk_vec0",
@@ -55,5 +74,6 @@ object SimQueries extends QueryPack {
       nPlanes = 4),
     None)
 
-  override def queries: Seq[GraftQuery] = Seq(cosineTopK, knnVote, annTopK)
+  override def queries: Seq[GraftQuery] =
+    Seq(cosineTopK, knnVote, nearDup, annTopK)
 }

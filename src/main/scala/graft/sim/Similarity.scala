@@ -42,6 +42,25 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs, brute force all-pairs — the
+    * exactness baseline for dedup (the LSH bucket path is the 100-TB
+    * variant: identical rerank inside `annTopK`-style buckets). The
+    * threshold compares the ROUNDED cosine so the cut is cross-engine
+    * stable.
+    */
+  def nearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Q.r6(cosine(col("__va"), col("__vb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Seeded random hyperplanes (driver-side, deterministic). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)
