@@ -74,6 +74,16 @@ object SimQueries extends QueryPack {
       nPlanes = 4),
     None)
 
+  /** IVF ANN: k-means coarse quantizer, 2-of-8 lists probed. */
+  val ivfTopK: GraftQuery = GraftQuery(
+    "ivf_ann_topk_vec0",
+    (s, dir) => {
+      val idx = Similarity.ivfFit(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", nLists = 8)
+      Similarity.ivfTopK(idx, 0L, 10, nProbe = 2)
+    },
+    None)
+
   override def queries: Seq[GraftQuery] =
-    Seq(cosineTopK, knnVote, nearDup, annTopK)
+    Seq(cosineTopK, knnVote, nearDup, annTopK, ivfTopK)
 }

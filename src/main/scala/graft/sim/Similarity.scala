@@ -72,6 +72,50 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** IVF (inverted-file) ANN index: a k-means coarse quantizer assigns
+    * each vector to a centroid list; queries score only the `nProbe`
+    * nearest lists. At cluster scale the list id doubles as a partition/
+    * bucketing key so a probe touches a bounded slice of the corpus.
+    */
+  final case class IvfIndex(
+      assigned: DataFrame, // (id, vec, list)
+      centroids: Seq[(Int, Seq[Double])],
+      idCol: String, vecCol: String)
+
+  def ivfFit(
+      emb: DataFrame, idCol: String, vecCol: String, nLists: Int,
+      seed: Long = 42): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = emb.withColumn("__fv", array_to_vector(col(vecCol)))
+    val km = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("__list")
+    val model = km.fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col(idCol), col(vecCol), col("__list").as("list"))
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => i -> c.toArray.toSeq }.toSeq
+    IvfIndex(assigned, cents, idCol, vecCol)
+  }
+
+  def ivfTopK(index: IvfIndex, queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val q = index.assigned.filter(col(index.idCol) === queryId)
+      .select(col(index.vecCol).as("__qv")).head()
+    val qv = q.getSeq[Float](0).map(_.toDouble)
+    def dist2(c: Seq[Double]): Double =
+      c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probeLists = index.centroids.sortBy { case (i, c) => (dist2(c), i) }
+      .take(nProbe).map(_._1)
+    index.assigned
+      .filter(col("list").isin(probeLists: _*) &&
+        col(index.idCol) =!= queryId)
+      .select(col(index.idCol),
+        Q.r6(cosine(col(index.vecCol), typedLit(qv.map(_.toFloat))))
+          .as("cos"))
+      .orderBy(desc("cos"), col(index.idCol))
+      .limit(k)
+  }
+
   /** Seeded random hyperplanes (driver-side, deterministic). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)

@@ -23,6 +23,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(got(2)._2 == 0.0 && got(3)._2 == -1.0)
   }
 
+  test("IVF index: full-probe recall equals brute force; partial probe subsets") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 3L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val idx = Similarity.ivfFit(emb, "vec_id", "embedding", nLists = 4)
+    val full = Similarity.ivfTopK(idx, 3L, 10, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == exact) // probing all lists == brute force
+    val partial = Similarity.ivfTopK(idx, 3L, 10, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(partial.nonEmpty && partial.subsetOf(
+      // every partial result is a true vector id with positive similarity rank
+      emb.select("vec_id").collect().map(_.getLong(0)).toSet))
+  }
+
   test("ANN bucket search finds the identical vector") {
     val got = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 2,
       nPlanes = 4, dim = 3)
