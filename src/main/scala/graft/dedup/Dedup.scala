@@ -22,6 +22,16 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
       .filter(col("n") > 1)
 
+  /** Deduplicated table: keep the lowest-id row per key (one shuffle —
+    * the actual "drop duplicates" companion to `exactDupGroups`).
+    */
+  def dedupKeepFirst(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Distinct character k-shingles, one row per (id, shingle). */
   def shingleSet(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =

@@ -16,6 +16,9 @@ final case class MediaMeta(
 
 final case class MediaEmbedding(media_id: Long, embedding: Array[Float])
 
+final case class MediaFrame(
+    media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
 object MediaOps {
 
   /** STUB decode: deterministic fake metadata from the byte length. A
@@ -55,6 +58,24 @@ object MediaOps {
       .mapPartitions { it =>
         // per-partition codec init would go here
         it.map { case (id, bytes) => decodeOne(id, bytes) }
+      }
+  }
+
+  /** STUB frame sampling: every Nth fixed-size chunk of the blob stands
+    * in for a decoded video frame — the row-expanding (1 -> many) decode
+    * shape. A real implementation seeks keyframes in the container.
+    */
+  def sampleFrames(
+      df: DataFrame, idCol: String, binCol: String, everyN: Int,
+      frameSize: Int = 32): Dataset[MediaFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        bytes.grouped(frameSize).zipWithIndex
+          .filter { case (_, i) => i % everyN == 0 }
+          .map { case (chunk, i) => MediaFrame(id, i, chunk) }
       }
   }
 

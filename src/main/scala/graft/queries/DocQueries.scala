@@ -120,6 +120,31 @@ object DocQueries extends QueryPack {
       JOIN sz sb ON sb.doc_id = id_b
       ORDER BY id_a"""))
 
+  /** Dedup-keep-first: rows surviving prefix dedup + survivor stats. */
+  val dedupKept: GraftQuery = GraftQuery(
+    "dedup_keep_first_counts",
+    (s, dir) => {
+      val kept = Dedup.dedupKeepFirst(
+        Tables(s, dir, "documents"), "doc_id", substring(col("text"), 1, 20))
+      kept.agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+    },
+    Some("""
+      WITH kept AS (
+        SELECT * FROM (
+          SELECT doc_id, n_chars,
+                 row_number() OVER (PARTITION BY substr(text, 1, 20)
+                                    ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1)
+      SELECT COUNT(*) AS n_kept,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM kept"""))
+
   /** MinHash(32) + LSH(4 bands x 8 rows, candidate threshold ~0.84):
     * near-dup pairs with estimated similarity >= 0.5. Spark-hash-based —
     * rows-only check (no oracle).
@@ -143,6 +168,6 @@ object DocQueries extends QueryPack {
     None)
 
   override def queries: Seq[GraftQuery] = Seq(
-    textStats, langId, fingerprint, exactDedup, jaccardAdjacent, minhashLsh,
-    simhashDocs)
+    textStats, langId, fingerprint, exactDedup, dedupKept, jaccardAdjacent,
+    minhashLsh, simhashDocs)
 }

@@ -114,7 +114,34 @@ object StatsQueries extends QueryPack {
         .mkString("", " UNION ALL ", " ORDER BY \"column\"")
     })
 
+  /** Per-feature correlation against the label, ranked by |corr|
+    * (Sol_2.ipynb cell 5 feature ranking).
+    */
+  val corrVsLabel: GraftQuery = GraftQuery(
+    "corr_vs_label_ranked",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = Tables(s, dir, "lineitem").select(
+        col("l_quantity"), col("l_discount"), col("l_tax"),
+        col("l_extendedprice"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"))
+      Stats.corrPairs(d, Seq(
+          "l_quantity" -> "label", "l_discount" -> "label",
+          "l_tax" -> "label", "l_extendedprice" -> "label"))
+        .withColumnRenamed("col_a", "feature").drop("col_b")
+        .orderBy(abs(col("corr")).desc, col("feature"))
+    },
+    Some {
+      def one(c: String) =
+        s"""SELECT '$c' AS feature,
+           round(corr($c, CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6) AS corr
+           FROM lineitem"""
+      Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice").map(one)
+        .mkString("SELECT feature, corr FROM (",
+          " UNION ALL ", ") ORDER BY abs(corr) DESC, feature")
+    })
+
   override def queries: Seq[GraftQuery] = Seq(
     profile, valueCounts, nullCounts, corrMatrix, crosstab, entropyGini,
-    skewKurt)
+    skewKurt, corrVsLabel)
 }

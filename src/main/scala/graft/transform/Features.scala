@@ -31,12 +31,31 @@ object Features {
     "quality_score" -> (col("satisfaction_score") +
       col("neighbourhood_rating") + col("connectivity_score")))
 
+  /** Fixed-edge labeled cut (Sol_2.ipynb cell 4 `property_age_category`:
+    * pd.cut(age, [0,10,25,50,100], labels=[New, Recent, Old, Very_Old])).
+    * Right-closed with include_lowest; outside -> null (pandas NaN).
+    */
+  def labeledCut(
+      c: Column, edges: Seq[Double], labels: Seq[String]): Column = {
+    require(labels.length == edges.length - 1)
+    val base = when(c.isNull || c < lit(edges.head) || c > lit(edges.last),
+      lit(null).cast("string"))
+    val chained = edges.tail.init.zipWithIndex.foldLeft(base) {
+      case (acc, (e, i)) => acc.when(c <= lit(e), lit(labels(i)))
+    }
+    chained.otherwise(lit(labels.last))
+  }
+
   /** Notebook additions (Sol_2.ipynb cell 4, JSON L335) — 12 features
     * total; the weighted property_quality_score uses the published
     * 0.3/0.3/0.2/0.1/0.1 weights.
     */
   def houseNotebookBlock(referenceYear: Int): Seq[(String, Column)] =
     houseScriptBlock(referenceYear) ++ Seq(
+      "property_age_category" -> labeledCut(
+        lit(referenceYear) - col("constructed_year"),
+        Seq(0, 10, 25, 50, 100),
+        Seq("New", "Recent", "Old", "Very_Old")),
       "price_to_salary_ratio" -> ratio1(col("price"), col("customer_salary")),
       "loan_to_price_ratio" -> ratio1(col("loan_amount"), col("price")),
       "affordability_score" ->

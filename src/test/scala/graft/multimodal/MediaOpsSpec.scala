@@ -17,6 +17,16 @@ class MediaOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got(2L) == MediaMeta(2L, 700, 60, 100, 2100)) // 700%640, 4900%480
   }
 
+  test("frame sampling expands each blob to every-Nth fixed-size chunks") {
+    val frames = MediaOps.sampleFrames(docs, "id", "media", everyN = 2,
+      frameSize = 100).collect()
+    val byId = frames.groupBy(_.media_id)
+    // 700-byte blob -> 7 chunks of 100 -> indices 0,2,4,6 kept
+    assert(byId(2L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4, 6))
+    assert(byId(2L).forall(f => f.frame_bytes.length == 100))
+    assert(byId(1L).map(_.frame_idx).toSeq == Seq(0)) // 5-byte blob
+  }
+
   test("embedding stub is deterministic and fixed-dim") {
     val a = MediaOps.extractEmbeddings(docs, "id", "media").collect()
       .map(e => e.media_id -> e.embedding.toSeq).toMap
