@@ -21,36 +21,50 @@ object Profiling {
       mean: Double, std: Double, cv: Double, min: Double, max: Double,
       range: Double, skewness: Double, kurtosis: Double)
 
-  def columnStats(df: DataFrame, cols: Seq[(String, Int)]): Seq[ColumnStats] =
+  def columnStats(df: DataFrame, cols: Seq[(String, Int)]): Seq[ColumnStats] = {
+    // TWO scans total regardless of column count (wide aggs) — per-column
+    // passes don't survive 100 TB. Arithmetic per column is unchanged.
+    val p1aggs = cols.flatMap { case (c, d) =>
+      Seq(
+        sum(Stats.scaled(col(c), d)).as(s"${c}__s1"),
+        count(col(c)).as(s"${c}__n"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        stddev_samp(col(c)).as(s"${c}__std"),
+        min(col(c)).cast("double").as(s"${c}__mn"),
+        max(col(c)).cast("double").as(s"${c}__mx"))
+    }
+    val p1 = df.agg(p1aggs.head, p1aggs.tail: _*).head()
+    val meanS = cols.map { case (c, _) =>
+      c -> p1.getAs[Long](s"${c}__s1") * 1.0 / p1.getAs[Long](s"${c}__n")
+    }.toMap
+    val p2aggs = cols.flatMap { case (c, d) =>
+      val x = Stats.scaled(col(c), d).cast("double")
+      Seq(
+        sum(pow(x - meanS(c), 2)).as(s"${c}__s2"),
+        sum(pow(x - meanS(c), 3)).as(s"${c}__s3"),
+        sum(pow(x - meanS(c), 4)).as(s"${c}__s4"))
+    }
+    val p2 = df.agg(p2aggs.head, p2aggs.tail: _*).head()
     cols.map { case (c, d) =>
       val scale = math.pow(10, d)
-      val p1 = df.agg(
-        sum(Stats.scaled(col(c), d)).as("s1"),
-        count(col(c)).as("n"),
-        countDistinct(col(c)).as("nd"),
-        stddev_samp(col(c)).as("std"),
-        min(col(c)).cast("double").as("mn"),
-        max(col(c)).cast("double").as("mx")).head()
-      val n = p1.getAs[Long]("n").toDouble
-      val meanS = p1.getAs[Long]("s1") * 1.0 / n
-      val mean = meanS / scale
-      val std = p1.getAs[Double]("std")
-      val x = Stats.scaled(col(c), d).cast("double")
-      val p2 = df.agg(
-        sum(pow(x - meanS, 2)).as("s2"),
-        sum(pow(x - meanS, 3)).as("s3"),
-        sum(pow(x - meanS, 4)).as("s4")).head()
-      val (m2, m3, m4) =
-        (p2.getDouble(0) / n, p2.getDouble(1) / n, p2.getDouble(2) / n)
+      val n = p1.getAs[Long](s"${c}__n").toDouble
+      val mean = meanS(c) / scale
+      val std = p1.getAs[Double](s"${c}__std")
+      val (m2, m3, m4) = (
+        p2.getAs[Double](s"${c}__s2") / n,
+        p2.getAs[Double](s"${c}__s3") / n,
+        p2.getAs[Double](s"${c}__s4") / n)
       val g1 = m3 / math.pow(m2, 1.5)
       val skew = g1 * math.sqrt(n * (n - 1)) / (n - 2)
       val g2 = m4 / (m2 * m2) - 3.0
       val kurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
-      ColumnStats(c, n.toLong, p1.getAs[Long]("nd"),
-        p1.getAs[Long]("nd") * 1.0 / n, mean, std, std / mean,
-        p1.getAs[Double]("mn"), p1.getAs[Double]("mx"),
-        p1.getAs[Double]("mx") - p1.getAs[Double]("mn"), skew, kurt)
+      ColumnStats(c, n.toLong, p1.getAs[Long](s"${c}__nd"),
+        p1.getAs[Long](s"${c}__nd") * 1.0 / n, mean, std, std / mean,
+        p1.getAs[Double](s"${c}__mn"), p1.getAs[Double](s"${c}__mx"),
+        p1.getAs[Double](s"${c}__mx") - p1.getAs[Double](s"${c}__mn"),
+        skew, kurt)
     }
+  }
 
   /** Overfitting-risk flags per column (cell 8 rules), flags as 0/1. */
   def riskFlags(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
@@ -81,7 +95,10 @@ object Profiling {
 
   def designBinning(
       df: DataFrame, cols: Seq[(String, Int)]): Seq[BinDesign] =
-    columnStats(df, cols).map { s =>
+    designBinningFor(df, columnStats(df, cols))
+
+  def designBinningFor(df: DataFrame, stats: Seq[ColumnStats]): Seq[BinDesign] =
+    stats.map { s =>
       val strategy =
         if (s.uniqueRatio > 0.5 || math.abs(s.skewness) > 1.0) "quantile"
         else "equal_width"
@@ -97,7 +114,7 @@ object Profiling {
     val spark = df.sparkSession
     import spark.implicits._
     val stats = columnStats(df, cols)
-    designBinning(df, cols).zip(stats).map { case (d, s) =>
+    designBinningFor(df, stats).zip(stats).map { case (d, s) =>
       (d.column, s.nUnique, Q.r6Double(s.uniqueRatio),
         Q.r6Double(s.skewness), d.strategy, d.nBins,
         d.model.nBins) // effective bins after duplicate-edge drop

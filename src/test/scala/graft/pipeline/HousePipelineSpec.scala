@@ -22,33 +22,12 @@ case class House(
 class HousePipelineSpec extends AnyFunSuite with SparkTestSession {
   import spark.implicits._
 
-  private def synth(n: Int, idBase: Long, seed: Long): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val countries = Seq("USA", "India", "UK", "Japan")
-    val ptypes = Seq("Apartment", "Villa", "Studio")
-    val furn = Seq("Fully-Furnished", "Semi-Furnished", "Unfurnished")
-    (1 to n).map { i =>
-      val salary = 20000 + rng.nextInt(80000)
-      val price = 100000 + rng.nextInt(900000)
-      House(
-        idBase + i, countries(rng.nextInt(4)), ptypes(rng.nextInt(3)),
-        furn(rng.nextInt(3)), 500 + rng.nextInt(3500), price,
-        1980 + rng.nextInt(45), rng.nextInt(6), 1 + rng.nextInt(6),
-        1 + rng.nextInt(4), rng.nextInt(2), rng.nextInt(2), rng.nextInt(10),
-        rng.nextInt(5), salary, (price * (0.5 + rng.nextDouble() * 0.4)).toLong,
-        15 + rng.nextInt(16), 500 + rng.nextInt(3000),
-        (price * (0.1 + rng.nextDouble() * 0.2)).toLong,
-        0.03 + rng.nextDouble() * 0.3, 1 + rng.nextInt(10),
-        1 + rng.nextInt(10), 1 + rng.nextInt(10))
-    }.toDF()
-  }
-
   test("reference pipeline shape produces a valid submission") {
     // label correlated with affordability so the tree has signal
-    val train = synth(1500, 0, seed = 1)
+    val train = HouseSynth.synth(spark, 1500, 0, seed = 1)
       .selectExpr("*",
         "CAST(CASE WHEN customer_salary * 8 > price THEN 1 ELSE 0 END AS BIGINT) AS label")
-    val test = synth(600, 200000, seed = 2)
+    val test = HouseSynth.synth(spark, 600, 200000, seed = 2)
     val r = HousePipeline.run(train, test,
       HousePipeline.Config(tree = graft.tree.TreeParams(
         maxDepth = 4, minSamplesSplit = 20, minSamplesLeaf = 10,
@@ -65,10 +44,10 @@ class HousePipelineSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("pipeline is deterministic for a fixed seed") {
-    val train = synth(800, 0, seed = 3)
+    val train = HouseSynth.synth(spark, 800, 0, seed = 3)
       .selectExpr("*",
         "CAST(CASE WHEN customer_salary * 8 > price THEN 1 ELSE 0 END AS BIGINT) AS label")
-    val test = synth(200, 100000, seed = 4)
+    val test = HouseSynth.synth(spark, 200, 100000, seed = 4)
     val cfg = HousePipeline.Config(tree = graft.tree.TreeParams(
       maxDepth = 3, minSamplesSplit = 20, minSamplesLeaf = 10))
     val a = HousePipeline.run(train, test, cfg)

@@ -1,0 +1,33 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared synthetic house-schema generator (FIXTURES.md §1). */
+object HouseSynth {
+  def synth(
+      spark: SparkSession, n: Int, idBase: Long, seed: Long): DataFrame = {
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    val countries = Seq("USA", "India", "UK", "Japan")
+    val ptypes = Seq("Apartment", "Villa", "Studio")
+    val furn = Seq("Fully-Furnished", "Semi-Furnished", "Unfurnished")
+    (1 to n).map { i =>
+      val salary = 20000 + rng.nextInt(80000)
+      val price = 100000 + rng.nextInt(900000)
+      House(
+        idBase + i, countries(rng.nextInt(4)), ptypes(rng.nextInt(3)),
+        furn(rng.nextInt(3)), 500 + rng.nextInt(3500), price,
+        1980 + rng.nextInt(45), rng.nextInt(6), 1 + rng.nextInt(6),
+        1 + rng.nextInt(4), rng.nextInt(2), rng.nextInt(2), rng.nextInt(10),
+        rng.nextInt(5), salary, (price * (0.5 + rng.nextDouble() * 0.4)).toLong,
+        15 + rng.nextInt(16), 500 + rng.nextInt(3000),
+        (price * (0.1 + rng.nextDouble() * 0.2)).toLong,
+        0.03 + rng.nextDouble() * 0.3, 1 + rng.nextInt(10),
+        1 + rng.nextInt(10), 1 + rng.nextInt(10))
+    }.toDF()
+  }
+
+  def labeled(spark: SparkSession, n: Int, seed: Long): DataFrame =
+    synth(spark, n, 0, seed).selectExpr("*",
+      "CAST(CASE WHEN customer_salary * 8 > price THEN 1 ELSE 0 END AS BIGINT) AS label")
+}
