@@ -57,6 +57,13 @@ object GraftFunctions {
         CutBucket(exprs.head, edges)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => {
+        require(exprs.length == 2, "dot_product(a, b)")
+        graft.expressions.DotProduct(exprs(0), exprs(1))
+      },
+      "built-in")
     spark.udf.register("entropy_agg", org.apache.spark.sql.functions.udaf(entropy))
   }
 }

@@ -31,6 +31,14 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestSession {
       .head().getDouble(0) == 1.0)
   }
 
+  test("dot_product is callable from SQL over float arrays") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head().getDouble(0)
+    assert(got == 11.0)
+  }
+
   test("cut_bucket is callable from SQL with literal edges") {
     GraftFunctions.register(spark)
     val got = spark.sql(
