@@ -79,12 +79,16 @@ object Metrics {
         .as("weighted_f1"))
 
   /** ROC-AUC via the Mann-Whitney U statistic with midrank tie handling,
-    * computed scale-out: aggregate (n_pos, n_neg) per distinct score, then
-    * a cumulative window over distinct scores (tiny). Equivalent to
-    * sklearn.roc_auc_score. `labelCol` must be 0/1.
+    * computed scale-out: scores are first quantized to 1e-6 (the output
+    * precision) so the distinct-score domain is BOUNDED (≤ ~2M rows for
+    * scores in [-1,1]) even for continuous model probabilities, then
+    * (n_pos, n_neg) aggregate per distinct score and a cumulative window
+    * runs over that small set — never a single task over ~n raw rows.
+    * Equivalent to sklearn.roc_auc_score at 1e-6 score precision.
+    * `labelCol` must be 0/1.
     */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    val g = df.groupBy(col(scoreCol).as("score"))
+    val g = df.groupBy(Q.r6(col(scoreCol)).as("score"))
       .agg(
         sum(col(labelCol).cast("long")).as("np"),
         (count(lit(1)) - sum(col(labelCol).cast("long"))).as("nn"))

@@ -6,7 +6,7 @@ import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, Ra
 import org.apache.spark.ml.evaluation.Evaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.param.{Param, ParamMap}
 import org.apache.spark.ml.util.Identifiable
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -18,22 +18,26 @@ import org.apache.spark.sql.functions._
   */
 class MacroF1Evaluator(override val uid: String) extends Evaluator {
   def this() = this(Identifiable.randomUID("macroF1"))
-  var labelCol = "label"
-  var predictionCol = "prediction"
-  def setLabelCol(v: String): this.type = { labelCol = v; this }
-  def setPredictionCol(v: String): this.type = { predictionCol = v; this }
+  // real ml Params (not vars) so CrossValidator's ParamMap copies — which
+  // call copy(extra) — preserve the configured column names
+  final val labelCol: Param[String] =
+    new Param[String](this, "labelCol", "label column name")
+  final val predictionCol: Param[String] =
+    new Param[String](this, "predictionCol", "prediction column name")
+  setDefault(labelCol -> "label", predictionCol -> "prediction")
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
 
   override def evaluate(dataset: Dataset[_]): Double =
     Metrics.macroAvg(
       dataset.toDF.select(
-        col(labelCol).cast("long").as("label"),
-        col(predictionCol).cast("long").as("pred")),
+        col($(labelCol)).cast("long").as("label"),
+        col($(predictionCol)).cast("long").as("pred")),
       "label", "pred")
       .head().getAs[Double]("macro_f1")
 
   override def isLargerBetter: Boolean = true
-  override def copy(extra: ParamMap): MacroF1Evaluator =
-    new MacroF1Evaluator(uid)
+  override def copy(extra: ParamMap): MacroF1Evaluator = defaultCopy(extra)
 }
 
 object Models {
@@ -119,8 +123,36 @@ object Models {
       .fit(withBalancedWeights(df, labelCol))
   }
 
+  /** M11 (random variant): seeded uniform sample of `nIter` points from a
+    * full grid — RandomizedSearchCV(n_iter, random_state) semantics
+    * (Sol_2.ipynb cell 11) as a deterministic subset of the exhaustive
+    * grid, then the same k-fold CV scored by macro-F1.
+    */
+  def randomSearch(
+      df: DataFrame, labelCol: String, pipeline: Pipeline,
+      grid: Array[ParamMap], nIter: Int, numFolds: Int = 3,
+      parallelism: Int = 4,
+      seed: Long = 42): org.apache.spark.ml.tuning.CrossValidatorModel = {
+    val sampled = sampleGrid(grid, nIter, seed)
+    crossValidate(df, labelCol, pipeline, sampled, numFolds, parallelism, seed)
+  }
+
+  /** Deterministic without-replacement sample of a param grid (exposed for
+    * testability): Fisher-Yates shuffle seeded by `seed`, first `nIter`.
+    */
+  def sampleGrid(grid: Array[ParamMap], nIter: Int, seed: Long): Array[ParamMap] =
+    if (nIter >= grid.length) grid
+    else new scala.util.Random(seed).shuffle(grid.toList).take(nIter).toArray
+
   /** M12: fit each named pipeline on train, evaluate on validation,
     * return a (model, accuracy, macro_f1) report sorted best-first.
+    *
+    * Efficiency shape: the balanced-weight train set is computed and
+    * persisted ONCE; the three fits run concurrently (independent Spark
+    * jobs share the cluster); evaluation is ONE aggregation per model —
+    * confusion counts (≤ k² tiny rows) collected, accuracy and macro-F1
+    * derived from them driver-side with the same arithmetic as
+    * `Metrics.accuracy`/`macroAvg`.
     */
   def comparisonReport(
       train: DataFrame, valid: DataFrame, labelCol: String,
@@ -128,18 +160,54 @@ object Models {
     val spark = train.sparkSession
     import spark.implicits._
     val trainW = withBalancedWeights(train, labelCol)
-    val rows = pipelines.map { case (name, p) =>
-      val m: PipelineModel = p.fit(trainW)
-      val scored = m.transform(valid)
-        .select(
-          col(labelCol).cast("long").as("label"),
-          col("prediction").cast("long").as("pred"))
-      val acc = Metrics.accuracy(scored, "label", "pred").head().getDouble(0)
-      val f1 = Metrics.macroAvg(scored, "label", "pred")
-        .head().getAs[Double]("macro_f1")
-      (name, acc, f1)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trainW.count() // materialize before concurrent fits race to compute it
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.max(1, pipelines.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val rows = try {
+      val futs = pipelines.map { case (name, p) =>
+        scala.concurrent.Future {
+          val m: PipelineModel = p.fit(trainW)
+          val counts = m.transform(valid)
+            .select(
+              col(labelCol).cast("long").as("label"),
+              col("prediction").cast("long").as("pred"))
+            .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+          val (acc, f1) = accuracyAndMacroF1(counts)
+          (name, acc, f1)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally { pool.shutdown(); trainW.unpersist() }
     rows.toDF("model", "accuracy", "macro_f1")
       .orderBy(desc("macro_f1"), col("model"))
+  }
+
+  /** Driver-side accuracy + macro-F1 from collected confusion counts,
+    * mirroring `Metrics.accuracy` / `Metrics.macroAvg` arithmetic
+    * (zero_division=0; classes = labels ∪ predictions).
+    */
+  def accuracyAndMacroF1(
+      counts: Seq[((Long, Long), Long)]): (Double, Double) = {
+    val total = counts.map(_._2).sum
+    val diag = counts.collect { case ((l, p), n) if l == p => n }.sum
+    val acc = graft.Q.r6Double(diag.toDouble / total)
+    val classes =
+      (counts.map(_._1._1) ++ counts.map(_._1._2)).distinct.sorted
+    val f1s = classes.map { c =>
+      val tp = counts.collect { case ((l, p), n) if l == c && p == c => n }.sum
+      val nPred = counts.collect { case ((_, p), n) if p == c => n }.sum
+      val sup = counts.collect { case ((l, _), n) if l == c => n }.sum
+      val prec = if (nPred > 0) tp.toDouble / nPred else 0.0
+      val rec = if (sup > 0) tp.toDouble / sup else 0.0
+      if (prec + rec > 0) 2 * prec * rec / (prec + rec) else 0.0
+    }
+    (acc, graft.Q.r6Double(f1s.sum / f1s.size))
   }
 }

@@ -20,7 +20,7 @@ object Sol2Pipeline {
       categoricals: Seq[String] =
         Seq("country", "property_type", "furnishing_status",
           "property_age_category"),
-      referenceYear: Int = 2024, // the notebook's constant (script: 2025)
+      referenceYear: Int = 2025, // Sol_2.ipynb's constant (house_predict_model.ipynb uses 2024)
       splitFrac: Double = 0.8,
       seed: Long = 42,
       cvFolds: Int = 3)

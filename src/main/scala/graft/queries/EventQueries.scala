@@ -29,8 +29,8 @@ object EventQueries extends QueryPack {
                                   ORDER BY tus, event_id) AS prev
             FROM x)
       SELECT user_id, COUNT(*) AS n_events,
-             SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
-                      THEN 1 ELSE 0 END) AS n_sessions
+             CAST(SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
       FROM l GROUP BY user_id ORDER BY user_id"""))
 
   val asofClick: GraftQuery = GraftQuery(

@@ -101,8 +101,9 @@ object MetricsQueries extends QueryPack {
     (s, dir) => Metrics.rocAuc(labeled(s, dir), "score", "label"),
     Some(s"""
       WITH d AS ($labeledSql),
-      g AS (SELECT score, SUM(label) AS np, COUNT(*) - SUM(label) AS nn
-            FROM d GROUP BY score),
+      g AS (SELECT round(score, 6) AS score,
+                   SUM(label) AS np, COUNT(*) - SUM(label) AS nn
+            FROM d GROUP BY round(score, 6)),
       c AS (SELECT np, nn,
                    COALESCE(SUM(nn) OVER (ORDER BY score
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumnn

@@ -47,24 +47,57 @@ object SimQueries extends QueryPack {
       FROM top JOIN embeddings USING (vec_id)
       GROUP BY label ORDER BY n DESC, label LIMIT 1"""))
 
-  /** Embedding-cosine near-dup pairs (brute-force oracle baseline). */
+  /** Embedding-cosine near-dup pairs, 100-TB shape: banded sign-bit LSH
+    * blocking + exact cosine rerank — NO all-pairs crossJoin. Sign-bit
+    * (axis-hyperplane) buckets are deterministic and SQL-expressible, so
+    * the oracle replicates the ENTIRE pruned pipeline (blocking, candidate
+    * dedup, rerank) — a full hash check on the scale path itself. The
+    * O(n²) brute-force baseline (`Similarity.nearDupPairs`) is spec-only:
+    * SimilaritySpec proves this query's output is a subset of it with
+    * identical cosines.
+    */
+  private val ndBands = 8
+  private val ndPlanes = 4
+  private val bandBucketSql = (0 until ndBands).map { b =>
+    val terms = (0 until ndPlanes).map(j =>
+      s"CASE WHEN embedding[${b * ndPlanes + j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"SELECT vec_id, $b AS band, CAST($terms AS BIGINT) AS bucket FROM embeddings"
+  }.mkString(" UNION ALL ")
+
   val nearDup: GraftQuery = GraftQuery(
     "embedding_near_dup_pairs",
-    (s, dir) => Similarity.nearDupPairs(
-      Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4),
-    Some("""
-      WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-                        CAST(unnest(embedding) AS DOUBLE) AS x
-                 FROM embeddings),
+    (s, dir) => Similarity.nearDupPairsSignLsh(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
+      nBands = ndBands, planesPerBand = ndPlanes),
+    Some(s"""
+      WITH bk AS ($bandBucketSql),
+      cand AS (SELECT DISTINCT a.vec_id AS ia, b2.vec_id AS ib
+               FROM bk a JOIN bk b2
+                 ON a.band = b2.band AND a.bucket = b2.bucket
+                    AND a.vec_id < b2.vec_id),
+      v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings),
       n AS (SELECT vec_id, SUM(x * x) AS nr FROM v GROUP BY vec_id),
-      d AS (SELECT a.vec_id AS ia, b.vec_id AS ib, SUM(a.x * b.x) AS dot
-            FROM v a JOIN v b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      d AS (SELECT ia, ib, SUM(va.x * vb.x) AS dot
+            FROM cand JOIN v va ON va.vec_id = ia
+                      JOIN v vb ON vb.vec_id = ib AND va.pos = vb.pos
             GROUP BY ia, ib),
       c AS (SELECT ia AS id_a, ib AS id_b,
                    round(dot / (sqrt(na.nr) * sqrt(nb.nr)), 6) AS cos
             FROM d JOIN n na ON na.vec_id = ia JOIN n nb ON nb.vec_id = ib)
       SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4
       ORDER BY id_a, id_b"""))
+
+  /** Rotation-invariant variant: seeded random hyperplanes (engine-
+    * internal, so rows-only) — same banded shape and exact rerank.
+    */
+  val nearDupLsh: GraftQuery = GraftQuery(
+    "near_dup_lsh_pruned",
+    (s, dir) => Similarity.nearDupPairsLsh(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4),
+    None)
 
   /** LSH-bucketed ANN — the 100-TB path: each query scores one bucket. */
   val annTopK: GraftQuery = GraftQuery(
@@ -85,5 +118,5 @@ object SimQueries extends QueryPack {
     None)
 
   override def queries: Seq[GraftQuery] =
-    Seq(cosineTopK, knnVote, nearDup, annTopK, ivfTopK)
+    Seq(cosineTopK, knnVote, nearDup, nearDupLsh, annTopK, ivfTopK)
 }

@@ -15,11 +15,15 @@ object StatsQueries extends QueryPack {
     Some {
       def one(c: String, scale: Long) =
         s"""SELECT '$c' AS "column", COUNT($c) AS n_rows,
-           SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            COUNT(DISTINCT $c) AS n_distinct,
            round(SUM(CAST(round($c * $scale) AS BIGINT)) / $scale.0 / COUNT($c), 6) AS mean,
            round(stddev_samp($c), 4) AS std,
-           CAST(MIN($c) AS DOUBLE) AS "min", CAST(MAX($c) AS DOUBLE) AS "max"
+           CAST(MIN($c) AS DOUBLE) AS "min",
+           round(quantile_cont($c, 0.25), 6) AS p25,
+           round(quantile_cont($c, 0.50), 6) AS p50,
+           round(quantile_cont($c, 0.75), 6) AS p75,
+           CAST(MAX($c) AS DOUBLE) AS "max"
            FROM lineitem"""
       Seq("l_quantity" -> 1L, "l_extendedprice" -> 100L,
         "l_discount" -> 100L, "l_tax" -> 100L)
@@ -47,7 +51,7 @@ object StatsQueries extends QueryPack {
         "o_orderdate", "o_orderpriority")
       .map(c =>
         s"""SELECT '$c' AS "column",
-           SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls
+           CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
            FROM orders""")
       .mkString("", " UNION ALL ", " ORDER BY \"column\"")))
 
@@ -73,8 +77,8 @@ object StatsQueries extends QueryPack {
       Seq("F", "O")),
     Some("""
       SELECT l_returnflag,
-             SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_F,
-             SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_O,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
              round(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS share_F,
              round(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS share_O,
              COUNT(*) AS n_total

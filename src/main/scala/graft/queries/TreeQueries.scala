@@ -47,7 +47,7 @@ object TreeQueries extends QueryPack {
             FROM g
             WINDOW wc AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                    wa AS ())
-      SELECT v AS threshold, ln, tn,
+      SELECT v AS threshold, CAST(ln AS BIGINT) AS ln, CAST(tn AS BIGINT) AS tn,
              round(
                (-(CASE WHEN tc0 > 0 THEN (tc0/tn)*log2(tc0/tn) ELSE 0.0 END
                   + CASE WHEN tc1 > 0 THEN (tc1/tn)*log2(tc1/tn) ELSE 0.0 END))
@@ -58,6 +58,7 @@ object TreeQueries extends QueryPack {
                6) AS gain
       FROM c
       WHERE ln >= 1 AND tn - ln >= 1
+        AND v > (SELECT MIN(v) FROM d) -- reference skips unique_values[0]
       ORDER BY threshold"""))
 
   private val feats =
@@ -109,6 +110,34 @@ object TreeQueries extends QueryPack {
     },
     None)
 
+  /** M9+A19: ROC-AUC over the tree's positive-class leaf probabilities
+    * (probaExpr) — rows-only (training is not SQL); deterministic given
+    * the deterministic trainer.
+    */
+  val probaAuc: GraftQuery = GraftQuery(
+    "tree_proba_auc",
+    (s, dir) => {
+      val d = labeled(s, dir)
+      graft.metrics.Metrics.rocAuc(
+        d.withColumn("score", model(s, dir, binned = false).probaOf(1L)),
+        "score", "label")
+    },
+    None)
+
+  /** Per-sample decision paths (house_predict_model.ipynb cell 14),
+    * aggregated to (path, n) — rows-only, deterministic.
+    */
+  val pathCounts: GraftQuery = GraftQuery(
+    "tree_path_counts",
+    (s, dir) => {
+      val d = labeled(s, dir)
+      d.withColumn("path", model(s, dir, binned = false).pathExpr)
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy("path")
+    },
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
-    splitGains, trainConfusion, importance, trainBinned)
+    splitGains, trainConfusion, importance, trainBinned, probaAuc,
+    pathCounts)
 }

@@ -72,6 +72,75 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Near-duplicate pairs from per-band bucket expressions + EXACT cosine
+    * rerank — the 100-TB shape shared by both LSH variants below:
+    * explode to (id, band, bucket), self-equi-join per (band, bucket),
+    * dedupe BARE id pairs across bands, then re-join vectors once for the
+    * exact rerank. No all-pairs crossJoin anywhere; candidate volume is
+    * bounded by bucket sizes.
+    */
+  private def nearDupFromBands(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bandBuckets: Seq[Column]): DataFrame = {
+    val banded = emb.select(col(idCol),
+      explode(array(bandBuckets.zipWithIndex.map { case (bk, b) =>
+        struct(lit(b).as("band"), bk.as("bucket"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col(idCol).as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val withNorm = emb.select(
+      col(idCol), col(vecCol), normD(col(vecCol)).as("__n"))
+    cand
+      .join(withNorm.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(withNorm.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Q.r6(dotD(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Sign-bit banded LSH near-dup: band `b` buckets on the sign bits of
+    * coordinates [b*p, (b+1)*p) — axis-aligned hyperplanes. Deterministic
+    * and SQL-expressible, so the WHOLE pruned pipeline (blocking +
+    * candidate dedup + exact rerank) is DuckDB-oracle-checkable, unlike
+    * seeded random hyperplanes. Recall < 1 by design; returned cosines are
+    * exact, and the pair set is exactly "pairs sharing ≥1 band bucket with
+    * cos >= threshold".
+    */
+  def nearDupPairsSignLsh(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nBands: Int = 8, planesPerBand: Int = 4): DataFrame = {
+    val buckets = (0 until nBands).map { b =>
+      (0 until planesPerBand).map { j =>
+        when(element_at(col(vecCol), b * planesPerBand + j + 1) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    nearDupFromBands(emb, idCol, vecCol, threshold, buckets)
+  }
+
+  /** Random-hyperplane banded LSH near-dup (seeded, engine-internal) —
+    * same shape, rotation-invariant buckets; rows-only checkable.
+    */
+  def nearDupPairsLsh(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nBands: Int = 8, planesPerBand: Int = 4, dim: Int = 64,
+      seed: Long = 42): DataFrame = {
+    val planes = hyperplanes(nBands * planesPerBand, dim, seed)
+    val buckets = (0 until nBands).map { b =>
+      lshBucket(
+        col(vecCol), planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
+    }
+    nearDupFromBands(emb, idCol, vecCol, threshold, buckets)
+  }
+
   /** IVF (inverted-file) ANN index: a k-means coarse quantizer assigns
     * each vector to a centroid list; queries score only the `nProbe`
     * nearest lists. At cluster scale the list id doubles as a partition/

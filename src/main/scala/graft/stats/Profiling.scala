@@ -97,18 +97,26 @@ object Profiling {
       df: DataFrame, cols: Seq[(String, Int)]): Seq[BinDesign] =
     designBinningFor(df, columnStats(df, cols))
 
-  def designBinningFor(df: DataFrame, stats: Seq[ColumnStats]): Seq[BinDesign] =
-    stats.map { s =>
+  def designBinningFor(df: DataFrame, stats: Seq[ColumnStats]): Seq[BinDesign] = {
+    val chosen = stats.map { s =>
       val strategy =
         if (s.uniqueRatio > 0.5 || math.abs(s.skewness) > 1.0) "quantile"
         else "equal_width"
       val nBins = math.max(3, math.min(10, math.sqrt(s.nUnique).toInt))
+      (s, strategy, nBins)
+    }
+    // one extra scan total: all quantile columns fit in ONE wide agg;
+    // equal-width edges come straight from the stats already in hand
+    val qModels = QuantileBinner.fitMany(
+      df, chosen.collect { case (s, "quantile", k) => s.column -> k })
+    chosen.map { case (s, strategy, nBins) =>
       val model = strategy match {
-        case "quantile"    => QuantileBinner.fit(df, s.column, nBins)
-        case "equal_width" => EqualWidthBinner.fit(df, s.column, nBins)
+        case "quantile"    => qModels(s.column)
+        case "equal_width" => EqualWidthBinner.fromMinMax(s.column, nBins, s.min, s.max)
       }
       BinDesign(s.column, strategy, nBins, model)
     }
+  }
 
   def designReport(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
     val spark = df.sparkSession

@@ -23,9 +23,11 @@ object Stats {
   def scaled(c: Column, decimals: Int): Column =
     round(c * math.pow(10, decimals)).cast("long")
 
-  /** Per-column profile: one output row per column (column, n_rows,
-    * n_nulls, n_distinct, mean, std, min, max). `decimals` gives each
-    * column's fixed decimal scale (for exact means).
+  /** Per-column profile matching pandas `describe()` (column, n_rows,
+    * n_nulls, n_distinct, mean, std, min, p25, p50, p75, max). `decimals`
+    * gives each column's fixed decimal scale (for exact means). The
+    * quartiles use exact `percentile` (linear interpolation — identical to
+    * pandas and DuckDB `quantile_cont`).
     * Single job: one wide agg, stacked to rows driver-side via union of
     * literal projections on the 1-row result (data is one row — cheap).
     */
@@ -38,6 +40,7 @@ object Stats {
         sum(scaled(col(c), d)).as(s"${c}__ssum"),
         Q.r4(stddev_samp(col(c))).as(s"${c}__std"),
         min(col(c)).cast("double").as(s"${c}__min"),
+        expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"${c}__pct"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
@@ -51,6 +54,9 @@ object Stats {
           .as("mean"),
         col(s"${c}__std").as("std"),
         col(s"${c}__min").as("min"),
+        Q.r6(element_at(col(s"${c}__pct"), 1)).as("p25"),
+        Q.r6(element_at(col(s"${c}__pct"), 2)).as("p50"),
+        Q.r6(element_at(col(s"${c}__pct"), 3)).as("p75"),
         col(s"${c}__max").as("max"))
     }
     perCol.reduce(_.unionByName(_)).orderBy("column")

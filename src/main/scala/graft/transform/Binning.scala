@@ -79,6 +79,29 @@ object QuantileBinner {
     BinModel(column, Binning.atLeastOneBucket(Binning.dedupEdges(qs)))
   }
 
+  /** Batched fit: ONE wide aggregation fits every (column, nBins) spec at
+    * once — per-column `fit` calls cost one full scan each, which doesn't
+    * survive wide tables at 100 TB.
+    */
+  def fitMany(df: DataFrame, specs: Seq[(String, Int)]): Map[String, BinModel] =
+    if (specs.isEmpty) Map.empty
+    else {
+      val aggs = specs.flatMap { case (c, k) =>
+        val probs = (0 to k).map(i => i.toDouble / k)
+        Seq(
+          expr(s"percentile($c, array(${probs.mkString(",")}))").as(s"${c}__qs"),
+          min(col(c)).cast("double").as(s"${c}__mn"),
+          max(col(c)).cast("double").as(s"${c}__mx"))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      specs.map { case (c, _) =>
+        val qs = row.getSeq[Double](row.fieldIndex(s"${c}__qs")).toArray
+        qs(0) = row.getDouble(row.fieldIndex(s"${c}__mn"))
+        qs(qs.length - 1) = row.getDouble(row.fieldIndex(s"${c}__mx"))
+        c -> BinModel(c, Binning.atLeastOneBucket(Binning.dedupEdges(qs)))
+      }.toMap
+    }
+
   /** Scale path: Greenwald-Khanna approximate quantiles (single pass,
     * bounded memory per executor — exact `percentile` buffers every value
     * of a group in one reducer, which does not survive 100 TB).
@@ -105,7 +128,13 @@ object EqualWidthBinner {
     val row = df
       .agg(min(col(column)).cast("double"), max(col(column)).cast("double"))
       .head()
-    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    fromMinMax(column, nBins, row.getDouble(0), row.getDouble(1))
+  }
+
+  /** Build from already-known min/max (e.g. a prior profiling pass) —
+    * zero extra scans; arithmetic identical to `fit`.
+    */
+  def fromMinMax(column: String, nBins: Int, mn: Double, mx: Double): BinModel = {
     val edges = (0 to nBins).map { i =>
       if (i == nBins) mx else mn + i * (mx - mn) / nBins
     }.toArray

@@ -33,12 +33,18 @@ object Features {
 
   /** Fixed-edge labeled cut (Sol_2.ipynb cell 4 `property_age_category`:
     * pd.cut(age, [0,10,25,50,100], labels=[New, Recent, Old, Very_Old])).
-    * Right-closed with include_lowest; outside -> null (pandas NaN).
+    * Right-closed intervals; outside -> null (pandas NaN). pandas' default
+    * is include_lowest=False, so the first interval is LEFT-OPEN: a value
+    * equal to edges.head (age 0, i.e. constructed_year == referenceYear)
+    * is null in the reference — `includeLowest = false` matches that.
     */
   def labeledCut(
-      c: Column, edges: Seq[Double], labels: Seq[String]): Column = {
+      c: Column, edges: Seq[Double], labels: Seq[String],
+      includeLowest: Boolean = false): Column = {
     require(labels.length == edges.length - 1)
-    val base = when(c.isNull || c < lit(edges.head) || c > lit(edges.last),
+    val lowGuard =
+      if (includeLowest) c < lit(edges.head) else c <= lit(edges.head)
+    val base = when(c.isNull || lowGuard || c > lit(edges.last),
       lit(null).cast("string"))
     val chained = edges.tail.init.zipWithIndex.foldLeft(base) {
       case (acc, (e, i)) => acc.when(c <= lit(e), lit(labels(i)))

@@ -63,6 +63,53 @@ final case class TreeModel(
   def transform(df: DataFrame, out: String = "prediction"): DataFrame =
     df.withColumn(out, predictExpr)
 
+  /** Leaf class distribution as probabilities, aligned with `labels` —
+    * richer than the reference's one-hot predict_proba
+    * (house_predict.py:389-394; documented divergence, SURVEY §7.5).
+    * Same compiled when-chain shape as predictExpr: codegen'd, no UDF.
+    */
+  def probaExpr: Column = {
+    def go(n: TreeNode): Column = n match {
+      case TreeLeaf(_, tot, counts) =>
+        val t = math.max(tot, 1L).toDouble
+        array(counts.map(c => lit(c / t)): _*)
+      case TreeSplit(f, t, lft, rgt) =>
+        when(col(f) <= lit(t), go(lft)).otherwise(go(rgt))
+    }
+    go(root)
+  }
+
+  /** Probability of a single class (e.g. the positive class, for ROC-AUC
+    * over tree scores).
+    */
+  def probaOf(label: Long): Column = {
+    val i = labels.indexOf(label)
+    require(i >= 0, s"unknown label $label (labels: $labels)")
+    def go(n: TreeNode): Column = n match {
+      case TreeLeaf(_, tot, counts) =>
+        lit(counts(i) / math.max(tot, 1L).toDouble)
+      case TreeSplit(f, t, lft, rgt) =>
+        when(col(f) <= lit(t), go(lft)).otherwise(go(rgt))
+    }
+    go(root)
+  }
+
+  /** Per-row decision path (house_predict_model.ipynb cell 14's per-sample
+    * path printout) — a compiled when-chain over path-string LITERALS, so
+    * inference stays codegen'd with zero per-row string building.
+    */
+  def pathExpr: Column = {
+    def go(n: TreeNode, path: List[String]): Column = n match {
+      case TreeLeaf(l, _, _) =>
+        lit((if (path.isEmpty) "(root)" else path.reverse.mkString(" AND "))
+          + s" => label=$l")
+      case TreeSplit(f, t, lft, rgt) =>
+        when(col(f) <= lit(t), go(lft, s"$f <= $t" :: path))
+          .otherwise(go(rgt, s"$f > $t" :: path))
+    }
+    go(root, Nil)
+  }
+
   /** Split-count importance, normalized (house_predict.py:396-418). */
   def importance: Seq[(String, Double)] = {
     def counts(n: TreeNode): Map[String, Int] = n match {
@@ -121,7 +168,14 @@ object DecisionTree {
     * Output: (__node, feat, threshold, ln, tn, gain, l_ci.., t_ci..) where
     * ln/l_ci are cumulative (x <= threshold) counts and tn/t_ci node
     * totals. Rows violating minSamplesLeaf are pre-filtered; the row for
-    * the max value (empty right child) drops out via tn-ln >= msl.
+    * the max value (empty right child) drops out via tn-ln >= msl, and the
+    * MIN distinct value is never a candidate — the reference iterates
+    * `unique_values[1:]` (house_predict.py:283).
+    *
+    * Null feature values are excluded from the histograms (and from gain):
+    * at routing/inference time `x <= thr` is null for them, so they fall
+    * to the RIGHT child; child counts stay consistent because the right
+    * child's counts are computed as (node total - left counts).
     */
   def splitStats(
       cur: DataFrame, features: Seq[String], labels: Seq[Long],
@@ -130,6 +184,7 @@ object DecisionTree {
       struct(lit(f).as("feat"), col(f).cast("double").as("value"))): _*))
     val melted = cur.select(col("__node"), col("label"), stackExpr.as("fv"))
       .select(col("__node"), col("label"), col("fv.feat"), col("fv.value"))
+      .filter(col("value").isNotNull)
     val classAggs = labels.zipWithIndex.map { case (l, i) =>
       sum(when(col("label") === l, 1L).otherwise(0L)).as(s"c$i")
     }
@@ -153,7 +208,10 @@ object DecisionTree {
     val hl = impurityExpr(lCounts, col("ln"), criterion)
     val hr = impurityExpr(rCounts, rn, criterion)
     cums
-      .filter(col("ln") >= minSamplesLeaf && rn >= minSamplesLeaf)
+      .withColumn("__vmin", min("value").over(wAll))
+      .filter(col("value") > col("__vmin") &&
+        col("ln") >= minSamplesLeaf && rn >= minSamplesLeaf)
+      .drop("__vmin")
       .withColumn(
         "gain", hp - (col("ln") / col("tn")) * hl - (rn / col("tn")) * hr)
       .withColumnRenamed("value", "threshold")

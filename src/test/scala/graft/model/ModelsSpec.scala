@@ -19,6 +19,44 @@ class ModelsSpec extends AnyFunSuite with SparkTestSession {
     assert(ev.isLargerBetter)
   }
 
+  test("MacroF1Evaluator ParamMap copy preserves configured columns") {
+    val ev = new MacroF1Evaluator().setLabelCol("l").setPredictionCol("p")
+    val copied = ev.copy(org.apache.spark.ml.param.ParamMap.empty)
+    assert(copied.getOrDefault(copied.labelCol) == "l")
+    assert(copied.getOrDefault(copied.predictionCol) == "p")
+    // and a copy of a default-config evaluator still has the defaults
+    val d = new MacroF1Evaluator().copy(org.apache.spark.ml.param.ParamMap.empty)
+    assert(d.getOrDefault(d.labelCol) == "label")
+  }
+
+  test("sampleGrid is a deterministic without-replacement subset") {
+    import org.apache.spark.ml.param.ParamMap
+    import org.apache.spark.ml.classification.RandomForestClassifier
+    import org.apache.spark.ml.tuning.ParamGridBuilder
+    val rf = new RandomForestClassifier()
+    val grid = new ParamGridBuilder()
+      .addGrid(rf.maxDepth, Array(2, 3, 4, 5, 6))
+      .addGrid(rf.numTrees, Array(3, 5))
+      .build()
+    val s1 = Models.sampleGrid(grid, 4, seed = 9)
+    val s2 = Models.sampleGrid(grid, 4, seed = 9)
+    assert(s1.toSeq == s2.toSeq)                       // deterministic
+    assert(s1.length == 4 && s1.distinct.length == 4)  // no replacement
+    assert(s1.forall(grid.contains))                   // subset of the grid
+    assert(Models.sampleGrid(grid, 99, seed = 9).toSeq == grid.toSeq)
+  }
+
+  test("accuracyAndMacroF1 matches the distributed metric queries") {
+    val df = Seq((0L, 0L), (0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L), (1L, 1L))
+      .toDF("label", "pred")
+    val counts = df.groupBy("label", "pred").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toSeq
+    val (acc, f1) = Models.accuracyAndMacroF1(counts)
+    assert(acc == Metrics.accuracy(df, "label", "pred").head().getDouble(0))
+    assert(f1 == Metrics.macroAvg(df, "label", "pred")
+      .head().getAs[Double]("macro_f1"))
+  }
+
   test("balanced weights are inverse class frequency") {
     val df = Seq.fill(8)(0L).map(l => Tuple1(l)).toDF("label")
       .union(Seq.fill(2)(1L).map(l => Tuple1(l)).toDF("label"))

@@ -39,6 +39,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       emb.select("vec_id").collect().map(_.getLong(0)).toSet))
   }
 
+  test("LSH near-dup pairs ⊆ brute force with identical exact cosines") {
+    val emb2 = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.nearDupPairs(emb2, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (lshDf <- Seq(
+        Similarity.nearDupPairsSignLsh(emb2, "vec_id", "embedding", 0.4),
+        Similarity.nearDupPairsLsh(emb2, "vec_id", "embedding", 0.4))) {
+      val lsh = lshDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      assert(lsh.nonEmpty)
+      assert(lsh.map(_._1).distinct.length == lsh.length) // band dedup held
+      lsh.foreach { case (k, c) => assert(brute(k) == c) } // exact rerank
+    }
+  }
+
   test("ANN bucket search finds the identical vector") {
     val got = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 2,
       nPlanes = 4, dim = 3)

@@ -99,6 +99,59 @@ class DecisionTreeSpec extends AnyFunSuite with SparkTestSession {
     assert(m.rules.length >= 3) // at least 3 leaves for XOR at depth 2
   }
 
+  test("rootGains skips the lowest distinct value (reference unique_values[1:])") {
+    // distinct x = 1,2,3: min (1.0) is never a candidate even though its
+    // left child satisfies minSamplesLeaf; max (3.0) drops out via the
+    // empty-right rule -> the only candidate is 2.0
+    val df = Seq((1.0, 0L), (1.0, 1L), (2.0, 0L), (3.0, 1L)).toDF("x", "label")
+    val thr = DecisionTree.rootGains(df, "x", "label", Seq(0L, 1L))
+      .select("threshold").collect().map(_.getDouble(0)).toSet
+    assert(thr == Set(2.0))
+  }
+
+  test("null feature values are excluded from stats and route right") {
+    val df = Seq(
+      (Option(1.0), 0L), (Option(2.0), 0L),
+      (Option(10.0), 1L), (Option(11.0), 1L),
+      (Option.empty[Double], 1L), (Option.empty[Double], 1L))
+      .toDF("x", "label")
+    val m = DecisionTree.fit(df, Seq("x"), "label", TreeParams(maxDepth = 2))
+    m.root match {
+      case TreeSplit("x", thr, _, right) =>
+        assert(thr == 2.0) // stats computed over non-null values only
+        // right child counts include the null rows (total - left)
+        assert(right == TreeLeaf(1L, 4, Seq(0L, 4L)))
+      case other => fail(s"expected a split, got $other")
+    }
+    val nullPreds = m.transform(df, "p").filter(col("x").isNull)
+      .select("p").collect().map(_.getLong(0))
+    assert(nullPreds.toSeq == Seq(1L, 1L))
+  }
+
+  test("probaExpr/probaOf emit leaf distributions; pathExpr matches predictions") {
+    val df = Seq((1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 1L), (5.0, 1L))
+      .toDF("x", "label")
+    val m = DecisionTree.fit(df, Seq("x"), "label", TreeParams(maxDepth = 1))
+    val rows = df
+      .withColumn("proba", m.probaExpr)
+      .withColumn("p1", m.probaOf(1L))
+      .withColumn("path", m.pathExpr)
+      .withColumn("pred", m.predictExpr)
+      .collect()
+    rows.foreach { r =>
+      val proba = r.getSeq[Double](r.fieldIndex("proba"))
+      assert(math.abs(proba.sum - 1.0) < 1e-9)
+      assert(proba(1) == r.getDouble(r.fieldIndex("p1")))
+      // the path string's leaf label agrees with predictExpr
+      assert(r.getString(r.fieldIndex("path"))
+        .endsWith(s"label=${r.getLong(r.fieldIndex("pred"))}"))
+      // pure leaves on this data -> one-hot distributions
+      assert(proba.contains(1.0))
+    }
+    // 2 distinct paths (left/right of the single split)
+    assert(rows.map(_.getString(rows.head.fieldIndex("path"))).distinct.length == 2)
+  }
+
   test("deterministic across runs with feature sampling") {
     val rows = (1 to 100).map(i =>
       (i.toDouble, (i % 7).toDouble, (i % 3).toDouble,
