@@ -14,6 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Seeded 64-bit document hash — Spark-native xxhash64; the fast default
+    * for production pipelines (engine-internal, so rows-only checkable).
+    */
+  val xxHash: (Column, Int) => Column = (c, seed) => xxhash64(c, lit(seed))
+
+  /** Seeded 60-bit cross-engine hash: first 15 hex chars of a seeded md5,
+    * parsed base-16. Bit-identical to DuckDB
+    * `CAST(concat('0x', substring(md5(s || '|' || seed), 1, 15)) AS BIGINT)`,
+    * which makes MinHash/SimHash pipelines fully DuckDB-oracle-checkable.
+    * ~3x the CPU of xxhash64 — still a per-token projection that scales.
+    */
+  val md5Hash60: (Column, Int) => Column = (c, seed) =>
+    conv(substring(md5(concat(c, lit("|" + seed))), 1, 15), 16, 10)
+      .cast("long")
+
   /** Exact duplicate groups by an arbitrary key expression: group size and
     * kept (minimum) id per group with >1 member.
     */
@@ -62,15 +77,17 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** MinHash signatures: numHashes seeded xxhash64 permutations, min per
-    * doc. Returns (id, sig array<long>) — sig(i) uses seed i.
+  /** MinHash signatures: numHashes seeded hash permutations, min per
+    * doc. Returns (id, sig array<long>) — sig(i) uses seed i. `hashFn`
+    * defaults to xxhash64; pass `md5Hash60` for oracle-checkable output.
     */
   def minhashSignatures(
-      shingles: DataFrame, numHashes: Int): DataFrame = {
+      shingles: DataFrame, numHashes: Int,
+      hashFn: (Column, Int) => Column = xxHash): DataFrame = {
     // all permutations as parallel min-aggregations in ONE pass over the
     // shingles (no seed cross-join, one shuffle on id)
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"__m$i"))
+      min(hashFn(col("sh"), i)).as(s"__m$i"))
     shingles.toDF("id", "sh")
       .groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(
@@ -82,15 +99,21 @@ object Dedup {
     * band hash, emit distinct id pairs sharing any bucket, with estimated
     * similarity = fraction of matching minhashes.
     */
-  def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
+  def lshCandidates(
+      sigs: DataFrame, bands: Int,
+      sqlBuckets: Boolean = false): DataFrame = {
+    // bucket key per band: hash of the band's signature slice (fast
+    // default), or the slice itself joined to a string — bit-identical to
+    // DuckDB string_agg(m, ',' ORDER BY perm), for oracle checking
+    val sliceExpr =
+      s"slice(sig, band * (size(sig) div $bands) + 1, size(sig) div $bands)"
+    val bucketCol =
+      if (sqlBuckets)
+        expr(s"array_join(transform($sliceExpr, x -> cast(x as string)), ',')")
+      else xxhash64(col("band"), expr(sliceExpr)).cast("string")
     val banded = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(
-        col("id"), col("sig"), col("band"),
-        xxhash64(
-          col("band"),
-          expr(s"slice(sig, band * (size(sig) div $bands) + 1, size(sig) div $bands)"))
-          .as("bucket"))
+      .select(col("id"), col("sig"), col("band"), bucketCol.as("bucket"))
     // dedupe bare id pairs first (cheap shuffle), then join signatures
     // back — never shuffle signature arrays through the pair distinct
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -108,20 +131,24 @@ object Dedup {
             1.0 / expr("size(sig_a)")).as("est_jaccard"))
   }
 
-  /** 63-bit SimHash over whitespace tokens weighted by in-doc frequency.
+  /** SimHash over whitespace tokens weighted by in-doc frequency.
     * One explode + one wide aggregation; fingerprint assembled bitwise.
+    * Default: 63 bits of xxhash64. With (`md5Hash60`, nBits = 60) the
+    * fingerprints are DuckDB-oracle-checkable.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(
+      df: DataFrame, idCol: String, textCol: String, nBits: Int = 63,
+      hashFn: (Column, Int) => Column = xxHash): DataFrame = {
     val toks = df.select(
         col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 63).map { i =>
+      .withColumn("h", hashFn(col("tok"), 0))
+    val bitSums = (0 until nBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("w"))
         .otherwise(-col("w"))).as(s"s$i")
     }
-    val fp = (0 until 63)
+    val fp = (0 until nBits)
       .map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
     toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)

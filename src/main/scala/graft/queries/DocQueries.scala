@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication queries over the `documents` table.
   * Token math is oracle-expressible via list functions; MinHash/SimHash
-  * (Spark-hash-based) are registered rows-only.
+  * run here with the md5-based cross-engine hash so the full pipelines
+  * are DuckDB-hash-checked (xxhash64 stays the production default).
   */
 object DocQueries extends QueryPack {
 
@@ -146,26 +147,86 @@ object DocQueries extends QueryPack {
       FROM kept"""))
 
   /** MinHash(32) + LSH(4 bands x 8 rows, candidate threshold ~0.84):
-    * near-dup pairs with estimated similarity >= 0.5. Spark-hash-based —
-    * rows-only check (no oracle).
+    * near-dup pairs with estimated similarity >= 0.5. Uses the md5-based
+    * cross-engine hash + verbatim band buckets, so the ENTIRE pipeline —
+    * shingling, 32 permutations, banding, candidate dedup, similarity
+    * estimate — is hash-checked against DuckDB. (Production default stays
+    * xxhash64; DedupSpec pins both paths to identical pair structure.)
     */
   val minhashLsh: GraftQuery = GraftQuery(
     "minhash_lsh_candidates",
     (s, dir) => {
       val sh = Dedup.shingleSet(Tables(s, dir, "documents"), "doc_id", "text", 3)
-      val sigs = Dedup.minhashSignatures(sh, 32)
-      Dedup.lshCandidates(sigs, 4)
+      val sigs = Dedup.minhashSignatures(sh, 32, Dedup.md5Hash60)
+      Dedup.lshCandidates(sigs, 4, sqlBuckets = true)
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
     },
-    None)
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INTEGER), 3) AS sh
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 2)) AS i
+              FROM documents)),
+      mh AS (
+        SELECT id, p,
+               MIN(CAST(concat('0x', substring(md5(sh || '|' || p), 1, 15))
+                        AS BIGINT)) AS m
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS p)
+        GROUP BY id, p),
+      bk AS (
+        SELECT id, p // 8 AS band,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS bucket
+        FROM mh GROUP BY id, p // 8),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                               AND a.id < b.id),
+      est AS (
+        SELECT c.id_a, c.id_b,
+               SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 32.0 AS ej
+        FROM cand c
+        JOIN mh ma ON ma.id = c.id_a
+        JOIN mh mb ON mb.id = c.id_b AND mb.p = ma.p
+        GROUP BY c.id_a, c.id_b)
+      SELECT id_a, id_b, round(ej, 6) AS est_jaccard
+      FROM est WHERE round(ej, 6) >= 0.5 ORDER BY id_a, id_b"""))
 
-  /** SimHash fingerprints — rows-only (xxhash64 is Spark-specific). */
+  private val simhashBits = 60
+  private val simhashBitSums = (0 until simhashBits).map(i =>
+    s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN w ELSE -w END) AS s$i")
+    .mkString(",\n               ")
+  private val simhashAssemble = (0 until simhashBits).map(i =>
+    s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+    .mkString(" + ")
+
+  /** SimHash fingerprints — md5-based 60-bit variant, fully
+    * oracle-checked (bit-sum votes and fingerprint assembly replicated in
+    * SQL). Production default stays 63-bit xxhash64.
+    */
   val simhashDocs: GraftQuery = GraftQuery(
     "simhash_docs",
-    (s, dir) => Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text")
+    (s, dir) => Dedup.simhash(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        nBits = simhashBits, hashFn = Dedup.md5Hash60)
       .orderBy("id"),
-    None)
+    Some(s"""
+      WITH toks AS (
+        SELECT id, tok, COUNT(*) AS w
+        FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY id, tok),
+      h AS (
+        SELECT id, w,
+               CAST(concat('0x', substring(md5(tok || '|0'), 1, 15))
+                    AS BIGINT) AS h
+        FROM toks),
+      b AS (
+        SELECT id,
+               $simhashBitSums
+        FROM h GROUP BY id)
+      SELECT id, $simhashAssemble AS simhash
+      FROM b ORDER BY id"""))
 
   override def queries: Seq[GraftQuery] = Seq(
     textStats, langId, fingerprint, exactDedup, dedupKept, jaccardAdjacent,

@@ -77,5 +77,39 @@ object MiscQueries extends QueryPack {
              round(abs(n * 1.0 / (SELECT SUM(n) FROM c) - 0.2), 6) AS dev
       FROM c ORDER BY dev DESC, o_orderpriority"""))
 
-  override def queries: Seq[GraftQuery] = Seq(unionConcat, topkPerBrand, absRank)
+  /** O6: intersect/except — nations with high-balance customers vs
+    * nations with suppliers, tagged by membership. Both ops shuffle on
+    * already-distinct keys (tiny after dedup — scales).
+    */
+  val setOps: GraftQuery = GraftQuery(
+    "nation_set_ops",
+    (s, dir) => {
+      val cust = Tables(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("nationkey")).distinct()
+      val supp = Tables(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey")).distinct()
+      cust.intersect(supp).select(lit("both").as("side"), col("nationkey"))
+        .unionByName(cust.except(supp)
+          .select(lit("customer_only").as("side"), col("nationkey")))
+        .unionByName(supp.except(cust)
+          .select(lit("supplier_only").as("side"), col("nationkey")))
+        .orderBy("side", "nationkey")
+    },
+    Some("""
+      WITH c AS (SELECT DISTINCT c_nationkey AS nationkey
+                 FROM customer WHERE c_acctbal > 9000),
+           s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+      SELECT 'both' AS side, nationkey
+      FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+      UNION ALL
+      SELECT 'customer_only' AS side, nationkey
+      FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+      UNION ALL
+      SELECT 'supplier_only' AS side, nationkey
+      FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+      ORDER BY side, nationkey"""))
+
+  override def queries: Seq[GraftQuery] =
+    Seq(unionConcat, topkPerBrand, absRank, setOps)
 }

@@ -42,4 +42,33 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(4L))
   }
+
+  test("md5Hash60 pins the DuckDB hex-parse value (cross-engine contract)") {
+    // DuckDB: CAST(concat('0x', substring(md5('abc|0'),1,15)) AS BIGINT)
+    //       = 300303866143307028 (verified against duckdb directly)
+    val got = Seq("abc").toDF("s")
+      .select(Dedup.md5Hash60(col("s"), 0)).head().getLong(0)
+    assert(got == 300303866143307028L)
+    assert(got >= 0 && got < (1L << 60)) // 15 hex chars = 60 bits, no sign
+  }
+
+  test("md5 + sqlBuckets minhash path agrees with the xxhash64 default") {
+    val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
+    def pairs(hashFn: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column,
+              sqlBuckets: Boolean) =
+      Dedup.lshCandidates(
+          Dedup.minhashSignatures(sh, 16, hashFn), 4, sqlBuckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    val fast = pairs(Dedup.xxHash, sqlBuckets = false)
+    val checkable = pairs(Dedup.md5Hash60, sqlBuckets = true)
+    // exact duplicates are found by BOTH hash families with est = 1.0
+    assert(fast((1L, 2L)) == 1.0 && checkable((1L, 2L)) == 1.0)
+    assert(!fast.contains((1L, 4L)) && !checkable.contains((1L, 4L)))
+    // 60-bit variant of simhash is engine-stable too
+    val fp60 = Dedup.simhash(docs, "doc_id", "text", 60, Dedup.md5Hash60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp60(1L) == fp60(2L) && fp60(1L) != fp60(4L))
+    assert(fp60.values.forall(v => v >= 0 && v < (1L << 60)))
+  }
 }
