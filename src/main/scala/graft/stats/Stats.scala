@@ -62,14 +62,19 @@ object Stats {
     perCol.reduce(_.unionByName(_)).orderBy("column")
   }
 
-  /** value_counts(normalize=True): counts + share-of-total per value. */
-  def valueCounts(df: DataFrame, c: String): DataFrame =
-    df.groupBy(c)
-      .agg(count(lit(1)).as("n"))
-      .withColumn(
-        "share",
-        Q.r6(col("n") * 1.0 / sum("n").over(Window.partitionBy())))
+  /** value_counts(normalize=True): counts + share-of-total per value.
+    * The total joins in as a broadcast 1-row aggregate (Catalyst reuses
+    * the groupBy exchange) — an unpartitioned window here would funnel
+    * every distinct value through ONE task at high cardinality.
+    */
+  def valueCounts(df: DataFrame, c: String): DataFrame = {
+    val counts = df.groupBy(c).agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("n").as("__total"))))
+      .withColumn("share", Q.r6(col("n") * 1.0 / col("__total")))
+      .drop("__total")
       .orderBy(desc("n"), col(c))
+  }
 
   /** df.isnull().sum() — null count per column, one row per column. */
   def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame = {

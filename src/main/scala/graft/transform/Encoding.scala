@@ -25,16 +25,24 @@ final case class LabelEncodeModel(column: String, vocab: DataFrame) {
 }
 
 object LabelEncoder {
-  /** Fit = sorted distinct non-null values -> codes 0..k-1. */
+  /** Fit = sorted distinct non-null values -> codes 0..k-1.
+    * Codes come from zipWithIndex over a range-sorted distinct set: the
+    * sort is a parallel range partition and the index pass only counts
+    * partition sizes — no single-task global window, so a 100M-term
+    * vocabulary still fits. Order (and therefore every code) is identical
+    * to the old global row_number.
+    */
   def fit(df: DataFrame, column: String): LabelEncodeModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val vocab = df
       .select(col(column).cast("string").as("value"))
       .filter(col("value").isNotNull)
       .distinct()
-      .withColumn(
-        "__code",
-        (row_number().over(Window.partitionBy().orderBy("value")) - 1)
-          .cast("int"))
+      .orderBy("value")
+      .rdd.map(_.getString(0)).zipWithIndex()
+      .toDF("value", "__idx")
+      .select(col("value"), col("__idx").cast("int").as("__code"))
     LabelEncodeModel(column, vocab)
   }
 
