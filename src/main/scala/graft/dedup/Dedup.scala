@@ -29,6 +29,28 @@ object Dedup {
     conv(substring(md5(concat(c, lit("|" + seed))), 1, 15), 16, 10)
       .cast("long")
 
+  /** Modulus for the universal-hash permutation family: the Mersenne
+    * prime 2^31-1. Keeps a*(h mod p)+b under 2^62, so the arithmetic is
+    * exact in both Spark (wrapping) and DuckDB (overflow-checked) BIGINT.
+    */
+  val P31 = 2147483647L
+
+  /** Deterministic (a_i, b_i) pairs for the permutation family
+    * h_i = (a_i * h + b_i) mod P31, a_i in [1, P31-1], b_i in [0, P31-1].
+    */
+  def permConstants(n: Int): Seq[(Long, Long)] = (0 until n).map { i =>
+    val a = ((1103515245L * (i + 1) + 12345L) % (P31 - 1)) + 1L
+    val b = (1000003L * i + 12345L) % P31
+    (a, b)
+  }
+
+  /** Unseeded 60-bit md5 base hash reduced mod P31 — ONE md5 per input;
+    * the permutations above fan it out arithmetically. Cross-engine:
+    * DuckDB `CAST(concat('0x', substring(md5(s),1,15)) AS BIGINT) % P31`.
+    */
+  def md5Base(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P31
+
   /** Exact duplicate groups by an arbitrary key expression: group size and
     * kept (minimum) id per group with >1 member.
     */
@@ -89,6 +111,24 @@ object Dedup {
     val aggs = (0 until numHashes).map(i =>
       min(hashFn(col("sh"), i)).as(s"__m$i"))
     shingles.toDF("id", "sh")
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("id"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
+  /** MinHash via the universal-hash permutation family over ONE md5 base
+    * hash per shingle: h_i = (a_i*h + b_i) mod P31. 32x fewer hash
+    * evaluations than hashing per seed, and every step is expressible in
+    * DuckDB SQL verbatim — the oracle-checkable production path.
+    */
+  def minhashSignaturesPerm(
+      shingles: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = permConstants(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("__h") + lit(b)) % P31).as(s"__m$i")
+    }
+    shingles.toDF("id", "sh")
+      .withColumn("__h", md5Base(col("sh")))
       .groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(
         col("id"),

@@ -43,6 +43,31 @@ object DocQueries extends QueryPack {
                  + 0.3 * least(((length(text) - (nt - 1)) * 1.0 / nt) / 8.0, 1.0), 6) AS quality
       FROM b ORDER BY doc_id"""))
 
+  /** BPE-ish pretoken counts vs whitespace tokens — the LLM token-cost
+    * proxy; regex evaluated identically by Spark (Java regex) and DuckDB
+    * (RE2) because the alternatives are disjoint classes.
+    */
+  val bpeStats: GraftQuery = GraftQuery(
+    "bpe_token_stats",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_ws"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe"),
+        Q.r6(TextOps.bpeTokenCount(col("text")) * 1.0
+          / TextOps.tokenCount(col("text"))).as("bpe_per_ws"))
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws,
+               len(regexp_extract_all(text,
+                   ' ?[a-z]+| ?[A-Z][a-z]*| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe
+        FROM documents)
+      SELECT doc_id, n_ws, n_bpe,
+             round(n_bpe * 1.0 / n_ws, 6) AS bpe_per_ws
+      FROM t ORDER BY doc_id"""))
+
   val langId: GraftQuery = GraftQuery(
     "lang_id_confusion",
     (s, dir) => Tables(s, dir, "documents")
@@ -147,32 +172,41 @@ object DocQueries extends QueryPack {
       FROM kept"""))
 
   /** MinHash(32) + LSH(4 bands x 8 rows, candidate threshold ~0.84):
-    * near-dup pairs with estimated similarity >= 0.5. Uses the md5-based
-    * cross-engine hash + verbatim band buckets, so the ENTIRE pipeline —
-    * shingling, 32 permutations, banding, candidate dedup, similarity
-    * estimate — is hash-checked against DuckDB. (Production default stays
-    * xxhash64; DedupSpec pins both paths to identical pair structure.)
+    * near-dup pairs with estimated similarity >= 0.5. One md5 base hash
+    * per shingle fans out to 32 permutations arithmetically
+    * ((a*h+b) mod P31), and band buckets are the verbatim signature
+    * slices, so the ENTIRE pipeline — shingling, permutations, banding,
+    * candidate dedup, similarity estimate — is hash-checked against
+    * DuckDB. DedupSpec pins this path to the xxhash64 default's pair
+    * structure.
     */
+  private val permValues = Dedup.permConstants(32).zipWithIndex
+    .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
   val minhashLsh: GraftQuery = GraftQuery(
     "minhash_lsh_candidates",
     (s, dir) => {
       val sh = Dedup.shingleSet(Tables(s, dir, "documents"), "doc_id", "text", 3)
-      val sigs = Dedup.minhashSignatures(sh, 32, Dedup.md5Hash60)
+      val sigs = Dedup.minhashSignaturesPerm(sh, 32)
       Dedup.lshCandidates(sigs, 4, sqlBuckets = true)
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
     },
-    Some("""
+    Some(s"""
       WITH sh AS (
         SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INTEGER), 3) AS sh
         FROM (SELECT doc_id, text,
                      unnest(generate_series(1, length(text) - 2)) AS i
               FROM documents)),
+      base AS (
+        SELECT id,
+               CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT)
+                 % 2147483647 AS h
+        FROM sh),
+      perms(p, a, b) AS (VALUES $permValues),
       mh AS (
-        SELECT id, p,
-               MIN(CAST(concat('0x', substring(md5(sh || '|' || p), 1, 15))
-                        AS BIGINT)) AS m
-        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS p)
+        SELECT id, p, MIN((a * h + b) % 2147483647) AS m
+        FROM base CROSS JOIN perms
         GROUP BY id, p),
       bk AS (
         SELECT id, p // 8 AS band,
@@ -229,6 +263,6 @@ object DocQueries extends QueryPack {
       FROM b ORDER BY id"""))
 
   override def queries: Seq[GraftQuery] = Seq(
-    textStats, langId, fingerprint, exactDedup, dedupKept, jaccardAdjacent,
-    minhashLsh, simhashDocs)
+    textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
+    jaccardAdjacent, minhashLsh, simhashDocs)
 }

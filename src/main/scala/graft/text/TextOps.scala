@@ -69,4 +69,20 @@ object TextOps {
   /** 64-bit hex fingerprint: md5 prefix (cross-engine stable). */
   def fingerprintMd5(c: Column): Column =
     substring(md5(c.cast("binary")), 1, 16)
+
+  /** BPE-style pretokenization: letter runs, digit runs, and punctuation
+    * runs (each with an optional leading space) — the GPT-2 pretokenizer
+    * shape minus its lookahead, so the pattern means the same thing to
+    * Java regex (Spark) and RE2 (DuckDB). Alternatives are disjoint
+    * character classes, so alternation-order semantics can't diverge.
+    */
+  val bpePattern = " ?[a-z]+| ?[A-Z][a-z]*| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit(bpePattern), lit(0))
+
+  /** Pretoken count — the standard proxy for LLM token cost (whitespace
+    * count under-reports punctuation/number splits).
+    */
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
 }

@@ -240,7 +240,10 @@ object DecisionTree {
       params.maxBins match {
         case None => (input, (_, v) => v)
         case Some(k) =>
-          val models = features.map(f => f -> QuantileBinner.fit(input, f, k))
+          // one wide agg fits every feature's quantile edges (fitMany);
+          // per-feature fit would cost one full scan per feature
+          val fitted = QuantileBinner.fitMany(input, features.map(_ -> k))
+          val models = features.map(f => f -> fitted(f))
           // replace each feature with its bucket code; a split at code c
           // equals "value <= edges(c+1)" (right-closed buckets)
           val binned = models.foldLeft(input) { case (d, (f, m)) =>

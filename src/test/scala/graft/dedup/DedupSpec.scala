@@ -52,16 +52,20 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got >= 0 && got < (1L << 60)) // 15 hex chars = 60 bits, no sign
   }
 
-  test("md5 + sqlBuckets minhash path agrees with the xxhash64 default") {
+  test("md5-permutation + sqlBuckets minhash agrees with the xxhash64 default") {
     val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
-    def pairs(hashFn: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column,
-              sqlBuckets: Boolean) =
-      Dedup.lshCandidates(
-          Dedup.minhashSignatures(sh, 16, hashFn), 4, sqlBuckets)
+    def pairs(sigs: org.apache.spark.sql.DataFrame, sqlBuckets: Boolean) =
+      Dedup.lshCandidates(sigs, 4, sqlBuckets)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
         .toMap
-    val fast = pairs(Dedup.xxHash, sqlBuckets = false)
-    val checkable = pairs(Dedup.md5Hash60, sqlBuckets = true)
+    val fast = pairs(Dedup.minhashSignatures(sh, 16), sqlBuckets = false)
+    val checkable =
+      pairs(Dedup.minhashSignaturesPerm(sh, 16), sqlBuckets = true)
+    // permutation family stays in [0, P31)
+    val sig = Dedup.minhashSignaturesPerm(sh, 16)
+      .select(org.apache.spark.sql.functions.explode(col("sig")))
+      .collect().map(_.getLong(0))
+    assert(sig.forall(v => v >= 0 && v < Dedup.P31))
     // exact duplicates are found by BOTH hash families with est = 1.0
     assert(fast((1L, 2L)) == 1.0 && checkable((1L, 2L)) == 1.0)
     assert(!fast.contains((1L, 4L)) && !checkable.contains((1L, 4L)))

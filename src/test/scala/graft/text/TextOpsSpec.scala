@@ -18,6 +18,18 @@ class TextOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(r.getAs[Double]("sr") - 2.0 / 7) < 1e-9)
   }
 
+  test("bpe pretokenizer splits letter/digit/punct runs like GPT-2 shape") {
+    val df = Seq("sort 12 rows, then re-merge!").toDF("t")
+    val toks = df.select(TextOps.bpeTokens(col("t"))).head().getSeq[String](0)
+    assert(toks == Seq(
+      "sort", " 12", " rows", ",", " then", " re", "-", "merge", "!"))
+    // whitespace count under-reports: 5 ws tokens vs 9 pretokens
+    val r = df.select(
+      TextOps.tokenCount(col("t")).as("ws"),
+      TextOps.bpeTokenCount(col("t")).as("bpe")).head()
+    assert(r.getAs[Int]("ws") == 5 && r.getAs[Int]("bpe") == 9)
+  }
+
   test("countToken is overlap-safe and exact") {
     val df = Seq("the the theater the").toDF("t")
     assert(df.select(TextOps.countToken(col("t"), "the")).head().getInt(0) == 3)
