@@ -9,20 +9,27 @@ import graft.streaming.EventOps
   */
 object EventQueries extends QueryPack {
 
-  val hourly: GraftQuery = GraftQuery(
-    "events_hourly",
-    (s, dir) => EventOps.hourly(EventOps.events(s, dir)),
-    Some("""
+  private val hourlySql = """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
              event_type, COUNT(*) AS n,
              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-      FROM events GROUP BY hour, event_type ORDER BY hour, event_type"""))
+      FROM events GROUP BY hour, event_type ORDER BY hour, event_type"""
 
-  val sessionize: GraftQuery = GraftQuery(
-    "sessionize_users",
-    (s, dir) =>
-      EventOps.sessionize(EventOps.events(s, dir), 30L * 60 * 1000000L),
-    Some("""
+  val hourly: GraftQuery = GraftQuery(
+    "events_hourly",
+    (s, dir) => EventOps.hourly(EventOps.events(s, dir)),
+    Some(hourlySql))
+
+  /** The SAME hourly aggregation through Structured Streaming (readStream
+    * -> watermark -> tumbling window -> memory sink), hash-checked against
+    * the identical batch oracle — streaming/batch consistency in the gate.
+    */
+  val hourlyStream: GraftQuery = GraftQuery(
+    "events_hourly_stream",
+    (s, dir) => EventOps.streamingHourlyResult(s, dir),
+    Some(hourlySql))
+
+  private val sessionizeSql = """
       WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
       l AS (SELECT user_id, tus,
                    lag(tus) OVER (PARTITION BY user_id
@@ -31,7 +38,23 @@ object EventQueries extends QueryPack {
       SELECT user_id, COUNT(*) AS n_events,
              CAST(SUM(CASE WHEN prev IS NULL OR tus - prev > 1800000000
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
-      FROM l GROUP BY user_id ORDER BY user_id"""))
+      FROM l GROUP BY user_id ORDER BY user_id"""
+
+  val sessionize: GraftQuery = GraftQuery(
+    "sessionize_users",
+    (s, dir) =>
+      EventOps.sessionize(EventOps.events(s, dir), 30L * 60 * 1000000L),
+    Some(sessionizeSql))
+
+  /** Sessionization through the stateful-streaming operator
+    * (`flatMapGroupsWithState`, update-mode memory sink), hash-checked
+    * against the same oracle as the batch window form.
+    */
+  val sessionizeStream: GraftQuery = GraftQuery(
+    "sessionize_stream",
+    (s, dir) =>
+      EventOps.streamingSessionizeResult(s, dir, 30L * 60 * 1000000L),
+    Some(sessionizeSql))
 
   val asofClick: GraftQuery = GraftQuery(
     "asof_last_click_before_error",
@@ -49,5 +72,6 @@ object EventQueries extends QueryPack {
       SELECT event_id, user_id, tus AS ts_us, last_click_us
       FROM w WHERE event_type = 'error' ORDER BY event_id"""))
 
-  override def queries: Seq[GraftQuery] = Seq(hourly, sessionize, asofClick)
+  override def queries: Seq[GraftQuery] =
+    Seq(hourly, hourlyStream, sessionize, sessionizeStream, asofClick)
 }

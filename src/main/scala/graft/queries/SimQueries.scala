@@ -107,6 +107,40 @@ object SimQueries extends QueryPack {
       nPlanes = 4),
     None)
 
+  /** Same bucketed-ANN shape with deterministic sign-bit buckets — the
+    * whole pruned pipeline (bucketing + exact rerank + top-k) hash-checks
+    * against DuckDB, complementing the seeded-hyperplane variant above.
+    */
+  private val annSignPlanes = 4
+  private val annSignBucketSql = (0 until annSignPlanes).map(j =>
+    s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+    .mkString(" + ")
+
+  val annTopKSign: GraftQuery = GraftQuery(
+    "ann_sign_topk_vec0",
+    (s, dir) => Similarity.annTopKSign(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10,
+      nPlanes = annSignPlanes),
+    Some(s"""
+      WITH bk AS (SELECT vec_id,
+                         CAST($annSignBucketSql AS BIGINT) AS bucket
+                  FROM embeddings),
+      qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+      cand AS (SELECT bk.vec_id FROM bk JOIN qb USING (bucket)
+               WHERE bk.vec_id <> 0),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      qv AS (SELECT generate_subscripts(qe, 1) AS pos,
+                    CAST(unnest(qe) AS DOUBLE) AS v FROM q),
+      dv AS (SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS pos,
+                    CAST(unnest(e.embedding) AS DOUBLE) AS v
+             FROM embeddings e JOIN cand USING (vec_id)),
+      agg AS (SELECT dv.vec_id, SUM(dv.v * qv.v) AS dot,
+                     SUM(dv.v * dv.v) AS nd
+              FROM dv JOIN qv USING (pos) GROUP BY dv.vec_id),
+      nq AS (SELECT SUM(v * v) AS nq FROM qv)
+      SELECT vec_id, round(dot / (sqrt(nd) * sqrt(nq)), 6) AS cos
+      FROM agg, nq ORDER BY cos DESC, vec_id LIMIT 10"""))
+
   /** IVF ANN: k-means coarse quantizer, 2-of-8 lists probed. */
   val ivfTopK: GraftQuery = GraftQuery(
     "ivf_ann_topk_vec0",
@@ -118,5 +152,6 @@ object SimQueries extends QueryPack {
     None)
 
   override def queries: Seq[GraftQuery] =
-    Seq(cosineTopK, knnVote, nearDup, nearDupLsh, annTopK, ivfTopK)
+    Seq(cosineTopK, knnVote, nearDup, nearDupLsh, annTopK, annTopKSign,
+      ivfTopK)
 }

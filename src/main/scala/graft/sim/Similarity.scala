@@ -197,6 +197,35 @@ object Similarity {
       when(dotD(vec, typedLit(p)) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
+  /** Sign-bit bucket id from the first `nPlanes` coordinates — the
+    * deterministic, SQL-expressible axis-hyperplane hash (same family as
+    * `nearDupPairsSignLsh`), so ANN built on it is DuckDB-oracle-checkable
+    * end to end.
+    */
+  def signBucket(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { j =>
+      when(element_at(vec, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k with sign-bit (axis-hyperplane) buckets: score only vectors
+    * sharing the query's bucket, exact cosine rerank inside it. Fully
+    * deterministic and SQL-expressible — the whole pruned pipeline
+    * (bucketing + rerank) hash-checks against DuckDB.
+    */
+  def annTopKSign(
+      emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
+      nPlanes: Int = 4): DataFrame = {
+    val bucketed =
+      emb.withColumn("__bucket", signBucket(col(vecCol), nPlanes))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"), col("__bucket"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), Seq("__bucket"))
+      .select(col(idCol), Q.r6(cosine(col(vecCol), col("__qv"))).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** ANN top-k: score only vectors sharing the query's LSH bucket, exact
     * cosine rerank inside the bucket. Recall < 1 by design; nPlanes trades
     * bucket size vs recall.

@@ -107,11 +107,46 @@ object EventOps {
       }
   }
 
-  /** The hourly aggregation as a Structured Streaming query over the same
-    * parquet (watermark + tumbling window). Returns the streaming DF; the
-    * caller starts it (tests use a memory sink + processAllAvailable).
+  /** Runs `streamingHourly` to completion through a memory sink (complete
+    * mode) and returns the final table — this is how the driver gate
+    * hash-checks the Structured Streaming path against the exact same
+    * DuckDB oracle as the batch `hourly`.
     */
-  def streamingHourly(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamingHourlyResult(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_hourly"
+    val sq = streamingHourly(spark, sfDir)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try sq.processAllAvailable() finally sq.stop()
+    spark.table(name).orderBy("hour", "event_type")
+  }
+
+  /** Stateful streaming sessionization run to completion: the
+    * `flatMapGroupsWithState` operator over a streaming read of the same
+    * events, update-mode memory sink. Counts are cumulative per user, so
+    * the final value per user is the max across emitted updates — equal to
+    * the batch `sessionize` output, hence checkable by the same oracle.
+    */
+  def streamingSessionizeResult(
+      spark: SparkSession, sfDir: String, gapUs: Long): DataFrame = {
+    import spark.implicits._
+    val name = "graft_stream_sessions"
+    val evs = streamingEvents(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+      .as[UserEvent]
+    val sq = statefulSessionCounts(evs, gapUs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try sq.processAllAvailable() finally sq.stop()
+    spark.table(name).groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  /** Streaming read of the events parquet (explicit schema — required by
+    * readStream; ts stays int64 nanos via nanosAsLong).
+    */
+  def streamingEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
@@ -120,6 +155,14 @@ object EventOps {
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // source needs a directory
       .parquet(sfDir)
+  }
+
+  /** The hourly aggregation as a Structured Streaming query over the same
+    * parquet (watermark + tumbling window). Returns the streaming DF; the
+    * caller starts it (tests use a memory sink + processAllAvailable).
+    */
+  def streamingHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    streamingEvents(spark, sfDir)
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))

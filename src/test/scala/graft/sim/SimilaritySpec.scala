@@ -55,6 +55,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("sign-bucket ANN: results share the query bucket; cosines are exact") {
+    import org.apache.spark.sql.functions.col
+    val emb2 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb2.count().toInt
+    val exact = Similarity.cosineTopK(emb2, "vec_id", "embedding", 0L, n)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Similarity.annTopKSign(emb2, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, c) => assert(exact(id) == c) } // rerank is exact
+    val bucketed =
+      emb2.withColumn("__b", Similarity.signBucket(col("embedding"), 4))
+    val qb = bucketed.filter(col("vec_id") === 0L).select("__b")
+      .head().getLong(0)
+    val inBucket = bucketed.filter(col("__b") === qb).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    got.foreach { case (id, _) => assert(inBucket.contains(id)) }
+  }
+
   test("ANN bucket search finds the identical vector") {
     val got = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 2,
       nPlanes = 4, dim = 3)
