@@ -171,6 +171,54 @@ object Dedup {
             1.0 / expr("size(sig_a)")).as("est_jaccard"))
   }
 
+  /** Connected components over an undirected edge list `(id_a, id_b)` by
+    * iterative min-label propagation: every vertex's label converges to
+    * the smallest vertex id in its component — the canonical "keep this
+    * doc, drop the rest" cluster id that turns near-dup PAIRS into dedup
+    * DECISIONS.
+    *
+    * Each iteration is one equi-join + one min-aggregation on vertex id
+    * (plain shuffles AQE can size), and lineage is truncated with an
+    * eager localCheckpoint so plan depth stays O(1) across iterations.
+    * Converges in O(component diameter) passes — near-dup graphs are
+    * shallow (LSH clusters are quasi-cliques), so this beats the
+    * constant-factor-heavier large-star/small-star on the graphs this
+    * engine feeds it; the join+min primitives are the same if a
+    * deep-graph variant is ever needed.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .unionByName(edges.select(
+        col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("comp").as("nbr"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (coalesce(col("nbr"), col("comp")) < col("comp"))
+            .cast("long").as("__chg"))
+        .localCheckpoint()
+      changed = next.agg(coalesce(sum("__chg"), lit(0L))).head().getLong(0)
+      labels = next.drop("__chg")
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** SimHash over whitespace tokens weighted by in-doc frequency.
     * One explode + one wide aggregation; fingerprint assembled bitwise.
     * Default: 63 bits of xxhash64. With (`md5Hash60`, nBits = 60) the

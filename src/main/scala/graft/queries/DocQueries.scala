@@ -226,6 +226,126 @@ object DocQueries extends QueryPack {
       SELECT id_a, id_b, round(ej, 6) AS est_jaccard
       FROM est WHERE round(ej, 6) >= 0.5 ORDER BY id_a, id_b"""))
 
+  /** Near-dup CLUSTERS, end to end: MinHash(32) + LSH candidates
+    * (est_jaccard >= 0.5) as edges, connected components by min-label
+    * propagation, one row per clustered doc with its canonical (minimum)
+    * id — i.e. the actual keep/drop decision a dedup pipeline ships. The
+    * oracle replays the whole pipeline in DuckDB, with the component step
+    * as a recursive transitive-closure CTE.
+    */
+  val dedupClusters: GraftQuery = GraftQuery(
+    "dedup_clusters_lsh",
+    (s, dir) => {
+      val sh = Dedup.shingleSet(Tables(s, dir, "documents"), "doc_id", "text", 3)
+      val sigs = Dedup.minhashSignaturesPerm(sh, 32)
+      val edges = Dedup.lshCandidates(sigs, 4, sqlBuckets = true)
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.connectedComponents(edges)
+        .select(col("id"), col("comp").as("component"))
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INTEGER), 3) AS sh
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 2)) AS i
+              FROM documents)),
+      base AS (
+        SELECT id,
+               CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT)
+                 % 2147483647 AS h
+        FROM sh),
+      perms(p, a, b) AS (VALUES $permValues),
+      mh AS (
+        SELECT id, p, MIN((a * h + b) % 2147483647) AS m
+        FROM base CROSS JOIN perms
+        GROUP BY id, p),
+      bk AS (
+        SELECT id, p // 8 AS band,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS bucket
+        FROM mh GROUP BY id, p // 8),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                               AND a.id < b.id),
+      est AS (
+        SELECT c.id_a, c.id_b,
+               SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 32.0 AS ej
+        FROM cand c
+        JOIN mh ma ON ma.id = c.id_a
+        JOIN mh mb ON mb.id = c.id_b AND mb.p = ma.p
+        GROUP BY c.id_a, c.id_b),
+      edges AS (SELECT id_a, id_b FROM est WHERE round(ej, 6) >= 0.5),
+      sym AS (SELECT id_a AS s, id_b AS d FROM edges
+              UNION SELECT id_b, id_a FROM edges),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM sym
+        UNION
+        SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id)
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id"""))
+
+  /** Greedy sequence packing per language at a 512-token budget — the
+    * LLM-batch construction step; the oracle replays the sequential
+    * accumulate/reset scan as a recursive CTE over row_number.
+    */
+  val packDocs: GraftQuery = GraftQuery(
+    "pack_greedy_docs",
+    (s, dir) => graft.text.Packing.packGreedy(
+        Tables(s, dir, "documents"), "lang", "doc_id",
+        TextOps.tokenCount(col("text")), budget = 512L)
+      .select(col("lang"), col("doc_id"), col("weight").as("n_tokens"),
+        col("pack"))
+      .orderBy("lang", "doc_id"),
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents),
+      p(lang, rn, doc_id, nt, pack, acc) AS (
+        SELECT lang, rn, doc_id, nt, CAST(0 AS BIGINT), nt
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.lang, d.rn, d.doc_id, d.nt,
+               CASE WHEN p.acc + d.nt > 512 THEN p.pack + 1 ELSE p.pack END,
+               CASE WHEN p.acc + d.nt > 512 THEN d.nt ELSE p.acc + d.nt END
+        FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
+      SELECT lang, doc_id, nt AS n_tokens, pack
+      FROM p ORDER BY lang, doc_id"""))
+
+  /** Corpus downsampling, end to end: quality filter (on the r6-rounded
+    * score, so the threshold compare is boundary-safe cross-engine) +
+    * deterministic 50% md5-hash sample, summarized per language.
+    */
+  val qualitySample: GraftQuery = GraftQuery(
+    "quality_sample_docs",
+    (s, dir) => graft.split.Splits.hashSample(
+        Tables(s, dir, "documents"), col("doc_id"), 50)
+      .filter(Q.r6(TextOps.qualityScore(col("text"), stop)) >= 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(TextOps.tokenCount(col("text"))).as("sum_tokens"))
+      .orderBy("lang"),
+    Some("""
+      WITH b AS (
+        SELECT lang, text,
+               len(string_split(text, ' ')) AS nt,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a'))) AS nstop
+        FROM documents
+        WHERE CAST(concat('0x',
+                 substring(md5(CAST(doc_id AS VARCHAR) || '|0'), 1, 15))
+               AS BIGINT) % 100 < 50),
+      q AS (
+        SELECT lang, nt,
+               round(0.4 * least(length(text) / 500.0, 1.0)
+                   + 0.3 * (1.0 - nstop * 1.0 / nt)
+                   + 0.3 * least(((length(text) - (nt - 1)) * 1.0 / nt) / 8.0,
+                                 1.0), 6) AS quality
+        FROM b)
+      SELECT lang, COUNT(*) AS n, CAST(SUM(nt) AS BIGINT) AS sum_tokens
+      FROM q WHERE quality >= 0.5 GROUP BY lang ORDER BY lang"""))
+
   private val simhashBits = 60
   private val simhashBitSums = (0 until simhashBits).map(i =>
     s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN w ELSE -w END) AS s$i")
@@ -264,5 +384,6 @@ object DocQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] = Seq(
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
-    jaccardAdjacent, minhashLsh, simhashDocs)
+    jaccardAdjacent, minhashLsh, simhashDocs, dedupClusters, packDocs,
+    qualitySample)
 }

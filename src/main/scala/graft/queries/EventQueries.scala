@@ -56,6 +56,45 @@ object EventQueries extends QueryPack {
       EventOps.streamingSessionizeResult(s, dir, 30L * 60 * 1000000L),
     Some(sessionizeSql))
 
+  /** Sliding windows (2h length, 1h slide): each event is counted in two
+    * windows; the oracle unnests the two window starts explicitly.
+    */
+  val sliding: GraftQuery = GraftQuery(
+    "events_sliding_2h",
+    (s, dir) => EventOps.sliding(EventOps.events(s, dir)),
+    Some("""
+      SELECT strftime(ws, '%Y-%m-%d %H') AS win_start, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+      FROM (SELECT event_type, value,
+                   unnest([date_trunc('hour', ts),
+                           date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+            FROM events)
+      GROUP BY ws, event_type ORDER BY win_start, event_type"""))
+
+  private val pairsSql = """
+      WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      c AS (SELECT user_id, tus AS click_us FROM x WHERE event_type = 'click'),
+      e AS (SELECT user_id, tus AS err_us FROM x WHERE event_type = 'error')
+      SELECT e.user_id, COUNT(*) AS n_pairs
+      FROM e JOIN c ON c.user_id = e.user_id
+        AND c.click_us BETWEEN e.err_us - 1800000000 AND e.err_us
+      GROUP BY e.user_id ORDER BY e.user_id"""
+
+  /** Interval (range) join: clicks within 30 min before each error. */
+  val intervalJoin: GraftQuery = GraftQuery(
+    "interval_join_click_error",
+    (s, dir) =>
+      EventOps.clickErrorPairs(EventOps.events(s, dir), 30L * 60 * 1000000L),
+    Some(pairsSql))
+
+  /** The same interval join through a watermarked STREAM-STREAM join. */
+  val intervalJoinStream: GraftQuery = GraftQuery(
+    "interval_join_stream",
+    (s, dir) => EventOps.streamingClickErrorPairs(s, dir, 30L * 60 * 1000000L),
+    Some(pairsSql))
+
   val asofClick: GraftQuery = GraftQuery(
     "asof_last_click_before_error",
     (s, dir) => EventOps.lastClickBeforeError(EventOps.events(s, dir)),
@@ -73,5 +112,6 @@ object EventQueries extends QueryPack {
       FROM w WHERE event_type = 'error' ORDER BY event_id"""))
 
   override def queries: Seq[GraftQuery] =
-    Seq(hourly, hourlyStream, sessionize, sessionizeStream, asofClick)
+    Seq(hourly, hourlyStream, sessionize, sessionizeStream, sliding,
+      intervalJoin, intervalJoinStream, asofClick)
 }

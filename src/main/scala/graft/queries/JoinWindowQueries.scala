@@ -104,5 +104,79 @@ object JoinWindowQueries extends QueryPack {
       FROM orders WHERE o_custkey < 50
       ORDER BY o_custkey, o_orderdate, o_orderkey"""))
 
-  override def queries: Seq[GraftQuery] = Seq(semi, anti, rollup, runningTotal)
+  /** Pivot (long->wide): order counts per priority pivoted on status —
+    * the reshape surface of pandas pivot_table / crosstab as a first-class
+    * wide-schema operator (fixed pivot values => static schema, one
+    * shuffle; the oracle is the equivalent conditional aggregation).
+    */
+  val pivot: GraftQuery = GraftQuery(
+    "pivot_priority_status",
+    (s, dir) => Tables(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"),
+        col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy("o_orderpriority"),
+    Some("""
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Cube: all four grouping combinations of (status, priority) in one
+    * Expand pass (rollup's full-lattice sibling).
+    */
+  val cubeQ: GraftQuery = GraftQuery(
+    "cube_status_priority",
+    (s, dir) => Tables(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("n"))
+      .orderBy("status", "prio"),
+    Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS prio,
+             COUNT(*) AS n
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, prio"""))
+
+  /** Ranking-window breadth in one pass: ntile quartiles, lag deltas,
+    * percent_rank and cume_dist per nation over balance cents (unique
+    * (cents, custkey) order key => no peer-group ambiguity cross-engine).
+    */
+  val analytic: GraftQuery = GraftQuery(
+    "analytic_acctbal_windows",
+    (s, dir) => {
+      val w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+      Tables(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          Q.cents("c_acctbal").as("cents"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("delta_prev", col("cents") - lag("cents", 1).over(w))
+        .withColumn("pct_rank", Q.r6(percent_rank().over(w)))
+        .withColumn("cum_dist", Q.r6(cume_dist().over(w)))
+        .orderBy("c_nationkey", "c_custkey")
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_nationkey, c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer)
+      SELECT c_nationkey, c_custkey, cents,
+             ntile(4) OVER w AS quartile,
+             cents - lag(cents, 1) OVER w AS delta_prev,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cum_dist
+      FROM c
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY cents, c_custkey)
+      ORDER BY c_nationkey, c_custkey"""))
+
+  override def queries: Seq[GraftQuery] =
+    Seq(semi, anti, rollup, runningTotal, pivot, cubeQ, analytic)
 }

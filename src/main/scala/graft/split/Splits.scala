@@ -20,6 +20,18 @@ object Splits {
   def hashFold(df: DataFrame, idCol: String, k: Int): DataFrame =
     df.withColumn("fold", pmod(col(idCol), lit(k.toLong)).cast("int"))
 
+  /** Deterministic hash sampling: keep rows whose seeded 60-bit md5 hash
+    * of `keyCol` lands in the lowest `pct` of 100 buckets. Pure
+    * projection, reproducible across runs AND engines (the hash is
+    * DuckDB-expressible), and — unlike `hashFold`'s modulo — immune to
+    * id-assignment patterns. The training-corpus downsampling primitive.
+    */
+  def hashSample(
+      df: DataFrame, keyCol: org.apache.spark.sql.Column, pct: Int,
+      seed: Int = 0): DataFrame =
+    df.filter(
+      graft.dedup.Dedup.md5Hash60(keyCol.cast("string"), seed) % 100 < pct)
+
   /** Seeded random split: fraction `frac` -> split=0 (train), rest ->
     * split=1. Pure projection (rand is per-row, no shuffle).
     */

@@ -43,6 +43,18 @@ object EventOps {
         sum(Q.cents("value")).as("sum_value_cents"))
       .orderBy("hour", "event_type")
 
+  /** Sliding-window counts: 2-hour windows advancing hourly, so every
+    * event lands in exactly two windows (Spark's multi-assign
+    * `window(col, len, slide)` — one Expand + one shuffle, no self-join).
+    */
+  def sliding(df: DataFrame): DataFrame =
+    df.groupBy(window(col("event_ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(Q.cents("value")).as("sum_value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("win_start"),
+        col("event_type"), col("n"), col("sum_value_cents"))
+      .orderBy("win_start", "event_type")
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapNs`. One shuffle
     * (window by user).
@@ -58,6 +70,54 @@ object EventOps {
       .agg(
         count(lit(1)).as("n_events"),
         sum("__new_sess").as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  /** Interval join: per user, count (click, error) pairs where the click
+    * falls within [error - gapUs, error]. Equi-join on user_id carries the
+    * shuffle; the range predicate filters inside the join — at scale this
+    * partitions by user and never goes cartesian.
+    */
+  def clickErrorPairs(df: DataFrame, gapUs: Long): DataFrame = {
+    val c = df.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("click_us"))
+    val e = df.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us").as("err_us"))
+    e.join(c, Seq("user_id"))
+      .filter(col("click_us") >= col("err_us") - gapUs &&
+        col("click_us") <= col("err_us"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  /** The same interval join as a STREAM-STREAM join: two watermarked
+    * streaming reads of the events, inner-joined on user + time range
+    * (Spark buffers each side's state only up to the watermark bound),
+    * appended to a memory sink and aggregated batch-side — hash-checked
+    * by the identical DuckDB oracle as the batch form.
+    */
+  def streamingClickErrorPairs(
+      spark: SparkSession, sfDir: String, gapUs: Long): DataFrame = {
+    val name = "graft_stream_pairs"
+    val ev = streamingEvents(spark, sfDir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    val joined = clicks.join(
+      errors,
+      expr(s"""c_user = e_user
+        AND click_ts >= err_ts - INTERVAL ${gapUs / 1000000L} SECONDS
+        AND click_ts <= err_ts"""))
+    val sq = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try sq.processAllAvailable() finally sq.stop()
+    spark.table(name)
+      .groupBy(col("e_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
       .orderBy("user_id")
   }
 

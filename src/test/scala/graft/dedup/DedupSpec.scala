@@ -36,6 +36,23 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(!cand.contains((1L, 4L)))
   }
 
+  test("connected components: chain + pair collapse to min ids") {
+    // 1-2-3 is a chain (2-3 only via transitivity), 10-11 a pair
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long path needs propagation rounds; empty ok") {
+    val path = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.keySet == (1L to 10L).toSet && comp.values.forall(_ == 1L))
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("simhash: identical docs get identical fingerprints, different differ") {
     val fp = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

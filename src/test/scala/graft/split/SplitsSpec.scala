@@ -14,6 +14,22 @@ class SplitsSpec extends AnyFunSuite with SparkTestSession {
     assert(folds == Map(0 -> 20L, 1 -> 20L, 2 -> 20L, 3 -> 20L, 4 -> 20L))
   }
 
+  test("hashSample: deterministic, seed-sensitive, near the target rate") {
+    val df = (1L to 1000L).toDF("id")
+    val kept = Splits.hashSample(df, col("id"), 50)
+      .collect().map(_.getLong(0)).toSet
+    // md5 is uniform: 50% +/- a generous tolerance
+    assert(kept.size > 400 && kept.size < 600)
+    val again = Splits.hashSample(df, col("id"), 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == again)
+    val other = Splits.hashSample(df, col("id"), 50, seed = 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept != other)
+    assert(Splits.hashSample(df, col("id"), 0).count() == 0)
+    assert(Splits.hashSample(df, col("id"), 100).count() == 1000)
+  }
+
   test("stratified split: exact per-class proportions, disjoint, reproducible") {
     val df = ((1 to 80).map(i => (i, "a")) ++ (1 to 20).map(i => (i + 100, "b")))
       .toDF("id", "label")

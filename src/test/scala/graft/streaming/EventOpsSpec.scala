@@ -33,6 +33,18 @@ class EventOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got(6L) == None)         // user 9 never clicked
   }
 
+  test("interval join counts clicks in [error - gap, error] per user") {
+    val df = Seq(
+      (1L, us(0), 7L, "click"), (2L, us(10), 7L, "click"),
+      (3L, us(20), 7L, "error"),  // clicks at 0,10 within 30min -> 2 pairs
+      (4L, us(60), 7L, "error"),  // nothing within [30, 60] -> no row share
+      (5L, us(5), 9L, "view"))    // no clicks for user 9
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    val got = EventOps.clickErrorPairs(df, us(30)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 2L))
+  }
+
   test("stateful streaming sessionization matches the batch operator") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = EventOps.sessionize(
