@@ -1,8 +1,9 @@
 package graft.dedup
 
 import graft.Q
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Deduplication operators for training-data pipelines: exact (hash
   * groupBy), character-shingle Jaccard, MinHash+LSH, SimHash.
@@ -210,13 +211,43 @@ object Dedup {
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
           (coalesce(col("nbr"), col("comp")) < col("comp"))
             .cast("long").as("__chg"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the old gen is freed
       changed = next.agg(coalesce(sum("__chg"), lit(0L))).head().getLong(0)
+      labels.unpersist() // superseded checkpoint blocks — don't pin memory
       labels = next.drop("__chg")
       i += 1
     }
     sym.unpersist()
     labels
+  }
+
+  /** STREAMING exact dedup: the same keep-first-arrival semantics as
+    * `exactDupGroups`, but over a Structured Streaming read —
+    * `dropDuplicates` keeps per-key state (one md5 fingerprint per
+    * distinct doc) across micro-batches, so late duplicates are dropped
+    * exactly once no matter which batch they arrive in. The survivors
+    * drain to a memory sink and are summarized per language batch-side;
+    * the oracle is the batch COUNT(DISTINCT text) per lang.
+    */
+  def streamingDistinctCounts(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_dedup"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet") // source needs a dir
+      .parquet(sfDir)
+    val sq = docs
+      .select(col("lang"), md5(col("text").cast("binary")).as("fp"))
+      .dropDuplicates("lang", "fp")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try sq.processAllAvailable() finally sq.stop()
+    spark.table(name)
+      .groupBy("lang").agg(count(lit(1)).as("n_distinct"))
+      .orderBy("lang")
   }
 
   /** SimHash over whitespace tokens weighted by in-doc frequency.

@@ -346,6 +346,17 @@ object DocQueries extends QueryPack {
       SELECT lang, COUNT(*) AS n, CAST(SUM(nt) AS BIGINT) AS sum_tokens
       FROM q WHERE quality >= 0.5 GROUP BY lang ORDER BY lang"""))
 
+  /** Exact dedup THROUGH Structured Streaming: dropDuplicates state across
+    * micro-batches, per-language distinct counts, batch COUNT(DISTINCT)
+    * oracle.
+    */
+  val dedupStream: GraftQuery = GraftQuery(
+    "dedup_distinct_stream",
+    (s, dir) => Dedup.streamingDistinctCounts(s, dir),
+    Some("""
+      SELECT lang, COUNT(DISTINCT text) AS n_distinct
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   private val simhashBits = 60
   private val simhashBitSums = (0 until simhashBits).map(i =>
     s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN w ELSE -w END) AS s$i")
@@ -385,5 +396,5 @@ object DocQueries extends QueryPack {
   override def queries: Seq[GraftQuery] = Seq(
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
     jaccardAdjacent, minhashLsh, simhashDocs, dedupClusters, packDocs,
-    qualitySample)
+    qualitySample, dedupStream)
 }

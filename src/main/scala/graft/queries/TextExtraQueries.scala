@@ -73,5 +73,111 @@ object TextExtraQueries extends QueryPack {
              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       FROM orders GROUP BY y, m ORDER BY y, m"""))
 
-  override def queries: Seq[GraftQuery] = Seq(wordCount, describeStrings, monthly)
+  /** Context-window chunking: 64-token chunks with 16-token overlap
+    * (stride 48). Output carries each chunk's md5 so the oracle
+    * hash-checks chunk CONTENT, not just counts. The oracle replays the
+    * chunk grid with generate_series + list_slice.
+    */
+  val chunkDocs: GraftQuery = GraftQuery(
+    "chunk_docs_64_16",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.text.TextOps.chunkTokens(col("text"), 64, 16))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        substring(md5(array_join(col("chunk"), " ").cast("binary")), 1, 16)
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id"),
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                        len(string_split(text, ' ')) AS nt
+                 FROM documents),
+      c AS (SELECT doc_id, toks, nt,
+                   unnest(generate_series(0,
+                     CASE WHEN nt <= 64 THEN 0
+                          ELSE (nt - 64 + 47) // 48 END)) AS chunk_id
+            FROM d)
+      SELECT doc_id, chunk_id,
+             CAST(least(nt - chunk_id * 48, 64) AS BIGINT) AS n_tokens,
+             substring(md5(array_to_string(
+               list_slice(toks, CAST(chunk_id * 48 + 1 AS INTEGER),
+                          CAST(least(chunk_id * 48 + 64, nt) AS INTEGER)),
+               ' ')), 1, 16) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_id"""))
+
+  /** TF-IDF relevance: top-3 terms per document by tf * ln(N/df). The
+    * corpus size joins in as a 1-row broadcast (no driver-side count);
+    * ranking is on the r6-rounded score with term as tie-break so both
+    * engines rank identically.
+    */
+  val tfidfTop: GraftQuery = GraftQuery(
+    "tfidf_top_terms",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
+      tf.join(dfc, "term").crossJoin(broadcast(n))
+        .withColumn("score", Q.r6(col("tf") * log(col("n_docs") / col("df_docs"))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("score"))
+        .orderBy("doc_id", "rk")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+             GROUP BY doc_id, term),
+      dfc AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+      sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+                    round(tf.tf * ln(n.n_docs / dfc.df_docs), 6) AS score
+             FROM tf JOIN dfc USING (term) CROSS JOIN n),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+            FROM sc)
+      SELECT doc_id, rk, term, tf, score FROM r
+      WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
+  /** Frequent-items surface: top-5 bigrams per language (zip_with over
+    * offset slices — no self-join, no UDF).
+    */
+  val topBigrams: GraftQuery = GraftQuery(
+    "top_bigrams_lang",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val nt = size(toks)
+      val w = Window.partitionBy("lang").orderBy(desc("n"), col("bigram"))
+      Tables(s, dir, "documents")
+        .select(col("lang"), explode(zip_with(
+          slice(toks, lit(1), nt - 1), slice(toks, lit(2), nt - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("bigram"), col("n"))
+        .orderBy("lang", "rk")
+    },
+    Some("""
+      WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+      i AS (SELECT lang, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t),
+      b AS (SELECT lang,
+                   toks[CAST(i AS INTEGER)] || ' ' ||
+                   toks[CAST(i AS INTEGER) + 1] AS bigram
+            FROM i),
+      c AS (SELECT lang, bigram, COUNT(*) AS n FROM b GROUP BY lang, bigram),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+            FROM c)
+      SELECT lang, rk, bigram, n FROM r WHERE rk <= 5 ORDER BY lang, rk"""))
+
+  override def queries: Seq[GraftQuery] =
+    Seq(wordCount, describeStrings, monthly, chunkDocs, tfidfTop, topBigrams)
 }

@@ -85,4 +85,25 @@ object TextOps {
     * count under-reports punctuation/number splits).
     */
   def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
+  /** Sliding-window token chunks: `chunkSize` tokens per chunk, the last
+    * `overlap` tokens shared with the next chunk — the LLM
+    * context-window splitting primitive. Returns array<array<string>>
+    * (posexplode for (chunk_id, chunk) rows). Pure array expressions —
+    * codegen'd, explode-parallel, no UDF; a doc always yields >= 1 chunk
+    * and the final chunk is truncated at the end of the doc.
+    */
+  def chunkTokens(c: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got ($chunkSize, $overlap)")
+    val stride = chunkSize - overlap
+    val toks = tokens(c)
+    val n = size(toks)
+    // 1 + ceil((n - chunkSize) / stride) for n > chunkSize, else 1.
+    // Double division of ints is correctly rounded, so ceil is exact here.
+    val nChunks = when(n <= chunkSize, lit(1)).otherwise(
+      ceil((n - chunkSize).cast("double") / stride).cast("int") + 1)
+    transform(sequence(lit(0), nChunks - 1),
+      i => slice(toks, i * stride + 1, lit(chunkSize)))
+  }
 }

@@ -50,4 +50,26 @@ class TextOpsSpec extends AnyFunSuite with SparkTestSession {
     val fp = df.select(TextOps.fingerprintMd5(col("t"))).head().getString(0)
     assert(fp == "5eb63bbbe01eeed0") // md5("hello world") prefix
   }
+
+  private def chunksOf(txt: String, size: Int, overlap: Int): Seq[String] =
+    Seq(txt).toDF("t")
+      .select(TextOps.chunkTokens(col("t"), size, overlap).as("c"))
+      .head().getSeq[scala.collection.Seq[String]](0)
+      .map(_.mkString(" ")).toList
+
+  test("chunkTokens: sliding windows with overlap, truncated tail") {
+    // 10 tokens, chunkSize 4, overlap 1 (stride 3): starts 0,3,6 cover to
+    // token 10 -> chunks [1..4],[4..7],[7..10]
+    val txt = (1 to 10).map(i => s"t$i").mkString(" ")
+    assert(chunksOf(txt, 4, 1) == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+
+    // 11 tokens: one more start at 9 -> 2-token tail
+    val txt11 = (1 to 11).map(i => s"t$i").mkString(" ")
+    val c11 = chunksOf(txt11, 4, 1)
+    assert(c11.length == 4 && c11.last == "t10 t11")
+
+    // short doc: single truncated chunk
+    assert(chunksOf("a b", 4, 1) == Seq("a b"))
+  }
 }
