@@ -24,18 +24,26 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (dev iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Per-query repeat-and-take-min (default 2): this box's wall clock
+    // swings ±2x and heavy MLlib fits shadow the next query with GC debt —
+    // min-of-2 makes cross-round regressions attributable to plans, not
+    // JVM state.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Isolate queries: a query's leftover cached / localCheckpoint
-        // blocks must not shrink execution memory for the queries after it
-        // (observed 7s -> 200s on RF training from exactly this).
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        val dt = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val t = (System.nanoTime() - t0) / 1e9
+          // Isolate runs: leftover cached / localCheckpoint blocks must
+          // not shrink execution memory for what follows (observed
+          // 7s -> 200s on RF training from exactly this).
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          t
+        }.min
         name -> dt
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -188,13 +188,16 @@ object Dedup {
     * deep-graph variant is ever needed.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Materialize the (possibly expensive) upstream edge pipeline ONCE —
+    // an eager localCheckpoint truncates lineage so every iteration reads
+    // stored blocks instead of re-deriving (or first-action-priming) it.
     val sym = edges
       .select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
       .unionByName(edges.select(
         col("id_b").cast("long").as("src"),
         col("id_a").cast("long").as("dst")))
-      .distinct().persist()
+      .distinct().localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
@@ -204,17 +207,21 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("comp").as("nbr"))
+      // ONE action per iteration: the convergence count rides the
+      // checkpoint job as an observed metric instead of a second agg pass.
+      val obs = org.apache.spark.sql.Observation(s"cc_iter_$i")
       val next = labels
         .join(nbrMin, Seq("id"), "left")
+        .observe(obs, coalesce(
+          sum((coalesce(col("nbr"), col("comp")) < col("comp"))
+            .cast("long")), lit(0L)).as("chg"))
         .select(
           col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
-          (coalesce(col("nbr"), col("comp")) < col("comp"))
-            .cast("long").as("__chg"))
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
         .localCheckpoint() // eager: materialized before the old gen is freed
-      changed = next.agg(coalesce(sum("__chg"), lit(0L))).head().getLong(0)
+      changed = obs.get("chg").asInstanceOf[Long]
       labels.unpersist() // superseded checkpoint blocks — don't pin memory
-      labels = next.drop("__chg")
+      labels = next
       i += 1
     }
     sym.unpersist()

@@ -38,11 +38,50 @@ object Splits {
   def seededSplit(df: DataFrame, frac: Double, seed: Long): DataFrame =
     df.withColumn("split", when(rand(seed) < frac, 0).otherwise(1))
 
-  /** Stratified split with exact per-class proportions: shuffle each class
-    * by seeded rand, take the first ceil(frac*n_class) rows as train.
-    * One shuffle (window partitioned by label).
+  /** Stratified split with exact per-class proportions, scale-safe:
+    * exactly ceil(frac*n_class) rows per class go to train (split=0),
+    * chosen by seeded rand order — but WITHOUT a single global window
+    * task per class. Rows are salted into `saltBuckets` rank bands
+    * (salt = floor(rand*S), monotone in the rand key), ranked locally
+    * within (label, salt), and the exact global rank is recovered by
+    * adding each band's cumulative offset (a tiny classes×S aggregate,
+    * broadcast back). Max task size is ~n_class/saltBuckets instead of
+    * n_class.
     */
   def stratifiedSplit(
+      df: DataFrame, labelCol: String, frac: Double, seed: Long,
+      saltBuckets: Int = 64): DataFrame = {
+    val withR = df
+      .withColumn("__r", rand(seed))
+      .withColumn("__salt", floor(col("__r") * saltBuckets).cast("int"))
+    val bands = withR.groupBy(labelCol, "__salt")
+      .agg(count(lit(1)).as("__bn"))
+    // cumulative offset of each band within its class: a window over only
+    // classes×saltBuckets aggregate rows — never over data rows
+    val wCum = Window.partitionBy(labelCol).orderBy("__salt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(labelCol)
+    val offs = bands
+      .withColumn("__off", coalesce(sum("__bn").over(wCum), lit(0L)))
+      .withColumn("__n", sum("__bn").over(wAll))
+      .drop("__bn")
+    val wLocal = Window.partitionBy(col(labelCol), col("__salt"))
+      .orderBy("__r")
+    withR
+      .withColumn("__rn", row_number().over(wLocal))
+      .join(broadcast(offs), Seq(labelCol, "__salt"))
+      .withColumn(
+        "split",
+        when(col("__off") + col("__rn") <= ceil(col("__n") * frac), 0)
+          .otherwise(1))
+      .drop("__r", "__salt", "__rn", "__off", "__n")
+  }
+
+  /** The straightforward one-window-per-class form — the SPEC ORACLE for
+    * [[stratifiedSplit]]'s per-class counts. Single task per class; do not
+    * register at scale.
+    */
+  def stratifiedSplitWindowed(
       df: DataFrame, labelCol: String, frac: Double, seed: Long): DataFrame = {
     val w = Window.partitionBy(labelCol).orderBy(rand(seed))
     val counts = Window.partitionBy(labelCol)

@@ -25,24 +25,63 @@ final case class LabelEncodeModel(column: String, vocab: DataFrame) {
 }
 
 object LabelEncoder {
-  /** Fit = sorted distinct non-null values -> codes 0..k-1.
-    * Codes come from zipWithIndex over a range-sorted distinct set: the
-    * sort is a parallel range partition and the index pass only counts
-    * partition sizes — no single-task global window, so a 100M-term
-    * vocabulary still fits. Order (and therefore every code) is identical
-    * to the old global row_number.
+  /** Vocabularies at or below this size are coded with a single global
+    * window — one task sorting only the DISTINCT values, which for ≤1M
+    * strings is cheaper than any distributed rank machinery.
     */
-  def fit(df: DataFrame, column: String): LabelEncodeModel = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val vocab = df
+  val SmallVocab = 1000000L
+
+  /** Fit = sorted distinct non-null values -> codes 0..k-1, size-gated:
+    *
+    *  - small vocab (≤ [[SmallVocab]] distinct values): plain
+    *    `row_number` over a global sort of the distinct set. Stays fully
+    *    inside Catalyst/codegen; the single task holds only the
+    *    vocabulary, never the data.
+    *  - large vocab: range-repartition the distinct set (parallel sort),
+    *    freeze the partitioning with an eager localCheckpoint, then code =
+    *    per-partition `row_number` + a broadcast cumulative-offset join
+    *    keyed on `spark_partition_id()`. No single-task window, no RDD
+    *    seam; the checkpoint pins partition boundaries so codes are
+    *    stable across re-executions.
+    *
+    * Order (and therefore every code) is identical between the paths.
+    */
+  def fit(
+      df: DataFrame, column: String,
+      smallVocabThreshold: Long = SmallVocab): LabelEncodeModel = {
+    val distinctVals = df
       .select(col(column).cast("string").as("value"))
       .filter(col("value").isNotNull)
       .distinct()
-      .orderBy("value")
-      .rdd.map(_.getString(0)).zipWithIndex()
-      .toDF("value", "__idx")
-      .select(col("value"), col("__idx").cast("int").as("__code"))
+    val n = distinctVals.count()
+    val vocab =
+      if (n <= smallVocabThreshold) {
+        distinctVals
+          .withColumn("__code",
+            (row_number().over(Window.orderBy("value")) - 1).cast("int"))
+      } else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val parts = spark.sparkContext.defaultParallelism.max(2)
+        val sorted = distinctVals
+          .repartitionByRange(parts, col("value"))
+          .sortWithinPartitions("value")
+          .localCheckpoint() // eager: pins range boundaries + pid mapping
+        val sizes = sorted
+          .groupBy(spark_partition_id().as("__pid"))
+          .agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        val offsets =
+          sizes.map(_._1).zip(sizes.map(_._2).scanLeft(0L)(_ + _).init)
+        val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+        val wLocal = Window.partitionBy("__pid").orderBy("value")
+        sorted
+          .withColumn("__pid", spark_partition_id())
+          .withColumn("__rn", row_number().over(wLocal))
+          .join(offDf, Seq("__pid"))
+          .select(col("value"),
+            (col("__off") + col("__rn") - 1).cast("int").as("__code"))
+      }
     LabelEncodeModel(column, vocab)
   }
 

@@ -43,4 +43,21 @@ class SplitsSpec extends AnyFunSuite with SparkTestSession {
       sameElements
       s2.filter(col("split") === 0).select("id").collect().map(_.getInt(0)).sorted)
   }
+
+  test("salted split matches the windowed spec-oracle per-class counts") {
+    val df = ((1 to 321).map(i => (i, "a")) ++ (1 to 77).map(i => (i + 1000, "b")) ++
+      Seq((5000, "c"))).toDF("id", "label")
+    def counts(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("label", "split").count()
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (frac <- Seq(0.5, 0.8, 1.0)) {
+      val salted = counts(Splits.stratifiedSplit(df, "label", frac, 42, saltBuckets = 7))
+      val windowed = counts(Splits.stratifiedSplitWindowed(df, "label", frac, 42))
+      assert(salted == windowed, s"frac=$frac")
+    }
+    // the registered plan's data-row window is salted (bounded task size)
+    val plan = Splits.stratifiedSplit(df, "label", 0.8, 42)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), "expected salted window partitioning")
+  }
 }

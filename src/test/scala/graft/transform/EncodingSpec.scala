@@ -23,6 +23,19 @@ class EncodingSpec extends AnyFunSuite with SparkTestSession {
     assert(got == 1) // x -> 0, y -> 1
   }
 
+  test("large-vocab offset path assigns identical codes to the window path") {
+    val vals = scala.util.Random.shuffle((0 until 500).map(i => f"v$i%04d"))
+    val df = vals.toDF("c")
+    val small = LabelEncoder.fit(df, "c")
+    val large = LabelEncoder.fit(df, "c", smallVocabThreshold = 0L)
+    val sm = small.vocab.as[(String, Int)].collect().toMap
+    val lg = large.vocab.as[(String, Int)].collect().toMap
+    assert(lg == sm)
+    assert(sm.size == 500 && sm(f"v${0}%04d") == 0 && sm(f"v${499}%04d") == 499)
+    // codes stay stable across re-executions of the vocab plan
+    assert(large.vocab.as[(String, Int)].collect().toMap == lg)
+  }
+
   test("standardize matches sklearn ddof=0 closed form") {
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
     val m = Standardizer.fit(df, "x", decimals = 0)
