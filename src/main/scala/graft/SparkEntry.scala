@@ -12,7 +12,7 @@ object SparkEntry {
   private lazy val packs: Seq[QueryPack] = Seq(
     CoreQueries, StatsQueries, TransformQueries, MetricsQueries, DocQueries,
     EventQueries, SimQueries, TreeQueries, ModelQueries, MiscQueries,
-    JoinWindowQueries, ProfilingQueries, TextExtraQueries)
+    JoinWindowQueries, ProfilingQueries, TextExtraQueries, PipelineQueries)
 
   lazy val allQueries: Seq[GraftQuery] = {
     val qs = packs.flatMap(_.queries)

@@ -207,21 +207,23 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("comp").as("nbr"))
-      // ONE action per iteration: the convergence count rides the
-      // checkpoint job as an observed metric instead of a second agg pass.
-      val obs = org.apache.spark.sql.Observation(s"cc_iter_$i")
+      // NOTE: Dataset.observe would fold this count into the checkpoint
+      // job, but initializing the session's ObservationManager (a lazy,
+      // non-serializable field) poisons later task closures that capture
+      // the session via MLlib trainingSummary objects — so the
+      // convergence count is a second, cheap agg over the CHECKPOINTED
+      // labels (vertex-count rows, no joins) instead.
       val next = labels
         .join(nbrMin, Seq("id"), "left")
-        .observe(obs, coalesce(
-          sum((coalesce(col("nbr"), col("comp")) < col("comp"))
-            .cast("long")), lit(0L)).as("chg"))
         .select(
           col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (coalesce(col("nbr"), col("comp")) < col("comp"))
+            .cast("long").as("__chg"))
         .localCheckpoint() // eager: materialized before the old gen is freed
-      changed = obs.get("chg").asInstanceOf[Long]
+      changed = next.agg(coalesce(sum("__chg"), lit(0L))).head().getLong(0)
       labels.unpersist() // superseded checkpoint blocks — don't pin memory
-      labels = next
+      labels = next.drop("__chg")
       i += 1
     }
     sym.unpersist()

@@ -2,7 +2,23 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Shared synthetic house-schema generator (FIXTURES.md §1). */
+/** FIXTURES.md §1 house train-table schema (top level for the Encoder). */
+case class House(
+    id: Long, country: String, property_type: String,
+    furnishing_status: String, property_size_sqft: Long, price: Long,
+    constructed_year: Long, previous_owners: Long, rooms: Long,
+    bathrooms: Long, garage: Long, garden: Long,
+    crime_cases_reported: Long, legal_cases_on_property: Long,
+    customer_salary: Long, loan_amount: Long, loan_tenure_years: Long,
+    monthly_expenses: Long, down_payment: Long,
+    emi_to_income_ratio: Double, satisfaction_score: Long,
+    neighbourhood_rating: Long, connectivity_score: Long)
+
+/** Deterministic synthetic house data with the reference's train/test
+  * schema (house_predict.py:22-56 column set) — the driver-facing gate
+  * for the two reference entry-point pipelines runs on this, since the
+  * harness tables don't carry the house schema. Seeded => reproducible.
+  */
 object HouseSynth {
   def synth(
       spark: SparkSession, n: Int, idBase: Long, seed: Long): DataFrame = {
@@ -27,6 +43,7 @@ object HouseSynth {
     }.toDF()
   }
 
+  /** Train variant with the learnable affordability label. */
   def labeled(spark: SparkSession, n: Int, seed: Long): DataFrame =
     synth(spark, n, 0, seed).selectExpr("*",
       "CAST(CASE WHEN customer_salary * 8 > price THEN 1 ELSE 0 END AS BIGINT) AS label")

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.{GraftQuery, Q, QueryPack}
+import graft.model.Models
+import graft.pipeline.{HousePipeline, HouseSynth, Sol2Pipeline}
+import org.apache.spark.sql.functions._
+
+/** Driver gates for the reference's two entry-point pipelines (SURVEY §3)
+  * and the M11 random-search CV operator — rows-only (seeded MLlib/tree
+  * training is engine-internal, not SQL), on deterministic synthetic
+  * house-schema data (the harness tables don't carry that schema).
+  */
+object PipelineQueries extends QueryPack {
+
+  /** Entry point 1 (house_predict.py __main__): preprocess -> stratified
+    * split -> level-wise tree -> submission. One summary row: validation
+    * metrics + submission label histogram.
+    */
+  val housePipeline: GraftQuery = GraftQuery(
+    "house_pipeline_gate",
+    (s, _) => {
+      val spark = s
+      import spark.implicits._
+      val train = HouseSynth.labeled(s, 2000, seed = 11)
+      val test = HouseSynth.synth(s, 800, idBase = 200000, seed = 12)
+      val r = HousePipeline.run(train, test,
+        HousePipeline.Config(tree = graft.tree.TreeParams(
+          maxDepth = 4, minSamplesSplit = 20, minSamplesLeaf = 10,
+          criterion = "entropy")))
+      val hist = r.submission.groupBy("label").agg(count(lit(1)).as("n"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      Seq((
+        Q.r6Double(r.valAccuracy), Q.r6Double(r.valMacroF1),
+        hist.getOrElse(0L, 0L), hist.getOrElse(1L, 0L),
+        hist.values.sum))
+        .toDF("val_accuracy", "val_macro_f1", "n_label0", "n_label1",
+          "n_submission")
+    },
+    None)
+
+  /** Entry point 2 (Sol_2.ipynb): notebook features -> encode ->
+    * stratified split -> balanced 3-model comparison -> best-family CV.
+    * Output: the (model, accuracy, macro_f1) report, best-first.
+    */
+  val sol2Pipeline: GraftQuery = GraftQuery(
+    "sol2_pipeline_gate",
+    (s, _) => {
+      val train = HouseSynth.labeled(s, 1500, seed = 21)
+      val r = Sol2Pipeline.run(train)
+      r.report.select(
+        col("model"), Q.r6(col("accuracy")).as("accuracy"),
+        Q.r6(col("macro_f1")).as("macro_f1"))
+    },
+    None)
+
+  /** M11 (random variant): seeded without-replacement sample of an RF
+    * param grid, k-fold CV scored by macro-F1 — the sampled points and
+    * their mean CV metric, best-first (deterministic given the seed).
+    */
+  val cvRandomSearch: GraftQuery = GraftQuery(
+    "cv_random_search",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val d = graft.Tables(s, dir, "lineitem").select(
+        col("l_quantity"), col("l_discount"), col("l_tax"),
+        col("l_extendedprice"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("label"))
+      val feats =
+        Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+      val rf = new org.apache.spark.ml.classification.RandomForestClassifier()
+        .setFeaturesCol("features").setLabelCol("label")
+        .setWeightCol("weight").setSeed(42)
+      val pipe = new org.apache.spark.ml.Pipeline().setStages(
+        Array(Models.assembler(feats), rf))
+      val grid = new org.apache.spark.ml.tuning.ParamGridBuilder()
+        .addGrid(rf.numTrees, Array(2, 4))
+        .addGrid(rf.maxDepth, Array(2, 3, 4))
+        .build()
+      val cv = Models.randomSearch(
+        d, "label", pipe, grid, nIter = 3, numFolds = 2, seed = 42)
+      cv.getEstimatorParamMaps.zip(cv.avgMetrics).toSeq
+        .map { case (pm, m) =>
+          (pm.get(rf.numTrees).get, pm.get(rf.maxDepth).get, Q.r6Double(m))
+        }
+        .toDF("num_trees", "max_depth", "avg_macro_f1")
+        .orderBy(desc("avg_macro_f1"), col("num_trees"), col("max_depth"))
+    },
+    None)
+
+  override def queries: Seq[GraftQuery] = Seq(
+    housePipeline, sol2Pipeline, cvRandomSearch)
+}

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
 
 /** Decision-tree queries (SURVEY §2.8 M8/M9, §2.4 A11-A14, A20).
   *
-  * The trainer's core aggregation — the per-threshold information-gain
-  * table — is oracle-checked against DuckDB SQL that replicates the
-  * cumulative-histogram computation step by step. Full tree training is
-  * not SQL-expressible, so the end-to-end queries are rows-only there,
-  * with exact semantics covered by unit goldens.
+  * The FULL depth-3 level-wise trainer is oracle-checked: the DuckDB SQL
+  * below replays training end to end — per-(node,feature,threshold)
+  * cumulative gain tables, the reference's stopping rules and tie-breaks
+  * (gain desc, feature order, lowest threshold; house_predict.py:283-334),
+  * and per-level row routing — as three chained rounds of the
+  * `split_gains_discount` CTE shape. The binned queries additionally
+  * replay the exact-quantile bucketizer (`quantile_cont` is bit-identical
+  * to Spark `percentile`, and the i/16 probs are dyadic => exact).
   */
 object TreeQueries extends QueryPack {
 
@@ -65,18 +68,158 @@ object TreeQueries extends QueryPack {
     Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
   private val params =
     TreeParams(maxDepth = 3, minSamplesSplit = 50, minSamplesLeaf = 20)
+  private val nBins = 16
 
-  // memoized per (sfDir, binned): importance reuses the confusion query's
-  // model instead of retraining the identical tree
+  // memoized per (sfDir, binned): the query family shares 2 fits per
+  // scale factor instead of one per query
   private val modelCache =
     scala.collection.concurrent.TrieMap[(String, Boolean), graft.tree.TreeModel]()
   private def model(s: SparkSession, dir: String, binned: Boolean) =
     modelCache.getOrElseUpdate((dir, binned), DecisionTree.fit(
       labeled(s, dir), feats, "label",
-      if (binned) params.copy(maxBins = Some(16)) else params))
+      if (binned) params.copy(maxBins = Some(nBins)) else params))
+
+  // ---------------------------------------------------------------------
+  // DuckDB replay of the depth-3 level-wise trainer.
+  // ---------------------------------------------------------------------
+
+  /** Per-candidate entropy gain, operand-for-operand the same arithmetic
+    * order as `DecisionTree.impurityExpr`/`splitStats` (proven
+    * cross-engine by `split_gains_discount`).
+    */
+  private val gainSql =
+    """(-(CASE WHEN tc0 > 0 THEN (tc0/tn)*log2(tc0/tn) ELSE 0.0 END
+          + CASE WHEN tc1 > 0 THEN (tc1/tn)*log2(tc1/tn) ELSE 0.0 END))
+       - (ln/tn) * (-(CASE WHEN lc0 > 0 THEN (lc0/ln)*log2(lc0/ln) ELSE 0.0 END
+                      + CASE WHEN lc1 > 0 THEN (lc1/ln)*log2(lc1/ln) ELSE 0.0 END))
+       - ((tn-ln)/tn) * (-(CASE WHEN tc0-lc0 > 0 THEN ((tc0-lc0)/(tn-ln))*log2((tc0-lc0)/(tn-ln)) ELSE 0.0 END
+                           + CASE WHEN tc1-lc1 > 0 THEN ((tc1-lc1)/(tn-ln))*log2((tc1-lc1)/(tn-ln)) ELSE 0.0 END))"""
+
+  /** val-of-winning-feature expression for row alias `a` vs best alias `b`. */
+  private val bValSql =
+    "(CASE b.ford WHEN 0 THEN a.f0 WHEN 1 THEN a.f1 WHEN 2 THEN a.f2 ELSE a.f3 END)"
+
+  private val fordNameSql =
+    "(CASE b.ford WHEN 0 THEN 'l_quantity' WHEN 1 THEN 'l_discount'" +
+      " WHEN 2 THEN 'l_tax' ELSE 'l_extendedprice' END)"
+
+  /** One training level: searchable-node filter (reference stopping rules
+    * house_predict.py:325-334), melted gain table with minSamplesLeaf and
+    * lowest-distinct-value pruning, per-node winner (gain desc, feature
+    * order asc, threshold asc, strict gain > 0), and row routing to
+    * 2*node+1 / 2*node+2 (leaf rows keep their node — heap ids are unique
+    * so the last assignment IS the leaf).
+    */
+  private def levelSql(l: Int, binned: Boolean): String = {
+    // path thresholds: exact mode prints the raw split value; binned mode
+    // maps bucket code c back to edges(c+1) (right-closed buckets), i.e.
+    // 1-based e[c+2], exactly DecisionTree.fit's thresholdOf
+    val thrSql =
+      if (binned)
+        "printf('%.6f', (CASE b.ford WHEN 0 THEN e0.e[CAST(b.thr AS INTEGER)+2]" +
+          " WHEN 1 THEN e1.e[CAST(b.thr AS INTEGER)+2]" +
+          " WHEN 2 THEN e2.e[CAST(b.thr AS INTEGER)+2]" +
+          " ELSE e3.e[CAST(b.thr AS INTEGER)+2] END))"
+      else "printf('%.6f', b.thr)"
+    val edgeJoin = if (binned) ", e0, e1, e2, e3" else ""
+    s"""
+      sr$l AS (SELECT node FROM a$l GROUP BY node
+               HAVING COUNT(*) >= ${params.minSamplesSplit}
+                  AND SUM(y) > 0 AND COUNT(*) - SUM(y) > 0),
+      aj$l AS (SELECT a.* FROM a$l a JOIN sr$l s ON a.node = s.node),
+      m$l AS (
+        SELECT node, 0 AS ford, f0 AS v, y FROM aj$l
+        UNION ALL SELECT node, 1, f1, y FROM aj$l
+        UNION ALL SELECT node, 2, f2, y FROM aj$l
+        UNION ALL SELECT node, 3, f3, y FROM aj$l),
+      g$l AS (SELECT node, ford, v, COUNT(*) AS n,
+                     SUM(y) AS c1, COUNT(*) - SUM(y) AS c0
+              FROM m$l GROUP BY node, ford, v),
+      c$l AS (SELECT node, ford, v,
+                     SUM(n)  OVER wc AS ln,  SUM(n)  OVER wa AS tn,
+                     SUM(c0) OVER wc AS lc0, SUM(c0) OVER wa AS tc0,
+                     SUM(c1) OVER wc AS lc1, SUM(c1) OVER wa AS tc1,
+                     MIN(v)  OVER wa AS vmin
+              FROM g$l
+              WINDOW wc AS (PARTITION BY node, ford ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wa AS (PARTITION BY node, ford)),
+      s$l AS (SELECT node, ford, v, $gainSql AS gain
+              FROM c$l
+              WHERE v > vmin AND ln >= ${params.minSamplesLeaf}
+                AND tn - ln >= ${params.minSamplesLeaf}),
+      b$l AS (SELECT node, ford, v AS thr
+              FROM s$l WHERE gain > 0
+              QUALIFY row_number() OVER (PARTITION BY node
+                ORDER BY gain DESC, ford ASC, v ASC) = 1),
+      a${l + 1} AS (
+        SELECT a.f0, a.f1, a.f2, a.f3, a.y,
+               CASE WHEN b.node IS NULL THEN a.node
+                    WHEN $bValSql <= b.thr THEN 2*a.node+1
+                    ELSE 2*a.node+2 END AS node,
+               CASE WHEN b.node IS NULL THEN a.path
+                    ELSE a.path || (CASE WHEN a.path = '' THEN '' ELSE ' AND ' END)
+                         || $fordNameSql
+                         || (CASE WHEN $bValSql <= b.thr THEN ' <= ' ELSE ' > ' END)
+                         || $thrSql
+               END AS path
+        FROM a$l a LEFT JOIN b$l b ON a.node = b.node$edgeJoin)"""
+  }
+
+  /** The full 3-level training chain. Exact mode melts raw (double-cast)
+    * feature values; binned mode first fits 16 exact-quantile edges per
+    * feature (`QuantileBinner.fitMany` semantics: dedup'd sorted edges,
+    * the i/16 probs are exact dyadic doubles) and trains on bucket codes
+    * (= count of interior edges strictly below the value — the `cut`
+    * right-closed chain in closed form).
+    */
+  private def trainSql(binned: Boolean): String = {
+    val probs = (0 to nBins).map(i => i.toDouble / nBins).mkString("[", ", ", "]")
+    val rawF = Seq(
+      "CAST(l_quantity AS DOUBLE)", "CAST(l_discount AS DOUBLE)",
+      "CAST(l_tax AS DOUBLE)", "CAST(l_extendedprice AS DOUBLE)")
+    val base =
+      if (!binned)
+        s"""a0 AS (
+          SELECT ${rawF(0)} AS f0, ${rawF(1)} AS f1,
+                 ${rawF(2)} AS f2, ${rawF(3)} AS f3,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                 0 AS node, '' AS path
+          FROM lineitem)"""
+      else {
+        val es = rawF.zipWithIndex.map { case (f, i) =>
+          s"""e$i AS (SELECT list_sort(list_distinct(
+            quantile_cont($f, $probs))) AS e FROM lineitem)"""
+        }.mkString(",\n")
+        val codes = rawF.zipWithIndex.map { case (f, i) =>
+          s"CAST(length(list_filter(e$i.e[2:length(e$i.e)-1], x -> x < $f)) AS DOUBLE) AS f$i"
+        }.mkString(",\n                 ")
+        s"""$es,
+        a0 AS (
+          SELECT $codes,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                 0 AS node, '' AS path
+          FROM lineitem, e0, e1, e2, e3)"""
+      }
+    s"WITH $base,\n${(0 until params.maxDepth).map(levelSql(_, binned)).mkString(",\n")}"
+  }
+
+  private val leafSql =
+    """leaf AS (SELECT node,
+                       CASE WHEN SUM(y) > COUNT(*) - SUM(y) THEN 1 ELSE 0 END AS pred
+                FROM a3 GROUP BY node)"""
+
+  private def confusionSql(binned: Boolean): String =
+    s"""${trainSql(binned)},
+      $leafSql
+      SELECT CAST(a.y AS BIGINT) AS label, CAST(l.pred AS BIGINT) AS pred,
+             COUNT(*) AS n
+      FROM a3 a JOIN leaf l ON a.node = l.node
+      GROUP BY a.y, l.pred ORDER BY label, pred"""
 
   /** M8+M9 end-to-end: depth-3 exact-mode tree, evaluated via confusion
-    * counts (deterministic; rows-only — training is not SQL).
+    * counts — ORACLE-CHECKED by replaying training in SQL (reference
+    * parity mode; the binned twin is the at-scale default).
     */
   val trainConfusion: GraftQuery = GraftQuery(
     "tree_train_confusion",
@@ -86,20 +229,11 @@ object TreeQueries extends QueryPack {
         .groupBy("label", "pred").agg(count(lit(1)).as("n"))
         .orderBy("label", "pred")
     },
-    None)
+    Some(confusionSql(binned = false)))
 
-  /** A20: split-count feature importance of the same tree — rows-only. */
-  val importance: GraftQuery = GraftQuery(
-    "tree_feature_importance",
-    (s, dir) => {
-      val spark = s
-      import spark.implicits._
-      model(s, dir, binned = false).importance
-        .toDF("feature", "importance").orderBy("feature")
-    },
-    None)
-
-  /** Scalable mode: same tree with maxBins=16 quantized candidates. */
+  /** Scalable mode: same tree with maxBins=16 quantized candidates —
+    * oracle additionally replays the exact-quantile bucketizer.
+    */
   val trainBinned: GraftQuery = GraftQuery(
     "tree_train_binned_confusion",
     (s, dir) => {
@@ -108,34 +242,78 @@ object TreeQueries extends QueryPack {
         .groupBy("label", "pred").agg(count(lit(1)).as("n"))
         .orderBy("label", "pred")
     },
-    None)
+    Some(confusionSql(binned = true)))
 
-  /** M9+A19: ROC-AUC over the tree's positive-class leaf probabilities
-    * (probaExpr) — rows-only (training is not SQL); deterministic given
-    * the deterministic trainer.
+  /** A20: split-count feature importance of the BINNED tree (the at-scale
+    * default mode) — oracle counts winning splits per feature across the
+    * three replayed levels (house_predict.py:396-418 normalization).
+    */
+  val importance: GraftQuery = GraftQuery(
+    "tree_feature_importance",
+    (s, dir) => {
+      val spark = s
+      import spark.implicits._
+      model(s, dir, binned = true).importance
+        .toDF("feature", "importance").orderBy("feature")
+    },
+    Some(s"""${trainSql(binned = true)},
+      sp AS (SELECT ford FROM b0 UNION ALL SELECT ford FROM b1
+             UNION ALL SELECT ford FROM b2),
+      fc AS (SELECT ford, COUNT(*) AS c FROM sp GROUP BY ford),
+      ft(ford, feature) AS (VALUES (0, 'l_quantity'), (1, 'l_discount'),
+                                   (2, 'l_tax'), (3, 'l_extendedprice')),
+      tot AS (SELECT GREATEST(CAST(COALESCE(SUM(c), 0) AS DOUBLE), 1.0) AS t
+              FROM fc)
+      SELECT f.feature AS feature, COALESCE(fc.c, 0) / tot.t AS importance
+      FROM ft f LEFT JOIN fc ON fc.ford = f.ford CROSS JOIN tot
+      ORDER BY feature"""))
+
+  /** M9+A19: ROC-AUC over the binned tree's positive-class leaf
+    * probabilities — oracle scores each row with its replayed leaf's
+    * c1/n and reuses the quantized Mann-Whitney shape of roc_auc_synth.
     */
   val probaAuc: GraftQuery = GraftQuery(
     "tree_proba_auc",
     (s, dir) => {
       val d = labeled(s, dir)
       graft.metrics.Metrics.rocAuc(
-        d.withColumn("score", model(s, dir, binned = false).probaOf(1L)),
+        d.withColumn("score", model(s, dir, binned = true).probaOf(1L)),
         "score", "label")
     },
-    None)
+    Some(s"""${trainSql(binned = true)},
+      lp AS (SELECT node, SUM(y) / GREATEST(COUNT(*), 1) AS p
+             FROM a3 GROUP BY node),
+      sg AS (SELECT round(lp.p, 6) AS score, SUM(a.y) AS np,
+                    COUNT(*) - SUM(a.y) AS nn
+             FROM a3 a JOIN lp ON a.node = lp.node
+             GROUP BY round(lp.p, 6)),
+      cw AS (SELECT np, nn,
+                    COALESCE(SUM(nn) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumnn
+             FROM sg)
+      SELECT round(SUM(np * (cumnn + nn / 2.0)) / (SUM(np) * SUM(nn)), 6) AS auc
+      FROM cw"""))
 
-  /** Per-sample decision paths (house_predict_model.ipynb cell 14),
-    * aggregated to (path, n) — rows-only, deterministic.
+  /** Per-sample decision paths (house_predict_model.ipynb cell 14) of the
+    * binned tree, aggregated to (path, n); thresholds rendered %.6f in
+    * both engines.
     */
   val pathCounts: GraftQuery = GraftQuery(
     "tree_path_counts",
     (s, dir) => {
       val d = labeled(s, dir)
-      d.withColumn("path", model(s, dir, binned = false).pathExpr)
+      d.withColumn("path",
+          model(s, dir, binned = true).pathExpr(graft.tree.TreeModel.fmt6))
         .groupBy("path").agg(count(lit(1)).as("n"))
         .orderBy("path")
     },
-    None)
+    Some(s"""${trainSql(binned = true)},
+      $leafSql
+      SELECT (CASE WHEN a.path = '' THEN '(root)' ELSE a.path END)
+               || ' => label=' || CAST(l.pred AS VARCHAR) AS path,
+             COUNT(*) AS n
+      FROM a3 a JOIN leaf l ON a.node = l.node
+      GROUP BY 1 ORDER BY path"""))
 
   override def queries: Seq[GraftQuery] = Seq(
     splitGains, trainConfusion, importance, trainBinned, probaAuc,

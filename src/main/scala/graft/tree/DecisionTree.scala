@@ -97,15 +97,19 @@ final case class TreeModel(
   /** Per-row decision path (house_predict_model.ipynb cell 14's per-sample
     * path printout) — a compiled when-chain over path-string LITERALS, so
     * inference stays codegen'd with zero per-row string building.
+    *
+    * `fmt` renders thresholds; the default is Scala's Double.toString.
+    * Pass [[TreeModel.fmt6]] for fixed 6-decimal output that is
+    * bit-reproducible from SQL `printf('%.6f', t)` (oracle parity).
     */
-  def pathExpr: Column = {
+  def pathExpr(fmt: Double => String = _.toString): Column = {
     def go(n: TreeNode, path: List[String]): Column = n match {
       case TreeLeaf(l, _, _) =>
         lit((if (path.isEmpty) "(root)" else path.reverse.mkString(" AND "))
           + s" => label=$l")
       case TreeSplit(f, t, lft, rgt) =>
-        when(col(f) <= lit(t), go(lft, s"$f <= $t" :: path))
-          .otherwise(go(rgt, s"$f > $t" :: path))
+        when(col(f) <= lit(t), go(lft, s"$f <= ${fmt(t)}" :: path))
+          .otherwise(go(rgt, s"$f > ${fmt(t)}" :: path))
     }
     go(root, Nil)
   }
@@ -142,6 +146,14 @@ final case class TreeModel(
     }
     d(root)
   }
+}
+
+object TreeModel {
+  /** Locale-stable fixed 6-decimal threshold formatter (= SQL
+    * `printf('%.6f', t)` for the non-tie doubles this engine produces).
+    */
+  def fmt6(t: Double): String =
+    String.format(java.util.Locale.ROOT, "%.6f", Double.box(t))
 }
 
 object DecisionTree {

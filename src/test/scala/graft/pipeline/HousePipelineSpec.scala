@@ -4,18 +4,6 @@ import graft.SparkTestSession
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
-/** FIXTURES.md §1 house train-table schema (top level for the Encoder). */
-case class House(
-    id: Long, country: String, property_type: String,
-    furnishing_status: String, property_size_sqft: Long, price: Long,
-    constructed_year: Long, previous_owners: Long, rooms: Long,
-    bathrooms: Long, garage: Long, garden: Long,
-    crime_cases_reported: Long, legal_cases_on_property: Long,
-    customer_salary: Long, loan_amount: Long, loan_tenure_years: Long,
-    monthly_expenses: Long, down_payment: Long,
-    emi_to_income_ratio: Double, satisfaction_score: Long,
-    neighbourhood_rating: Long, connectivity_score: Long)
-
 /** SURVEY §5.2 item 4: end-to-end pipeline test on synthetic house-like
   * data with the reference train/test schema (FIXTURES.md §1).
   */

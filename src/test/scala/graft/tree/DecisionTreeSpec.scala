@@ -135,7 +135,7 @@ class DecisionTreeSpec extends AnyFunSuite with SparkTestSession {
     val rows = df
       .withColumn("proba", m.probaExpr)
       .withColumn("p1", m.probaOf(1L))
-      .withColumn("path", m.pathExpr)
+      .withColumn("path", m.pathExpr())
       .withColumn("pred", m.predictExpr)
       .collect()
     rows.foreach { r =>
