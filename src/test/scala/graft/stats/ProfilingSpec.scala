@@ -37,4 +37,36 @@ class ProfilingSpec extends AnyFunSuite with SparkTestSession {
       .select("b").distinct().collect().map(_.getInt(0)).sorted
     assert(codes.forall(_ >= 0))
   }
+
+  test("designBinning batches: <=3 Spark actions regardless of column count") {
+    val df = (1 to 500).map(i =>
+      (i.toDouble, (i % 7).toDouble, math.pow(1.02, i % 90), i * 0.5))
+      .toDF("a", "b", "c", "d")
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val designs = Profiling.designBinning(
+        df, Seq("a" -> 2, "b" -> 2, "c" -> 6, "d" -> 2))
+      assert(designs.size == 4)
+      // listener delivery is async; wait until the count is stable
+      var last = -1
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(200)
+        if (actions.get() == last) same += 1 else { same = 0; last = actions.get() }
+      }
+      // 2 moment passes (columnStats) + 1 batched quantile fit: a
+      // per-column fit would scale actions with the column count
+      assert(actions.get() <= 3,
+        s"designBinning ran ${actions.get()} actions; batching regressed")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
