@@ -80,10 +80,14 @@ object Models {
 
   def logReg(
       features: Seq[String], labelCol: String, regParam: Double = 0.0,
-      elasticNet: Double = 0.0, maxIter: Int = 25): Pipeline = {
+      elasticNet: Double = 0.0, maxIter: Int = 25,
+      tol: Double = 1e-4): Pipeline = {
+    // tol 1e-4 = sklearn's LogisticRegression default (MLlib's 1e-6 burns
+    // maxIter full passes on separable data for digits the reference
+    // never computes)
     val lr = new LogisticRegression()
       .setLabelCol(labelCol).setFeaturesCol("features")
-      .setWeightCol("weight").setMaxIter(maxIter)
+      .setWeightCol("weight").setMaxIter(maxIter).setTol(tol)
       .setRegParam(regParam).setElasticNetParam(elasticNet)
     new Pipeline().setStages(Array(assembler(features), lr))
   }
@@ -113,14 +117,21 @@ object Models {
       seed: Long = 42): org.apache.spark.ml.tuning.CrossValidatorModel = {
     val ev = new MacroF1Evaluator().setLabelCol(labelCol)
       .setPredictionCol("prediction")
-    new org.apache.spark.ml.tuning.CrossValidator()
-      .setEstimator(pipeline)
-      .setEvaluator(ev)
-      .setEstimatorParamMaps(grid)
-      .setNumFolds(numFolds)
-      .setParallelism(parallelism)
-      .setSeed(seed)
-      .fit(withBalancedWeights(df, labelCol))
+    // every (fold, grid-point) fit re-walks the input lineage — scan +
+    // weight join — unless the weighted frame is materialized once
+    val w = withBalancedWeights(df, labelCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    w.count()
+    try {
+      new org.apache.spark.ml.tuning.CrossValidator()
+        .setEstimator(pipeline)
+        .setEvaluator(ev)
+        .setEstimatorParamMaps(grid)
+        .setNumFolds(numFolds)
+        .setParallelism(parallelism)
+        .setSeed(seed)
+        .fit(w)
+    } finally w.unpersist(blocking = false)
   }
 
   /** M11 (random variant): seeded uniform sample of `nIter` points from a

@@ -41,6 +41,13 @@ object HouseSynth {
         0.03 + rng.nextDouble() * 0.3, 1 + rng.nextInt(10),
         1 + rng.nextInt(10), 1 + rng.nextInt(10))
     }.toDF()
+      // A few thousand synthetic rows parallelize into defaultParallelism
+      // slices (32 on the bench box); every MLlib RDD job downstream then
+      // schedules 32 tasks of ~50 rows — pure scheduling overhead, and
+      // AQE can't help because MLlib's tree/boosting internals are RDD
+      // jobs. Two partitions keeps the whole gate pipeline's task count
+      // proportional to the data.
+      .coalesce(2)
   }
 
   /** Train variant with the learnable affordability label. */

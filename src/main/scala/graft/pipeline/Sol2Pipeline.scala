@@ -58,7 +58,13 @@ object Sol2Pipeline {
     val valSet = split.filter(col("split") === 1)
 
     val report = Models.comparisonReport(fitSet, valSet, "label", Seq(
-      "logreg" -> Models.logReg(feats, "label"),
+      // the notebook's model 1 is L1-regularized (Sol_2.ipynb cell 7:
+      // penalty='l1', C from LogisticRegressionCV); a fixed small L1
+      // stands in for the CV-chosen C — and bounds the coefficients, so
+      // the solver converges instead of chasing a separating hyperplane
+      // to infinity on cleanly separable data
+      "logreg" -> Models.logReg(feats, "label", regParam = 0.01,
+        elasticNet = 1.0, maxIter = 10),
       "random_forest" -> Models.randomForest(feats, "label", numTrees = 10,
         maxDepth = 5, seed = cfg.seed),
       "gbt" -> Models.gbt(feats, "label", maxIter = 10, maxDepth = 3,

@@ -178,6 +178,79 @@ object TextExtraQueries extends QueryPack {
             FROM c)
       SELECT lang, rk, bigram, n FROM r WHERE rk <= 5 ORDER BY lang, rk"""))
 
+  private val repetitionOracle = """
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      u AS (SELECT doc_id, MAX(n) * 1.0 / SUM(n) AS topw,
+                   CAST(SUM(n) AS BIGINT) AS nw
+            FROM (SELECT doc_id, term, COUNT(*) AS n FROM w GROUP BY 1, 2)
+            GROUP BY 1),
+      ml AS (SELECT doc_id, AVG(length(term)) AS mwl FROM w GROUP BY 1),
+      b0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      b1 AS (SELECT doc_id,
+                    ws[CAST(g AS INTEGER)] || ' ' ||
+                    ws[CAST(g AS INTEGER) + 1] AS term
+             FROM b0, LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(g)),
+      bv AS (SELECT doc_id, MAX(n) * 1.0 / SUM(n) AS topb
+             FROM (SELECT doc_id, term, COUNT(*) AS n FROM b1 GROUP BY 1, 2)
+             GROUP BY 1),
+      rep AS (SELECT u.doc_id, u.nw AS n_words,
+                     round(ml.mwl, 6) AS mean_word_len,
+                     round(u.topw, 6) AS top_word_ratio,
+                     round(COALESCE(bv.topb, 0.0), 6) AS top_bigram_ratio
+              FROM u JOIN ml USING (doc_id) LEFT JOIN bv USING (doc_id))"""
+
+  /** Gopher-repetition scores per document (Rae et al. 2021 §A1.1):
+    * top-unigram / top-bigram coverage + C4-ish word-shape stats — the
+    * pre-training corpus repetition filter signals.
+    */
+  val repetitionScores: GraftQuery = GraftQuery(
+    "repetition_scores_docs",
+    (s, dir) => graft.text.Repetition
+      .scores(Tables(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_words"),
+        Q.r6(col("mean_word_len")).as("mean_word_len"),
+        Q.r6(col("top_word_ratio")).as("top_word_ratio"),
+        Q.r6(col("top_bigram_ratio")).as("top_bigram_ratio"))
+      .orderBy("doc_id"),
+    Some(s"""$repetitionOracle
+      SELECT doc_id, n_words, mean_word_len, top_word_ratio,
+             top_bigram_ratio
+      FROM rep ORDER BY doc_id"""))
+
+  /** The repetition signals folded into a per-source quality gate
+    * (Gopher-style keep/drop thresholds), reported as keep rates — the
+    * shape a corpus-curation job ships to its dashboard.
+    */
+  val qualityGate: GraftQuery = GraftQuery(
+    "quality_gate_sources",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val keep = (col("n_words") >= 30 &&
+        col("top_word_ratio") <= 0.15 &&
+        col("top_bigram_ratio") <= 0.08).cast("long")
+      graft.text.Repetition.scores(d, "doc_id", "text")
+        .join(d.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(keep).as("n_keep"),
+          Q.r6(sum(keep) / count(lit(1))).as("keep_rate"))
+        .orderBy("source")
+    },
+    Some(s"""$repetitionOracle
+      SELECT d.source AS source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN rep.n_words >= 30
+                            AND rep.top_word_ratio <= 0.15
+                            AND rep.top_bigram_ratio <= 0.08
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             round(SUM(CASE WHEN rep.n_words >= 30
+                             AND rep.top_word_ratio <= 0.15
+                             AND rep.top_bigram_ratio <= 0.08
+                            THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS keep_rate
+      FROM rep JOIN documents d USING (doc_id)
+      GROUP BY d.source ORDER BY source"""))
+
   override def queries: Seq[GraftQuery] =
-    Seq(wordCount, describeStrings, monthly, chunkDocs, tfidfTop, topBigrams)
+    Seq(wordCount, describeStrings, monthly, chunkDocs, tfidfTop,
+      topBigrams, repetitionScores, qualityGate)
 }

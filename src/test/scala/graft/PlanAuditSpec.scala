@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated 100-TB plan audit over the registered query surface: builds
+  * every auditable query at sf0.001 and rejects plan shapes that explode
+  * at scale — CartesianProduct (data x data), and BroadcastNestedLoopJoin
+  * anywhere it isn't a documented <=1-row aggregate attach. Also pins the
+  * two plan properties the flagship analytics queries rely on: dimension
+  * broadcasts and parquet filter pushdown.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Excluded from the sweep: model-training / driver-orchestrated
+    * queries (their cost is in fits, not one Catalyst plan), streaming
+    * twins (micro-batch plans), and the iterative CC dedup (a plan per
+    * round). Each is correctness-gated elsewhere.
+    */
+  private val skip = Set(
+    "rf_train_eval", "model_comparison", "cv_random_search",
+    "l1_feature_selection", "house_pipeline_gate", "sol2_pipeline_gate",
+    "tree_train_confusion", "tree_train_binned_confusion",
+    "tree_feature_importance", "tree_proba_auc", "tree_path_counts",
+    "events_hourly_stream", "sessionize_stream", "interval_join_stream",
+    "dedup_distinct_stream", "dedup_clusters_lsh")
+
+  /** Queries that intentionally attach a <=1-row broadcast aggregate
+    * (share-of-total denominators, a single query vector, a corpus-size
+    * scalar) via crossJoin — rendered by Spark as BroadcastNestedLoopJoin
+    * over a single broadcast row, which is a literal attach, not a join.
+    */
+  private val oneRowAttach = Set(
+    "value_counts_priority", "describe_strings_orders", "tfidf_top_terms",
+    "cosine_topk_vec0", "knn_label_vote_vec0", "ann_sign_topk_vec0",
+    "ann_lsh_topk_vec0", "ivf_ann_topk_vec0", "embedding_near_dup_pairs",
+    "near_dup_lsh_pruned", "accuracy_synth", "roc_auc_synth",
+    "macro_f1_synth", "weighted_prf_synth", "entropy_gini_returnflag",
+    "priority_abs_deviation", "quality_sample_docs")
+
+  test("no CartesianProduct / unexpected BroadcastNestedLoopJoin in any registered plan") {
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.allQueries.filterNot(q => skip(q.name)).foreach { q =>
+      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        bad += s"${q.name}: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !oneRowAttach(q.name))
+        bad += s"${q.name}: BroadcastNestedLoopJoin outside the 1-row-attach whitelist"
+    }
+    assert(bad.isEmpty, s"scale-hostile plans: ${bad.mkString("; ")}")
+  }
+
+  test("q5 joins its dimension tables via BroadcastHashJoin") {
+    val q = SparkEntry.allQueries.find(_.name == "q5_region_nation_revenue").get
+    val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "region/nation/customer dims must broadcast, not shuffle")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q1 pushes its shipdate filter into the parquet scan") {
+    val q = SparkEntry.allQueries.find(_.name == "q1_pricing_summary").get
+    val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)")
+        || plan.contains("PushedFilters: [LessThanOrEqual(l_shipdate"),
+      s"expected a pushed l_shipdate predicate in the scan; plan:\n" +
+        plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+}
