@@ -112,8 +112,18 @@ object EventOps {
       expr(s"""c_user = e_user
         AND click_ts >= err_ts - INTERVAL ${gapUs / 1000000L} SECONDS
         AND click_ts <= err_ts"""))
-    val sq = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+    // A stream-stream join materializes FOUR state stores per shuffle
+    // partition (left/right x keyWithIndex/keyToNumValues); their fixed
+    // open/commit cost dominates small-to-medium micro-batches. Size the
+    // join's state partitioning to the stream, not the batch default —
+    // the partition count is fixed per query at first start anyway, so a
+    // real deployment chooses it exactly once, here.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val sq =
+      try joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try sq.processAllAvailable() finally sq.stop()
     spark.table(name)
       .groupBy(col("e_user").as("user_id"))
