@@ -393,8 +393,44 @@ object DocQueries extends QueryPack {
       SELECT id, $simhashAssemble AS simhash
       FROM b ORDER BY id"""))
 
+  /** Benchmark-contamination sweep: every 50th document stands in for a
+    * protected eval set; flag corpus documents containing >= 5% of a
+    * bench document's distinct trigrams (GPT-3 appendix C n-gram
+    * decontamination shape; the bench side broadcasts).
+    */
+  val contamination: GraftQuery = GraftQuery(
+    "contamination_trigram_bench",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      graft.text.Contamination.overlap(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3, minFrac = 0.05)
+        .orderBy("bench_id", "corpus_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id,
+                   array_to_string(list_slice(ws, CAST(i AS INTEGER),
+                                              CAST(i AS INTEGER) + 2), ' ')
+                     AS gram
+            FROM t, LATERAL unnest(generate_series(1, len(ws) - 2)) AS u(i)),
+      gd AS (SELECT DISTINCT doc_id, gram FROM g),
+      bench AS (SELECT * FROM gd WHERE doc_id % 50 = 0),
+      corpus AS (SELECT * FROM gd WHERE doc_id % 50 != 0),
+      bt AS (SELECT doc_id AS bench_id, COUNT(*) AS n_grams
+             FROM bench GROUP BY 1),
+      ov AS (SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id,
+                    COUNT(*) AS shared
+             FROM corpus c JOIN bench b USING (gram) GROUP BY 1, 2)
+      SELECT bench_id, corpus_id, shared,
+             round(shared * 1.0 / n_grams, 6) AS overlap_frac
+      FROM ov JOIN bt USING (bench_id)
+      WHERE shared * 1.0 / n_grams >= 0.05
+      ORDER BY bench_id, corpus_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
     jaccardAdjacent, minhashLsh, simhashDocs, dedupClusters, packDocs,
-    qualitySample, dedupStream)
+    qualitySample, dedupStream, contamination)
 }
