@@ -250,7 +250,25 @@ object TextExtraQueries extends QueryPack {
       FROM rep JOIN documents d USING (doc_id)
       GROUP BY d.source ORDER BY source"""))
 
+  /** The streaming twin of `repetition_scores_docs`: the pure-projection
+    * score form (sort + fold, no explode/shuffle/state) applied in
+    * append mode over a streaming read — gate-checked against the SAME
+    * DuckDB oracle as the batch query.
+    */
+  val repetitionStream: GraftQuery = GraftQuery(
+    "repetition_scores_stream",
+    (s, dir) => graft.text.Repetition.streamingScores(s, dir)
+      .select(col("doc_id"), col("n_words"),
+        Q.r6(col("mean_word_len")).as("mean_word_len"),
+        Q.r6(col("top_word_ratio")).as("top_word_ratio"),
+        Q.r6(col("top_bigram_ratio")).as("top_bigram_ratio"))
+      .orderBy("doc_id"),
+    Some(s"""$repetitionOracle
+      SELECT doc_id, n_words, mean_word_len, top_word_ratio,
+             top_bigram_ratio
+      FROM rep ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(wordCount, describeStrings, monthly, chunkDocs, tfidfTop,
-      topBigrams, repetitionScores, qualityGate)
+      topBigrams, repetitionScores, qualityGate, repetitionStream)
 }

@@ -1,7 +1,8 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: "repetitious
   * documents are low quality") for pre-training corpus filtering: the
@@ -37,6 +38,66 @@ object Repetition {
         slice(words, lit(1), size(words) - 1),
         slice(words, lit(2), size(words) - 1),
         (a, b) => concat_ws(" ", a, b)))
+
+  /** Highest frequency of any element in a (string) array, computed as
+    * the longest equal-run of the SORTED array — one sort + one fold per
+    * row, no explode, no shuffle. The run accumulator carries
+    * (previous value, current run, best run).
+    */
+  def topFreq(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(
+        lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(1L)
+        struct(
+          w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** The same per-document scores as [[scores]] but as a PURE PROJECTION
+    * (array expressions only — no explode, no aggregation, no shuffle):
+    * the form a streaming quality filter applies stateless in append
+    * mode, and the zero-shuffle path for corpora whose rows fit the
+    * expression evaluator comfortably.
+    */
+  def scoreColumns(textCol: Column): Seq[Column] = {
+    val words = TextOps.tokens(textCol)
+    val bi = bigrams(words)
+    Seq(
+      size(words).cast("long").as("n_words"),
+      (aggregate(words, lit(0L), (a, w) => a + length(w)) /
+        size(words)).as("mean_word_len"),
+      (topFreq(words) / size(words)).as("top_word_ratio"),
+      when(size(bi) === 0, lit(0.0))
+        .otherwise(topFreq(bi) / size(bi)).as("top_bigram_ratio"))
+  }
+
+  /** STREAMING repetition scoring: because [[scoreColumns]] is a pure
+    * projection, the quality filter runs stateless in append mode — no
+    * watermark, no state store, per-row cost only. Drains to a memory
+    * sink for the gate; a production job would writeStream straight to
+    * the filtered sink.
+    */
+  def streamingScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_repetition"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet") // source needs a dir
+      .parquet(sfDir)
+    val sq = docs
+      .select(col("doc_id") +: scoreColumns(col("text")): _*)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try sq.processAllAvailable() finally sq.stop()
+    spark.table(name)
+  }
 
   /** Per-document repetition scores: word count, mean word length,
     * top-unigram coverage, top-bigram coverage (0.0 for <2 words).

@@ -32,6 +32,25 @@ class RepetitionSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(r3.getAs[Double]("mean_word_len") - 4.0) < 1e-9)
   }
 
+  test("scoreColumns (pure projection) agrees with scores (explode+agg)") {
+    val docs = Seq(
+      (1L, "a a a b"), (2L, "x y"), (3L, "solo"),
+      (4L, "p q p q p q r"), (5L, "m n o m n o m n")).toDF("doc_id", "text")
+    val viaAgg = Repetition.scores(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val viaExpr = docs
+      .select(col("doc_id") +: Repetition.scoreColumns(col("text")): _*)
+      .orderBy("doc_id").collect()
+    viaAgg.zip(viaExpr).foreach { case (a, e) =>
+      assert(a.getAs[Long]("n_words") == e.getAs[Long]("n_words"))
+      Seq("mean_word_len", "top_word_ratio", "top_bigram_ratio").foreach {
+        c => assert(
+          math.abs(a.getAs[Double](c) - e.getAs[Double](c)) < 1e-9,
+          s"doc ${a.get(0)} col $c: agg=${a.getAs[Double](c)} expr=${e.getAs[Double](c)}")
+      }
+    }
+  }
+
   test("bigrams expression: empty and short arrays") {
     val df = Seq("", "one", "one two", "a b c").toDF("text")
       .select(Repetition.bigrams(split(col("text"), " ")).as("bg"))
