@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{GraftQuery, QueryPack, Tables}
+import graft.{GraftQuery, Q, QueryPack, Tables}
 import graft.sim.Similarity
 import org.apache.spark.sql.functions._
 
@@ -151,7 +151,39 @@ object SimQueries extends QueryPack {
     },
     None)
 
+  /** Symmetric int8 quantization report over the embedding corpus —
+    * scale, saturated codes, max reconstruction error per vector (all
+    * order-independent reductions => exact cross-engine parity).
+    */
+  val quantizeInt8: GraftQuery = GraftQuery(
+    "embedding_quantize_int8",
+    (s, dir) => graft.sim.Quantize
+      .reportInt8(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), Q.r6(col("scale")).as("scale"),
+        col("n_saturated").cast("long").as("n_saturated"),
+        Q.r6(col("max_abs_err")).as("max_abs_err"))
+      .orderBy("vec_id"),
+    Some("""
+      WITH e AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale0
+             FROM embeddings),
+      s AS (SELECT vec_id, embedding, scale0,
+             CASE WHEN scale0 = 0 THEN 1.0 ELSE scale0 END AS scale
+            FROM e),
+      q AS (SELECT vec_id, scale0, scale, embedding,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER)) AS qv
+            FROM s)
+      SELECT vec_id, round(scale0, 6) AS scale,
+             CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT)
+               AS n_saturated,
+             round(list_max(list_transform(list_zip(embedding, qv),
+               p -> abs(CAST(p[1] AS DOUBLE) - p[2] * scale))), 6)
+               AS max_abs_err
+      FROM q ORDER BY vec_id"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(cosineTopK, knnVote, nearDup, nearDupLsh, annTopK, annTopKSign,
-      ivfTopK)
+      ivfTopK, quantizeInt8)
 }
