@@ -268,7 +268,31 @@ object TextExtraQueries extends QueryPack {
              top_bigram_ratio
       FROM rep ORDER BY doc_id"""))
 
+  /** Unigram-LM quality scores (CCNet/KenLM filter shape): corpus-fit
+    * unigram frequencies, per-doc average NLL + perplexity.
+    */
+  val lmScore: GraftQuery = GraftQuery(
+    "lm_score_docs",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      graft.text.LmScore
+        .score(d, "doc_id", "text", graft.text.LmScore.unigramModel(d, "text"))
+        .select(col("doc_id"), col("n_words"),
+          Q.r6(col("avg_nll")).as("avg_nll"), Q.r6(col("ppl")).as("ppl"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+      v AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS t FROM w)
+      SELECT doc_id, COUNT(*) AS n_words,
+             round(SUM(-ln(n * 1.0 / t)) / COUNT(*), 6) AS avg_nll,
+             round(exp(SUM(-ln(n * 1.0 / t)) / COUNT(*)), 6) AS ppl
+      FROM w JOIN v USING (word) CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(wordCount, describeStrings, monthly, chunkDocs, tfidfTop,
-      topBigrams, repetitionScores, qualityGate, repetitionStream)
+      topBigrams, repetitionScores, qualityGate, repetitionStream, lmScore)
 }
