@@ -66,14 +66,17 @@ object Bench {
     val qsShort = kept.mkString("{", ",", "}")
     val shortLine =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}"""
-    println(shortLine)
-    System.out.flush()
-    System.err.println(fullLine)
-    System.err.flush()
+    // Order matters: the harness keeps only a merged-stream tail, so the
+    // short parseable line must be the LAST thing we emit — r3's tail
+    // shows the stderr full-line mirror displacing the stdout short line.
     try {
       val w = new java.io.PrintWriter("bench_result.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
+    System.err.println(fullLine)
+    System.err.flush()
     spark.stop()
+    println(shortLine)
+    System.out.flush()
   }
 }

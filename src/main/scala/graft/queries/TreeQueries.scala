@@ -204,18 +204,28 @@ object TreeQueries extends QueryPack {
     s"WITH $base,\n${(0 until params.maxDepth).map(levelSql(_, binned)).mkString(",\n")}"
   }
 
+  /** DuckDB inlines non-materialized CTEs per reference; the level CTEs
+    * reference their winner table `b$l` 4+ times inside routing/path CASE
+    * expressions, so inlining recomputes the whole upstream trainer
+    * pipeline ~4^depth times (observed: tree_path_counts >6 min at sf0.01
+    * vs 1.7 s materialized — slow enough to time out the entire
+    * correctness gate). Force `AS MATERIALIZED` on every SELECT CTE.
+    */
+  private def mat(sql: String): String =
+    sql.replaceAll("AS \\(\\s*SELECT", "AS MATERIALIZED (SELECT")
+
   private val leafSql =
     """leaf AS (SELECT node,
                        CASE WHEN SUM(y) > COUNT(*) - SUM(y) THEN 1 ELSE 0 END AS pred
                 FROM a3 GROUP BY node)"""
 
-  private def confusionSql(binned: Boolean): String =
+  private def confusionSql(binned: Boolean): String = mat(
     s"""${trainSql(binned)},
       $leafSql
       SELECT CAST(a.y AS BIGINT) AS label, CAST(l.pred AS BIGINT) AS pred,
              COUNT(*) AS n
       FROM a3 a JOIN leaf l ON a.node = l.node
-      GROUP BY a.y, l.pred ORDER BY label, pred"""
+      GROUP BY a.y, l.pred ORDER BY label, pred""")
 
   /** M8+M9 end-to-end: depth-3 exact-mode tree, evaluated via confusion
     * counts — ORACLE-CHECKED by replaying training in SQL (reference
@@ -256,7 +266,7 @@ object TreeQueries extends QueryPack {
       model(s, dir, binned = true).importance
         .toDF("feature", "importance").orderBy("feature")
     },
-    Some(s"""${trainSql(binned = true)},
+    Some(mat(s"""${trainSql(binned = true)},
       sp AS (SELECT ford FROM b0 UNION ALL SELECT ford FROM b1
              UNION ALL SELECT ford FROM b2),
       fc AS (SELECT ford, COUNT(*) AS c FROM sp GROUP BY ford),
@@ -266,7 +276,7 @@ object TreeQueries extends QueryPack {
               FROM fc)
       SELECT f.feature AS feature, COALESCE(fc.c, 0) / tot.t AS importance
       FROM ft f LEFT JOIN fc ON fc.ford = f.ford CROSS JOIN tot
-      ORDER BY feature"""))
+      ORDER BY feature""")))
 
   /** M9+A19: ROC-AUC over the binned tree's positive-class leaf
     * probabilities — oracle scores each row with its replayed leaf's
@@ -280,7 +290,7 @@ object TreeQueries extends QueryPack {
         d.withColumn("score", model(s, dir, binned = true).probaOf(1L)),
         "score", "label")
     },
-    Some(s"""${trainSql(binned = true)},
+    Some(mat(s"""${trainSql(binned = true)},
       lp AS (SELECT node, SUM(y) / GREATEST(COUNT(*), 1) AS p
              FROM a3 GROUP BY node),
       sg AS (SELECT round(lp.p, 6) AS score, SUM(a.y) AS np,
@@ -292,7 +302,7 @@ object TreeQueries extends QueryPack {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumnn
              FROM sg)
       SELECT round(SUM(np * (cumnn + nn / 2.0)) / (SUM(np) * SUM(nn)), 6) AS auc
-      FROM cw"""))
+      FROM cw""")))
 
   /** Per-sample decision paths (house_predict_model.ipynb cell 14) of the
     * binned tree, aggregated to (path, n); thresholds rendered %.6f in
@@ -307,13 +317,13 @@ object TreeQueries extends QueryPack {
         .groupBy("path").agg(count(lit(1)).as("n"))
         .orderBy("path")
     },
-    Some(s"""${trainSql(binned = true)},
+    Some(mat(s"""${trainSql(binned = true)},
       $leafSql
       SELECT (CASE WHEN a.path = '' THEN '(root)' ELSE a.path END)
                || ' => label=' || CAST(l.pred AS VARCHAR) AS path,
              COUNT(*) AS n
       FROM a3 a JOIN leaf l ON a.node = l.node
-      GROUP BY 1 ORDER BY path"""))
+      GROUP BY 1 ORDER BY path""")))
 
   override def queries: Seq[GraftQuery] = Seq(
     splitGains, trainConfusion, importance, trainBinned, probaAuc,
