@@ -141,8 +141,15 @@ object Dedup {
     * similarity = fraction of matching minhashes.
     */
   def lshCandidates(
-      sigs: DataFrame, bands: Int,
+      sigsIn: DataFrame, bands: Int,
       sqlBuckets: Boolean = false): DataFrame = {
+    // The signature frame is consumed 3x (banding + two joins back); its
+    // upstream — shingle explode + md5 + 32-perm min-agg — is the most
+    // expensive stage of the pipeline, so persist it rather than
+    // recompute per reference. Signatures are tiny next to the text
+    // (id + numHashes ints), so this holds at scale.
+    val sigs = sigsIn.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket key per band: hash of the band's signature slice (fast
     // default), or the slice itself joined to a string — bit-identical to
     // DuckDB string_agg(m, ',' ORDER BY perm), for oracle checking

@@ -91,7 +91,14 @@ object Repetition {
     val docs = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet") // source needs a dir
       .parquet(sfDir)
+    // The file source parallelizes at FILE granularity, so a single-file
+    // batch scores every document in one task while the sort+fold
+    // projection is the expensive part. Rebalance the micro-batch across
+    // cores first: rows are tiny next to the per-row compute, and with a
+    // many-file source at scale this degrades to a cheap rebalance of
+    // already-parallel splits.
     val sq = docs
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id") +: scoreColumns(col("text")): _*)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
