@@ -12,7 +12,8 @@ object SparkEntry {
   private lazy val packs: Seq[QueryPack] = Seq(
     CoreQueries, StatsQueries, TransformQueries, MetricsQueries, DocQueries,
     EventQueries, SimQueries, TreeQueries, ModelQueries, MiscQueries,
-    JoinWindowQueries, ProfilingQueries, TextExtraQueries, PipelineQueries)
+    JoinWindowQueries, ProfilingQueries, TextExtraQueries, PipelineQueries,
+    CurationQueries)
 
   lazy val allQueries: Seq[GraftQuery] = {
     val qs = packs.flatMap(_.queries)

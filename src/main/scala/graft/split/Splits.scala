@@ -77,6 +77,25 @@ object Splits {
       .drop("__r", "__salt", "__rn", "__off", "__n")
   }
 
+  /** Deterministic training-shard manifest: each row is assigned a shard
+    * by seeded cross-engine hash of its key, and a position within that
+    * shard by hash order — i.e. a reproducible GLOBAL SHUFFLE of the
+    * corpus (hash order is uncorrelated with ingest order), materialized
+    * as (key, shard, pos) without ever sorting the whole dataset in one
+    * task. Parallelism = `nShards`: pick shards >= cluster cores at scale
+    * (a 100-TB corpus ships thousands of shards, so the per-shard
+    * row_number window is exactly the partitioning the writer wants).
+    */
+  def shardAssign(
+      df: DataFrame, idCol: String, nShards: Int, seed: Int = 7): DataFrame = {
+    val hv = graft.dedup.Dedup.md5Hash60(col(idCol).cast("string"), seed)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__hv"), col(idCol))
+    df.withColumn("__hv", hv)
+      .withColumn("shard", pmod(col("__hv"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__hv")
+  }
+
   /** The straightforward one-window-per-class form — the SPEC ORACLE for
     * [[stratifiedSplit]]'s per-class counts. Single task per class; do not
     * register at scale.
