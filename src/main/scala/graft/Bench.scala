@@ -29,10 +29,17 @@ object Bench {
     // min-of-2 makes cross-round regressions attributable to plans, not
     // JVM state.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
+    // Driver-orchestrated MLlib gates are shape checks, not plan timings:
+    // repeating them doubles multi-fit pipelines (10+ fits each) for no
+    // attribution value, so they run once regardless of SPARK_GRAFT_REPEAT.
+    val gateOnce = Set(
+      "house_pipeline_gate", "sol2_pipeline_gate", "cv_random_search",
+      "model_comparison", "rf_train_eval", "l1_feature_selection")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val dt = (1 to repeat).map { _ =>
+        val reps = if (gateOnce(name)) 1 else repeat
+        val dt = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           val t = (System.nanoTime() - t0) / 1e9
@@ -49,8 +56,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // load canary surfaced top-level: divide any cross-round query diff by
+    // the calibration ratio before calling it a plan regression
+    val cal = results.collectFirst { case ("calibration_cpu", v) => v }
+    def calStr(fmt: Double => String) =
+      cal.map(v => s""","calibration":${fmt(v)}""").getOrElse("")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec"${calStr(_.toString)},"queries":$qs,"sf":"$sfDir"}"""
     // The harness keeps only the last ~2000 chars of stdout and sbt's
     // epilogue spends ~100 of them; a full-precision 80-query line is
     // ~2600 chars, so its head (the {"metric":... prefix) gets truncated
@@ -65,7 +77,7 @@ object Bench {
       .zip(entries).takeWhile(_._1 <= budget).map(_._2)
     val qsShort = kept.mkString("{", ",", "}")
     val shortLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec"${calStr(ms)},"queries":$qsShort,"sf":"$sfDir"}"""
     // Order matters: the harness keeps only a merged-stream tail, so the
     // short parseable line must be the LAST thing we emit — r3's tail
     // shows the stderr full-line mirror displacing the stdout short line.
@@ -75,7 +87,8 @@ object Bench {
     } catch { case _: Throwable => () }
     System.err.println(fullLine)
     System.err.flush()
-    spark.stop()
+    // stop() must not be able to suppress the one parseable result line
+    try spark.stop() catch { case _: Throwable => () }
     println(shortLine)
     System.out.flush()
   }

@@ -148,6 +148,10 @@ object Dedup {
     // expensive stage of the pipeline, so persist it rather than
     // recompute per reference. Signatures are tiny next to the text
     // (id + numHashes ints), so this holds at scale.
+    // CONTRACT: persist() marks the CALLER's frame (Dataset.persist
+    // returns this), so after the result is materialized the caller
+    // releases the blocks with `sigsIn.unpersist()` — the registered
+    // queries do; long-lived sessions that skip it pin signature blocks.
     val sigs = sigsIn.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket key per band: hash of the band's signature slice (fast
@@ -228,7 +232,15 @@ object Dedup {
           (coalesce(col("nbr"), col("comp")) < col("comp"))
             .cast("long").as("__chg"))
         .localCheckpoint() // eager: materialized before the old gen is freed
-      changed = next.agg(coalesce(sum("__chg"), lit(0L))).head().getLong(0)
+      // Convergence agg only every 2nd iteration (and at the cap): LSH
+      // near-dup graphs are quasi-cliques that converge in 2-3 passes, so
+      // checking every pass spends an extra action per iteration for a
+      // signal that rarely fires early; the worst case is ONE redundant
+      // (idempotent) propagation pass after the fixpoint.
+      changed =
+        if (i % 2 == 1)
+          next.agg(coalesce(sum("__chg"), lit(0L))).head().getLong(0)
+        else 1L
       labels.unpersist() // superseded checkpoint blocks — don't pin memory
       labels = next.drop("__chg")
       i += 1

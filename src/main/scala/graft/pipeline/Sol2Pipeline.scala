@@ -23,7 +23,13 @@ object Sol2Pipeline {
       referenceYear: Int = 2025, // Sol_2.ipynb's constant (house_predict_model.ipynb uses 2024)
       splitFrac: Double = 0.8,
       seed: Long = 42,
-      cvFolds: Int = 3)
+      cvFolds: Int = 3,
+      // ensemble budgets: defaults mirror the notebook-scale settings;
+      // callers that only check pipeline shape + determinism (the driver
+      // gate) dial these down — the comparison/CV STRUCTURE (Sol_2.ipynb
+      // cells 7-13) is independent of the per-model iteration counts
+      rfNumTrees: Int = 10,
+      gbtMaxIter: Int = 10)
 
   final case class Result(
       report: DataFrame,      // (model, accuracy, macro_f1) best-first
@@ -65,15 +71,15 @@ object Sol2Pipeline {
       // to infinity on cleanly separable data
       "logreg" -> Models.logReg(feats, "label", regParam = 0.01,
         elasticNet = 1.0, maxIter = 10),
-      "random_forest" -> Models.randomForest(feats, "label", numTrees = 10,
-        maxDepth = 5, seed = cfg.seed),
-      "gbt" -> Models.gbt(feats, "label", maxIter = 10, maxDepth = 3,
-        seed = cfg.seed)))
+      "random_forest" -> Models.randomForest(feats, "label",
+        numTrees = cfg.rfNumTrees, maxDepth = 5, seed = cfg.seed),
+      "gbt" -> Models.gbt(feats, "label", maxIter = cfg.gbtMaxIter,
+        maxDepth = 3, seed = cfg.seed)))
     val best = report.head().getString(0)
 
     // cell-9-style small grid on the RF family scored by macro-F1
-    val rfPipeline = Models.randomForest(feats, "label", numTrees = 10,
-      maxDepth = 5, seed = cfg.seed)
+    val rfPipeline = Models.randomForest(feats, "label",
+      numTrees = cfg.rfNumTrees, maxDepth = 5, seed = cfg.seed)
     val rf = rfPipeline.getStages.last.asInstanceOf[RandomForestClassifier]
     val grid = new ParamGridBuilder()
       .addGrid(rf.maxDepth, Array(3, 5))

@@ -188,9 +188,15 @@ object DocQueries extends QueryPack {
     (s, dir) => {
       val sh = Dedup.shingleSet(Tables(s, dir, "documents"), "doc_id", "text", 3)
       val sigs = Dedup.minhashSignaturesPerm(sh, 32)
-      Dedup.lshCandidates(sigs, 4, sqlBuckets = true)
+      // lshCandidates persists sigs (consumed 3x); the pair frame is tiny
+      // next to the signatures, so checkpoint it eagerly and release the
+      // signature blocks before handing the result to the caller
+      val out = Dedup.lshCandidates(sigs, 4, sqlBuckets = true)
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
+        .localCheckpoint()
+      sigs.unpersist(blocking = false)
+      out
     },
     Some(s"""
       WITH sh AS (
@@ -240,7 +246,11 @@ object DocQueries extends QueryPack {
       val sigs = Dedup.minhashSignaturesPerm(sh, 32)
       val edges = Dedup.lshCandidates(sigs, 4, sqlBuckets = true)
         .filter(col("est_jaccard") >= 0.5)
-      Dedup.connectedComponents(edges)
+      // connectedComponents checkpoints the edge list eagerly up front,
+      // after which the persisted signature blocks are dead weight
+      val labels = Dedup.connectedComponents(edges)
+      sigs.unpersist(blocking = false)
+      labels
         .select(col("id"), col("comp").as("component"))
         .orderBy("id")
     },

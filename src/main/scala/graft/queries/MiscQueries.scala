@@ -5,9 +5,62 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Remaining SURVEY §2 surface: vertical concat (S4/O4), per-group top-k
-  * window (W1), sort-by-abs ranking (W2), distinct values (O5).
+  * window (W1), sort-by-abs ranking (W2), distinct values (O5), the
+  * S1/S2 CSV round-trip gate, and the fixed-work bench calibration query.
   */
 object MiscQueries extends QueryPack {
+
+  /** S1+S2 driver gate: documents round-trips through the CSV sink
+    * (sharded write — the single-file contract is the submission special
+    * case) and the explicit-schema CSV scan, then content-derived
+    * aggregates are hash-compared against the parquet original: any row,
+    * column, or byte the round-trip dropped or mangled breaks the md5
+    * checksum. Reference: house_predict.py:565-566 (read_csv),
+    * 622-628 (to_csv).
+    */
+  val csvRoundtrip: GraftQuery = GraftQuery(
+    "csv_roundtrip_docs",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = Tables(s, dir, "documents")
+      val path = "/tmp/graft_csv_roundtrip/" +
+        dir.replaceAll("[^A-Za-z0-9]+", "_")
+      graft.sources.Sources.writeSubmissionCsv(
+        docs, path,
+        cols = Seq("doc_id", "text", "lang", "source", "n_chars"),
+        singleFile = false)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      graft.sources.Sources.readCsv(s, path, schema)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"),
+          sum(graft.dedup.Dedup.md5Base(col("text"))).as("text_checksum"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang")
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+                      % 2147483647) AS BIGINT) AS text_checksum,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Fixed-work load canary (no table input): a pure-CPU 20M-row modular
+    * sum whose cost is independent of the scale factor, so cross-round
+    * bench diffs can separate box load from plan regressions — in r4
+    * every trivial fixed-plan query inflated ~2.5-3x uniformly under
+    * load with zero code change.
+    */
+  val calibration: GraftQuery = GraftQuery(
+    "calibration_cpu",
+    (s, _) => s.range(20000000L).agg(
+      sum(col("id") % 97).as("cal_sum"), count(lit(1)).as("n")),
+    Some("""
+      SELECT CAST(SUM(i % 97) AS BIGINT) AS cal_sum, COUNT(*) AS n
+      FROM range(20000000) t(i)"""))
 
   /** S4/O4: union of customer and supplier account balances (the
     * reference concatenates train∪test to fit encoders).
@@ -111,5 +164,5 @@ object MiscQueries extends QueryPack {
       ORDER BY side, nationkey"""))
 
   override def queries: Seq[GraftQuery] =
-    Seq(unionConcat, topkPerBrand, absRank, setOps)
+    Seq(unionConcat, topkPerBrand, absRank, setOps, csvRoundtrip, calibration)
 }

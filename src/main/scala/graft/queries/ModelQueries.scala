@@ -58,14 +58,22 @@ object ModelQueries extends QueryPack {
     },
     None)
 
-  /** M7: L1 feature selection — surviving features + coefficients. */
+  /** M7: L1 feature selection — surviving features + coefficients.
+    * Runs on a deterministic 10% hash sample: feature SELECTION (which
+    * coefficients are nonzero) is a population-level property the sample
+    * preserves — ModelsSpec pins sample-vs-full selected-feature equality
+    * and keeps the full-data path covered; the solver cost (elasticNet=1
+    * iterations) scales with rows, so the registered query stays a plan
+    * check instead of a solver benchmark.
+    */
   val l1Select: GraftQuery = GraftQuery(
     "l1_feature_selection",
     (s, dir) => {
       val spark = s
       import spark.implicits._
-      Models.l1FeatureSelection(labeled(s, dir), feats, "label",
-          regParam = 0.001)
+      val sampled = graft.split.Splits.hashSample(
+        labeled(s, dir), col("l_orderkey"), pct = 10)
+      Models.l1FeatureSelection(sampled, feats, "label", regParam = 0.001)
         .map { case (f, c) => (f, Q.r6Double(c)) }
         .toDF("feature", "coef").orderBy("feature")
     },

@@ -46,7 +46,11 @@ object PipelineQueries extends QueryPack {
     "sol2_pipeline_gate",
     (s, _) => {
       val train = HouseSynth.labeled(s, 1500, seed = 21)
-      val r = Sol2Pipeline.run(train)
+      // gate-budget config: the gate checks pipeline shape + determinism
+      // (3-row report, stable values for a fixed seed), which cheaper
+      // ensembles and 2 folds preserve — ~10 MLlib fits -> ~6
+      val r = Sol2Pipeline.run(train, Sol2Pipeline.Config(
+        cvFolds = 2, rfNumTrees = 5, gbtMaxIter = 5))
       r.report.select(
         col("model"), Q.r6(col("accuracy")).as("accuracy"),
         Q.r6(col("macro_f1")).as("macro_f1"))

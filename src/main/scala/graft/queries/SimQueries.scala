@@ -5,8 +5,10 @@ import graft.sim.Similarity
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity-search queries. Brute-force cosine is
-  * oracle-checked (unnest/subscript SQL); the LSH ANN path is rows-only
-  * (seeded hyperplanes are engine-internal).
+  * oracle-checked (unnest/subscript SQL); both LSH families — sign-bit
+  * axis hyperplanes AND seeded random hyperplanes (coefficients replayed
+  * into the SQL as literals) — hash-check end to end. Only the k-means
+  * IVF quantizer stays rows-only (seeded MLlib internals).
   */
 object SimQueries extends QueryPack {
 
@@ -90,22 +92,96 @@ object SimQueries extends QueryPack {
       SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4
       ORDER BY id_a, id_b"""))
 
-  /** Rotation-invariant variant: seeded random hyperplanes (engine-
-    * internal, so rows-only) — same banded shape and exact rerank.
+  // --------------------------------------------------------------------
+  // Seeded random-hyperplane LSH, fully oracle-checked: the hyperplanes
+  // are generated driver-side from the seed, so the SAME coefficients are
+  // embedded in the DuckDB SQL as DOUBLE[] literals (Double.toString
+  // round-trips exactly) and the bucket computation is replayed verbatim.
+  // Both engines take the dot product as a sequential left-to-right
+  // double accumulation over identical operands (codegen'd DotProduct in
+  // Spark, list_sum over the zipped list in DuckDB), so the sign — and
+  // hence every bucket id — is bit-identical.
+  // --------------------------------------------------------------------
+  private def planeLit(p: Seq[Double]): String =
+    p.map(java.lang.Double.toString).mkString("[", ", ", "]::DOUBLE[]")
+  private def planeDotSql(p: Seq[Double]): String =
+    s"list_sum(list_transform(list_zip(embedding, ${planeLit(p)}), " +
+      "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+  private def hyperBucketSql(planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN ${planeDotSql(p)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n                 + ")
+
+  /** Rotation-invariant near-dup variant: seeded random hyperplanes, same
+    * banded blocking + exact-rerank shape as `embedding_near_dup_pairs` —
+    * hash-checked end to end via literal-coefficient replay (above).
     */
+  private val ndLshBands = 8
+  private val ndLshPlanesPerBand = 4
+  private val ndLshPlanes =
+    Similarity.hyperplanes(ndLshBands * ndLshPlanesPerBand, dim = 64, seed = 42)
+  private val ndLshBucketSql = (0 until ndLshBands).map { b =>
+    val bucket = hyperBucketSql(
+      ndLshPlanes.slice(b * ndLshPlanesPerBand, (b + 1) * ndLshPlanesPerBand))
+    s"SELECT vec_id, $b AS band, CAST($bucket AS BIGINT) AS bucket FROM embeddings"
+  }.mkString(" UNION ALL ")
+
   val nearDupLsh: GraftQuery = GraftQuery(
     "near_dup_lsh_pruned",
     (s, dir) => Similarity.nearDupPairsLsh(
-      Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4),
-    None)
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
+      nBands = ndLshBands, planesPerBand = ndLshPlanesPerBand, dim = 64,
+      seed = 42),
+    Some(s"""
+      WITH bk AS MATERIALIZED ($ndLshBucketSql),
+      cand AS (SELECT DISTINCT a.vec_id AS ia, b2.vec_id AS ib
+               FROM bk a JOIN bk b2
+                 ON a.band = b2.band AND a.bucket = b2.bucket
+                    AND a.vec_id < b2.vec_id),
+      v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings),
+      n AS (SELECT vec_id, SUM(x * x) AS nr FROM v GROUP BY vec_id),
+      d AS (SELECT ia, ib, SUM(va.x * vb.x) AS dot
+            FROM cand JOIN v va ON va.vec_id = ia
+                      JOIN v vb ON vb.vec_id = ib AND va.pos = vb.pos
+            GROUP BY ia, ib),
+      c AS (SELECT ia AS id_a, ib AS id_b,
+                   round(dot / (sqrt(na.nr) * sqrt(nb.nr)), 6) AS cos
+            FROM d JOIN n na ON na.vec_id = ia JOIN n nb ON nb.vec_id = ib)
+      SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4
+      ORDER BY id_a, id_b"""))
 
-  /** LSH-bucketed ANN — the 100-TB path: each query scores one bucket. */
+  /** LSH-bucketed ANN — the 100-TB path: each query scores one bucket.
+    * Seeded hyperplanes replayed in the oracle as literal coefficients.
+    */
+  private val annLshPlanes = Similarity.hyperplanes(4, dim = 64, seed = 42)
+
   val annTopK: GraftQuery = GraftQuery(
     "ann_lsh_topk_vec0",
     (s, dir) => Similarity.annTopK(
       Tables(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10,
       nPlanes = 4),
-    None)
+    Some(s"""
+      WITH bk AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(${hyperBucketSql(annLshPlanes)} AS BIGINT) AS bucket
+        FROM embeddings),
+      qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+      cand AS (SELECT bk.vec_id FROM bk JOIN qb USING (bucket)
+               WHERE bk.vec_id <> 0),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      qv AS (SELECT generate_subscripts(qe, 1) AS pos,
+                    CAST(unnest(qe) AS DOUBLE) AS v FROM q),
+      dv AS (SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS pos,
+                    CAST(unnest(e.embedding) AS DOUBLE) AS v
+             FROM embeddings e JOIN cand USING (vec_id)),
+      agg AS (SELECT dv.vec_id, SUM(dv.v * qv.v) AS dot,
+                     SUM(dv.v * dv.v) AS nd
+              FROM dv JOIN qv USING (pos) GROUP BY dv.vec_id),
+      nq AS (SELECT SUM(v * v) AS nq FROM qv)
+      SELECT vec_id, round(dot / (sqrt(nd) * sqrt(nq)), 6) AS cos
+      FROM agg, nq ORDER BY cos DESC, vec_id LIMIT 10"""))
 
   /** Same bucketed-ANN shape with deterministic sign-bit buckets — the
     * whole pruned pipeline (bucketing + exact rerank + top-k) hash-checks

@@ -123,19 +123,19 @@ object TreeQueries extends QueryPack {
       else "printf('%.6f', b.thr)"
     val edgeJoin = if (binned) ", e0, e1, e2, e3" else ""
     s"""
-      sr$l AS (SELECT node FROM a$l GROUP BY node
+      sr$l AS MATERIALIZED (SELECT node FROM a$l GROUP BY node
                HAVING COUNT(*) >= ${params.minSamplesSplit}
                   AND SUM(y) > 0 AND COUNT(*) - SUM(y) > 0),
-      aj$l AS (SELECT a.* FROM a$l a JOIN sr$l s ON a.node = s.node),
-      m$l AS (
+      aj$l AS MATERIALIZED (SELECT a.* FROM a$l a JOIN sr$l s ON a.node = s.node),
+      m$l AS MATERIALIZED (
         SELECT node, 0 AS ford, f0 AS v, y FROM aj$l
         UNION ALL SELECT node, 1, f1, y FROM aj$l
         UNION ALL SELECT node, 2, f2, y FROM aj$l
         UNION ALL SELECT node, 3, f3, y FROM aj$l),
-      g$l AS (SELECT node, ford, v, COUNT(*) AS n,
+      g$l AS MATERIALIZED (SELECT node, ford, v, COUNT(*) AS n,
                      SUM(y) AS c1, COUNT(*) - SUM(y) AS c0
               FROM m$l GROUP BY node, ford, v),
-      c$l AS (SELECT node, ford, v,
+      c$l AS MATERIALIZED (SELECT node, ford, v,
                      SUM(n)  OVER wc AS ln,  SUM(n)  OVER wa AS tn,
                      SUM(c0) OVER wc AS lc0, SUM(c0) OVER wa AS tc0,
                      SUM(c1) OVER wc AS lc1, SUM(c1) OVER wa AS tc1,
@@ -144,15 +144,15 @@ object TreeQueries extends QueryPack {
               WINDOW wc AS (PARTITION BY node, ford ORDER BY v
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                      wa AS (PARTITION BY node, ford)),
-      s$l AS (SELECT node, ford, v, $gainSql AS gain
+      s$l AS MATERIALIZED (SELECT node, ford, v, $gainSql AS gain
               FROM c$l
               WHERE v > vmin AND ln >= ${params.minSamplesLeaf}
                 AND tn - ln >= ${params.minSamplesLeaf}),
-      b$l AS (SELECT node, ford, v AS thr
+      b$l AS MATERIALIZED (SELECT node, ford, v AS thr
               FROM s$l WHERE gain > 0
               QUALIFY row_number() OVER (PARTITION BY node
                 ORDER BY gain DESC, ford ASC, v ASC) = 1),
-      a${l + 1} AS (
+      a${l + 1} AS MATERIALIZED (
         SELECT a.f0, a.f1, a.f2, a.f3, a.y,
                CASE WHEN b.node IS NULL THEN a.node
                     WHEN $bValSql <= b.thr THEN 2*a.node+1
@@ -180,7 +180,7 @@ object TreeQueries extends QueryPack {
       "CAST(l_tax AS DOUBLE)", "CAST(l_extendedprice AS DOUBLE)")
     val base =
       if (!binned)
-        s"""a0 AS (
+        s"""a0 AS MATERIALIZED (
           SELECT ${rawF(0)} AS f0, ${rawF(1)} AS f1,
                  ${rawF(2)} AS f2, ${rawF(3)} AS f3,
                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
@@ -188,14 +188,14 @@ object TreeQueries extends QueryPack {
           FROM lineitem)"""
       else {
         val es = rawF.zipWithIndex.map { case (f, i) =>
-          s"""e$i AS (SELECT list_sort(list_distinct(
+          s"""e$i AS MATERIALIZED (SELECT list_sort(list_distinct(
             quantile_cont($f, $probs))) AS e FROM lineitem)"""
         }.mkString(",\n")
         val codes = rawF.zipWithIndex.map { case (f, i) =>
           s"CAST(length(list_filter(e$i.e[2:length(e$i.e)-1], x -> x < $f)) AS DOUBLE) AS f$i"
         }.mkString(",\n                 ")
         s"""$es,
-        a0 AS (
+        a0 AS MATERIALIZED (
           SELECT $codes,
                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
                  0 AS node, '' AS path
@@ -204,28 +204,28 @@ object TreeQueries extends QueryPack {
     s"WITH $base,\n${(0 until params.maxDepth).map(levelSql(_, binned)).mkString(",\n")}"
   }
 
-  /** DuckDB inlines non-materialized CTEs per reference; the level CTEs
-    * reference their winner table `b$l` 4+ times inside routing/path CASE
-    * expressions, so inlining recomputes the whole upstream trainer
-    * pipeline ~4^depth times (observed: tree_path_counts >6 min at sf0.01
-    * vs 1.7 s materialized — slow enough to time out the entire
-    * correctness gate). Force `AS MATERIALIZED` on every SELECT CTE.
-    */
-  private def mat(sql: String): String =
-    sql.replaceAll("AS \\(\\s*SELECT", "AS MATERIALIZED (SELECT")
+  // DuckDB inlines non-materialized CTEs per reference; the level CTEs
+  // reference their winner table `b$l` 4+ times inside routing/path CASE
+  // expressions, so inlining recomputes the whole upstream trainer
+  // pipeline ~4^depth times (observed: tree_path_counts >6 min at sf0.01
+  // vs 1.7 s materialized — slow enough to time out the entire
+  // correctness gate). Every SELECT CTE in this family is therefore
+  // written `AS MATERIALIZED (` directly at construction (a post-hoc
+  // regex rewrite silently missed new shapes); WINDOW definitions and
+  // the tiny single-reference VALUES table stay plain.
 
   private val leafSql =
-    """leaf AS (SELECT node,
+    """leaf AS MATERIALIZED (SELECT node,
                        CASE WHEN SUM(y) > COUNT(*) - SUM(y) THEN 1 ELSE 0 END AS pred
                 FROM a3 GROUP BY node)"""
 
-  private def confusionSql(binned: Boolean): String = mat(
+  private def confusionSql(binned: Boolean): String =
     s"""${trainSql(binned)},
       $leafSql
       SELECT CAST(a.y AS BIGINT) AS label, CAST(l.pred AS BIGINT) AS pred,
              COUNT(*) AS n
       FROM a3 a JOIN leaf l ON a.node = l.node
-      GROUP BY a.y, l.pred ORDER BY label, pred""")
+      GROUP BY a.y, l.pred ORDER BY label, pred"""
 
   /** M8+M9 end-to-end: depth-3 exact-mode tree, evaluated via confusion
     * counts — ORACLE-CHECKED by replaying training in SQL (reference
@@ -266,17 +266,17 @@ object TreeQueries extends QueryPack {
       model(s, dir, binned = true).importance
         .toDF("feature", "importance").orderBy("feature")
     },
-    Some(mat(s"""${trainSql(binned = true)},
-      sp AS (SELECT ford FROM b0 UNION ALL SELECT ford FROM b1
+    Some(s"""${trainSql(binned = true)},
+      sp AS MATERIALIZED (SELECT ford FROM b0 UNION ALL SELECT ford FROM b1
              UNION ALL SELECT ford FROM b2),
-      fc AS (SELECT ford, COUNT(*) AS c FROM sp GROUP BY ford),
+      fc AS MATERIALIZED (SELECT ford, COUNT(*) AS c FROM sp GROUP BY ford),
       ft(ford, feature) AS (VALUES (0, 'l_quantity'), (1, 'l_discount'),
                                    (2, 'l_tax'), (3, 'l_extendedprice')),
-      tot AS (SELECT GREATEST(CAST(COALESCE(SUM(c), 0) AS DOUBLE), 1.0) AS t
+      tot AS MATERIALIZED (SELECT GREATEST(CAST(COALESCE(SUM(c), 0) AS DOUBLE), 1.0) AS t
               FROM fc)
       SELECT f.feature AS feature, COALESCE(fc.c, 0) / tot.t AS importance
       FROM ft f LEFT JOIN fc ON fc.ford = f.ford CROSS JOIN tot
-      ORDER BY feature""")))
+      ORDER BY feature"""))
 
   /** M9+A19: ROC-AUC over the binned tree's positive-class leaf
     * probabilities — oracle scores each row with its replayed leaf's
@@ -290,19 +290,19 @@ object TreeQueries extends QueryPack {
         d.withColumn("score", model(s, dir, binned = true).probaOf(1L)),
         "score", "label")
     },
-    Some(mat(s"""${trainSql(binned = true)},
-      lp AS (SELECT node, SUM(y) / GREATEST(COUNT(*), 1) AS p
+    Some(s"""${trainSql(binned = true)},
+      lp AS MATERIALIZED (SELECT node, SUM(y) / GREATEST(COUNT(*), 1) AS p
              FROM a3 GROUP BY node),
-      sg AS (SELECT round(lp.p, 6) AS score, SUM(a.y) AS np,
+      sg AS MATERIALIZED (SELECT round(lp.p, 6) AS score, SUM(a.y) AS np,
                     COUNT(*) - SUM(a.y) AS nn
              FROM a3 a JOIN lp ON a.node = lp.node
              GROUP BY round(lp.p, 6)),
-      cw AS (SELECT np, nn,
+      cw AS MATERIALIZED (SELECT np, nn,
                     COALESCE(SUM(nn) OVER (ORDER BY score
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumnn
              FROM sg)
       SELECT round(SUM(np * (cumnn + nn / 2.0)) / (SUM(np) * SUM(nn)), 6) AS auc
-      FROM cw""")))
+      FROM cw"""))
 
   /** Per-sample decision paths (house_predict_model.ipynb cell 14) of the
     * binned tree, aggregated to (path, n); thresholds rendered %.6f in
@@ -317,13 +317,13 @@ object TreeQueries extends QueryPack {
         .groupBy("path").agg(count(lit(1)).as("n"))
         .orderBy("path")
     },
-    Some(mat(s"""${trainSql(binned = true)},
+    Some(s"""${trainSql(binned = true)},
       $leafSql
       SELECT (CASE WHEN a.path = '' THEN '(root)' ELSE a.path END)
                || ' => label=' || CAST(l.pred AS VARCHAR) AS path,
              COUNT(*) AS n
       FROM a3 a JOIN leaf l ON a.node = l.node
-      GROUP BY 1 ORDER BY path""")))
+      GROUP BY 1 ORDER BY path"""))
 
   override def queries: Seq[GraftQuery] = Seq(
     splitGains, trainConfusion, importance, trainBinned, probaAuc,

@@ -94,4 +94,23 @@ class ModelsSpec extends AnyFunSuite with SparkTestSession {
     assert(kept.contains("signal"))
     assert(!kept.contains("noise"))
   }
+
+  test("L1 selection on a 10% hash sample matches full-data selection") {
+    // pins the registered l1_feature_selection query's sampling move:
+    // WHICH features carry nonzero coefficients is a population-level
+    // property, so the deterministic 10% hash sample selects the same
+    // set as the full table (full-data path stays covered right here)
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables(spark, "/root/testdata/sf0.001", "lineitem").select(
+      col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax"),
+      col("l_extendedprice"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("label"))
+    val feats = Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+    val full = Models.l1FeatureSelection(d, feats, "label", regParam = 0.001)
+      .map(_._1).toSet
+    val sampled = Models.l1FeatureSelection(
+      graft.split.Splits.hashSample(d, col("l_orderkey"), pct = 10),
+      feats, "label", regParam = 0.001).map(_._1).toSet
+    assert(sampled == full)
+  }
 }

@@ -43,11 +43,13 @@ class PiiSpec extends AnyFunSuite with SparkTestSession {
     assert(red === "[EMAIL] stays")
   }
 
-  test("version-like dotted numbers with 5 octets do not match ipv4") {
-    val (_, i, _, _) = one("build 1.2.3.4.5")
-    // \b\d{1,3}(\.\d{1,3}){3}\b: "1.2.3.4.5" — the first 4 octets are
-    // followed by '.', not a word boundary... RE2/Java agree it matches
-    // the last 4 ("2.3.4.5"); pin the cross-engine behavior.
+  test("version-like dotted numbers with 5 octets match once, leftmost") {
+    val (_, i, _, red) = one("build 1.2.3.4.5")
+    // \b\d{1,3}(\.\d{1,3}){3}\b on "1.2.3.4.5": the '.' after the 4th
+    // octet IS a word boundary (digit -> non-word), so the LEFTMOST four
+    // octets "1.2.3.4" match and the trailing ".5" survives; pin the
+    // cross-engine behavior by asserting the redacted span.
     assert(i === 1L)
+    assert(red === "build [IP].5")
   }
 }
