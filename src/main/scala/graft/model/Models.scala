@@ -98,13 +98,21 @@ object Models {
   def l1FeatureSelection(
       df: DataFrame, features: Seq[String], labelCol: String,
       regParam: Double = 0.01): Seq[(String, Double)] = {
-    val model = logReg(features, labelCol, regParam, elasticNet = 1.0)
-      .fit(withBalancedWeights(df, labelCol))
-    val lrm = model.stages.last
-      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
-    val coefs: Vector = lrm.coefficients
-    features.zipWithIndex.map { case (f, i) => f -> coefs(i) }
-      .filter { case (_, c) => math.abs(c) > 0 }
+    // materialize the weighted frame once — same reasoning as
+    // crossValidate: the L1 solver's iterations must not re-derive the
+    // scan + weight-join lineage
+    val w = withBalancedWeights(df, labelCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    w.count()
+    try {
+      val model = logReg(features, labelCol, regParam, elasticNet = 1.0)
+        .fit(w)
+      val lrm = model.stages.last
+        .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+      val coefs: Vector = lrm.coefficients
+      features.zipWithIndex.map { case (f, i) => f -> coefs(i) }
+        .filter { case (_, c) => math.abs(c) > 0 }
+    } finally w.unpersist(blocking = false)
   }
 
   /** M11: k-fold cross-validated grid search scored by macro-F1

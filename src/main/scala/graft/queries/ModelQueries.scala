@@ -71,8 +71,11 @@ object ModelQueries extends QueryPack {
     (s, dir) => {
       val spark = s
       import spark.implicits._
+      // coalesce the thin sample: the L1 solver (OWLQN) runs ~25 passes,
+      // and 32 tasks of ~2k rows each per pass is pure scheduling
+      // overhead — 8 partitions keeps task size proportional to the data
       val sampled = graft.split.Splits.hashSample(
-        labeled(s, dir), col("l_orderkey"), pct = 10)
+        labeled(s, dir), col("l_orderkey"), pct = 10).coalesce(8)
       Models.l1FeatureSelection(sampled, feats, "label", regParam = 0.001)
         .map { case (f, c) => (f, Q.r6Double(c)) }
         .toDF("feature", "coef").orderBy("feature")

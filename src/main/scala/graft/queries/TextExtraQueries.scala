@@ -24,6 +24,42 @@ object TextExtraQueries extends QueryPack {
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       GROUP BY word ORDER BY n DESC, word LIMIT 20"""))
 
+  /** Count-min-sketch heavy hitters over document tokens (d=4 seeded
+    * md5 hash rows × w=256 buckets): the bounded-memory top-k — the
+    * sketch is d*w cells no matter the corpus size, mergeable cell-wise
+    * across shards, unlike `word_count_docs`' exact per-token shuffle.
+    * Estimates >= true counts by construction (CountMinSpec pins the
+    * property); the oracle replays build + probe hash-for-hash.
+    */
+  private val cmsD = 4
+  private val cmsW = 256
+  val cmsHeavyHitters: GraftQuery = GraftQuery(
+    "cms_heavy_hitters_tokens",
+    (s, dir) => graft.sketch.CountMin.heavyHitters(
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok")),
+      "tok", d = cmsD, w = cmsW, k = 20)
+      .select(col("item").as("token"), col("est")),
+    Some(s"""
+      WITH toks AS MATERIALIZED (
+        SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+      melt AS MATERIALIZED (
+        SELECT item, r,
+               CAST(concat('0x', substring(
+                 md5(item || '|' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % $cmsW AS bucket
+        FROM toks CROSS JOIN range(0, $cmsD) t(r)),
+      cells AS MATERIALIZED (
+        SELECT r, bucket, COUNT(*) AS cnt FROM melt GROUP BY r, bucket),
+      probe AS MATERIALIZED (
+        SELECT DISTINCT item, r, bucket FROM melt),
+      est AS MATERIALIZED (
+        SELECT p.item, MIN(c.cnt) AS est
+        FROM probe p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+        GROUP BY p.item)
+      SELECT item AS token, est FROM est
+      ORDER BY est DESC, token LIMIT 20"""))
+
   /** describe(include='all') for string columns: count, distinct, top
     * value, top frequency (pandas semantics; ties -> lexicographically
     * smallest top).
@@ -293,6 +329,7 @@ object TextExtraQueries extends QueryPack {
       GROUP BY doc_id ORDER BY doc_id"""))
 
   override def queries: Seq[GraftQuery] =
-    Seq(wordCount, describeStrings, monthly, chunkDocs, tfidfTop,
-      topBigrams, repetitionScores, qualityGate, repetitionStream, lmScore)
+    Seq(wordCount, cmsHeavyHitters, describeStrings, monthly, chunkDocs,
+      tfidfTop, topBigrams, repetitionScores, qualityGate, repetitionStream,
+      lmScore)
 }

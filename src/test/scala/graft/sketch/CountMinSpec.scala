@@ -1,0 +1,44 @@
+package graft.sketch
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CountMinSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val d = 4
+  private val w = 64
+
+  // Zipf-ish token stream: token t_i appears ceil(300/i) times
+  private lazy val toks = (1 to 40)
+    .flatMap(i => Seq.fill(300 / i)(f"t$i%02d"))
+    .toDF("tok")
+
+  test("sketch size is bounded by d*w regardless of input size") {
+    val cells = CountMin.cells(toks, "tok", d, w)
+    assert(cells.count() <= d.toLong * w)
+    // cell counts conserve mass per row: each row sees every item once
+    val perRow = cells.groupBy("r").agg(sum("cnt").as("s"))
+      .collect().map(_.getLong(1)).toSet
+    assert(perRow == Set(toks.count()))
+  }
+
+  test("estimates never undercount (CMS one-sided error)") {
+    val exact = toks.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sk = CountMin.cells(toks, "tok", d, w)
+    val est = CountMin.estimates(toks, "tok", sk, d, w)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"CMS undercounted $t: ${est(t)} < $n")
+    }
+  }
+
+  test("heavy hitters surface the true top token first") {
+    val top = CountMin.heavyHitters(toks, "tok", d, w, k = 3).collect()
+    assert(top.head.getString(0) == "t01") // 300 occurrences, no rival
+    assert(top.head.getLong(1) >= 300L)
+  }
+}
