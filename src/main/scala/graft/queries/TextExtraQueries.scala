@@ -33,14 +33,7 @@ object TextExtraQueries extends QueryPack {
     */
   private val cmsD = 4
   private val cmsW = 256
-  val cmsHeavyHitters: GraftQuery = GraftQuery(
-    "cms_heavy_hitters_tokens",
-    (s, dir) => graft.sketch.CountMin.heavyHitters(
-      Tables(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("tok")),
-      "tok", d = cmsD, w = cmsW, k = 20)
-      .select(col("item").as("token"), col("est")),
-    Some(s"""
+  private val cmsOracle = s"""
       WITH toks AS MATERIALIZED (
         SELECT unnest(string_split(text, ' ')) AS item FROM documents),
       melt AS MATERIALIZED (
@@ -58,7 +51,68 @@ object TextExtraQueries extends QueryPack {
         FROM probe p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
         GROUP BY p.item)
       SELECT item AS token, est FROM est
-      ORDER BY est DESC, token LIMIT 20"""))
+      ORDER BY est DESC, token LIMIT 20"""
+
+  val cmsHeavyHitters: GraftQuery = GraftQuery(
+    "cms_heavy_hitters_tokens",
+    (s, dir) => graft.sketch.CountMin.heavyHitters(
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok")),
+      "tok", d = cmsD, w = cmsW, k = 20)
+      .select(col("item").as("token"), col("est")),
+    Some(cmsOracle))
+
+  /** Streaming twin: the cell grid is maintained as a bounded-state
+    * (d*w counters) streaming aggregation, then probed batch-side — the
+    * continuous token-frequency monitor. Same oracle as the batch build:
+    * the drained grid must be cell-identical.
+    */
+  val cmsStream: GraftQuery = GraftQuery(
+    "cms_heavy_hitters_stream",
+    (s, dir) => {
+      val cells = graft.sketch.CountMin.streamingCells(
+        s, dir, d = cmsD, w = cmsW, queryName = "graft_cms_stream")
+      val toks = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      graft.sketch.CountMin.estimates(toks, "tok", cells, d = cmsD, w = cmsW)
+        .select(col("item").as("token"), col("est"))
+        .orderBy(desc("est"), col("token"))
+        .limit(20)
+    },
+    Some(cmsOracle))
+
+  /** Linear-counting per-lang vocabulary estimate next to the exact
+    * count: the report a curation pipeline uses to size vocabularies
+    * without paying exact count-distinct's per-value shuffle at scale.
+    */
+  private val lcM = 4096
+  val distinctEstimate: GraftQuery = GraftQuery(
+    "distinct_estimate_tokens",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      graft.sketch.LinearCount.estimateByGroup(toks, "lang", "tok", m = lcM)
+        .join(toks.groupBy("lang")
+          .agg(countDistinct("tok").as("exact_distinct")), Seq("lang"))
+        .select(col("lang"), col("occupied"),
+          Q.r6(col("est_distinct")).as("est_distinct"), col("exact_distinct"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH w AS MATERIALIZED (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      b AS MATERIALIZED (
+        SELECT lang,
+               CAST(concat('0x', substring(md5(tok || '|0'), 1, 15))
+                    AS BIGINT) % $lcM AS bucket,
+               tok
+        FROM w)
+      SELECT lang, COUNT(DISTINCT bucket) AS occupied,
+             round(CASE WHEN COUNT(DISTINCT bucket) = $lcM THEN NULL
+                        ELSE -$lcM.0 * ln(1 - COUNT(DISTINCT bucket) / $lcM.0)
+                   END, 6) AS est_distinct,
+             COUNT(DISTINCT tok) AS exact_distinct
+      FROM b GROUP BY lang ORDER BY lang"""))
 
   /** describe(include='all') for string columns: count, distinct, top
     * value, top frequency (pandas semantics; ties -> lexicographically
@@ -329,7 +383,7 @@ object TextExtraQueries extends QueryPack {
       GROUP BY doc_id ORDER BY doc_id"""))
 
   override def queries: Seq[GraftQuery] =
-    Seq(wordCount, cmsHeavyHitters, describeStrings, monthly, chunkDocs,
-      tfidfTop, topBigrams, repetitionScores, qualityGate, repetitionStream,
-      lmScore)
+    Seq(wordCount, cmsHeavyHitters, cmsStream, distinctEstimate,
+      describeStrings, monthly, chunkDocs, tfidfTop, topBigrams,
+      repetitionScores, qualityGate, repetitionStream, lmScore)
 }

@@ -62,4 +62,34 @@ object CountMin {
       .orderBy(desc("est"), col("item"))
       .limit(k)
   }
+
+  /** STREAMING sketch maintenance: the same d×w cell grid kept as a
+    * Structured Streaming aggregation over document text — streaming
+    * state is bounded by d*w counters no matter how much data flows
+    * through (which is why complete output mode needs no watermark), and
+    * each micro-batch merges into the grid exactly like the cross-shard
+    * cell-wise merge. The drained memory-sink cells then serve batch
+    * probes identically to a batch-built sketch.
+    */
+  def streamingCells(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String, d: Int,
+      w: Int, queryName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet") // source needs a dir
+      .parquet(sfDir)
+    val cellStream = docs
+      .select(explode(split(col("text"), " ")).as("item"))
+      .select(col("item"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .select(col("r"), bucket(col("item"), col("r"), w).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    val sq = cellStream.writeStream.format("memory").queryName(queryName)
+      .outputMode("complete").start()
+    try sq.processAllAvailable() finally sq.stop()
+    spark.table(queryName)
+  }
 }

@@ -41,4 +41,22 @@ class CountMinSpec extends AnyFunSuite with SparkTestSession {
     assert(top.head.getString(0) == "t01") // 300 occurrences, no rival
     assert(top.head.getLong(1) >= 300L)
   }
+
+  test("linear counting estimates distinct within 10% when V << m") {
+    // 40 distinct tokens into m=4096 buckets: collisions are rare, the
+    // estimator should land within a few percent of the truth
+    val r = LinearCount.estimateByGroup(
+      toks.withColumn("g", lit("all")), "g", "tok", m = 4096).head()
+    val occupied = r.getAs[Long]("occupied")
+    val est = r.getAs[Double]("est_distinct")
+    assert(occupied <= 40L)
+    assert(math.abs(est - 40.0) / 40.0 < 0.10, s"est $est vs exact 40")
+  }
+
+  test("linear counting saturates to NULL when every bucket is occupied") {
+    val items = (0 until 64).map(i => ("g", s"x$i")).toDF("g", "tok")
+    val r = LinearCount.estimateByGroup(items, "g", "tok", m = 1).head()
+    assert(r.getAs[Long]("occupied") == 1L)
+    assert(r.isNullAt(r.fieldIndex("est_distinct")))
+  }
 }
