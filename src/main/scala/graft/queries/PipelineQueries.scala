@@ -66,10 +66,17 @@ object PipelineQueries extends QueryPack {
     (s, dir) => {
       val spark = s
       import spark.implicits._
-      val d = graft.Tables(s, dir, "lineitem").select(
-        col("l_quantity"), col("l_discount"), col("l_tax"),
-        col("l_extendedprice"),
-        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("label"))
+      // deterministic 10% sample, like l1_feature_selection: this gate
+      // checks the seeded grid-sampling + k-fold CV STRUCTURE, not RF
+      // throughput (rf_train_eval keeps the full-data fit); coalesce so
+      // the ~12 per-fold fits aren't task-scheduling-dominated
+      val d = graft.split.Splits.hashSample(
+          graft.Tables(s, dir, "lineitem"), col("l_orderkey"), pct = 10)
+        .coalesce(8)
+        .select(
+          col("l_quantity"), col("l_discount"), col("l_tax"),
+          col("l_extendedprice"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("label"))
       val feats =
         Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
       val rf = new org.apache.spark.ml.classification.RandomForestClassifier()
