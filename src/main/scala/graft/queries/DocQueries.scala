@@ -439,8 +439,85 @@ object DocQueries extends QueryPack {
       WHERE shared * 1.0 / n_grams >= 0.05
       ORDER BY bench_id, corpus_id"""))
 
+  /** Two-phase decontamination prefilter (graft.sketch.BloomFilter): the
+    * protected benchmark trigram set compressed to a <= m-row Bloom
+    * bucket set, probed by the corpus's distinct trigrams, candidates
+    * then confirmed exactly. One summary row: set sizes, bloom
+    * candidates, exact confirmations, false positives, measured fp rate.
+    * Bloom has zero false NEGATIVES, so n_confirmed is exactly the
+    * corpus-bench gram intersection (BloomFilterSpec pins the property);
+    * at scale only bloom survivors reach the expensive exact join.
+    */
+  private val bloomK = 3
+  private val bloomM = 4096
+  val bloomPrefilter: GraftQuery = GraftQuery(
+    "bloom_contamination_prefilter",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val bench = graft.text.Contamination.ngramSet(
+          d.filter(col("doc_id") % 50 === 0), "doc_id", "text", 3)
+        .select(col("gram")).distinct()
+      val corpus = graft.text.Contamination.ngramSet(
+          d.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", 3)
+        .select(col("gram")).distinct()
+      val filter = graft.sketch.BloomFilter.build(bench, "gram", bloomK, bloomM)
+      val cand = graft.sketch.BloomFilter.probe(
+        corpus, "gram", filter, bloomK, bloomM)
+      val confirmed = corpus.join(bench, Seq("gram"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(bench.agg(count(lit(1)).as("n_protected")))
+        .crossJoin(corpus.agg(count(lit(1)).as("n_probe")))
+        .crossJoin(confirmed.agg(count(lit(1)).as("n_confirmed")))
+        .select(col("n_protected"), col("n_probe"), col("n_candidates"),
+          col("n_confirmed"),
+          (col("n_candidates") - col("n_confirmed")).as("n_false_pos"),
+          Q.r6((col("n_candidates") - col("n_confirmed")) * 1.0 /
+            greatest(col("n_probe") - col("n_confirmed"), lit(1L)))
+            .as("fp_rate"))
+    },
+    Some(s"""
+      WITH t AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS MATERIALIZED (
+        SELECT doc_id,
+               array_to_string(list_slice(ws, CAST(i AS INTEGER),
+                                          CAST(i AS INTEGER) + 2), ' ')
+                 AS gram
+        FROM t, LATERAL unnest(generate_series(1, len(ws) - 2)) AS u(i)),
+      bench AS MATERIALIZED (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+      corpus AS MATERIALIZED (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 50 != 0),
+      f AS MATERIALIZED (
+        SELECT DISTINCT
+               CAST(concat('0x', substring(
+                 md5(gram || '|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % $bloomM AS bucket
+        FROM bench CROSS JOIN range(0, $bloomK) s(i)),
+      pm AS MATERIALIZED (
+        SELECT gram,
+               CAST(concat('0x', substring(
+                 md5(gram || '|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % $bloomM AS bucket
+        FROM corpus CROSS JOIN range(0, $bloomK) s(i)),
+      cand AS MATERIALIZED (
+        SELECT gram FROM pm JOIN f USING (bucket)
+        GROUP BY gram HAVING COUNT(*) = $bloomK),
+      conf AS MATERIALIZED (
+        SELECT gram FROM corpus JOIN bench USING (gram))
+      SELECT (SELECT COUNT(*) FROM bench) AS n_protected,
+             (SELECT COUNT(*) FROM corpus) AS n_probe,
+             (SELECT COUNT(*) FROM cand) AS n_candidates,
+             (SELECT COUNT(*) FROM conf) AS n_confirmed,
+             (SELECT COUNT(*) FROM cand) - (SELECT COUNT(*) FROM conf)
+               AS n_false_pos,
+             round(((SELECT COUNT(*) FROM cand)
+                      - (SELECT COUNT(*) FROM conf)) * 1.0
+                   / GREATEST((SELECT COUNT(*) FROM corpus)
+                      - (SELECT COUNT(*) FROM conf), 1), 6) AS fp_rate"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
     jaccardAdjacent, minhashLsh, simhashDocs, dedupClusters, packDocs,
-    qualitySample, dedupStream, contamination)
+    qualitySample, dedupStream, contamination, bloomPrefilter)
 }

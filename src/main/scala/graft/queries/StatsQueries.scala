@@ -145,7 +145,66 @@ object StatsQueries extends QueryPack {
           " UNION ALL ", ") ORDER BY abs(corr) DESC, feature")
     })
 
+  /** A6-at-scale: fixed-grid histogram quantiles (graft.sketch
+    * .HistQuantile) next to the exact percentile — the bounded-memory
+    * path SURVEY §4.2 calls for where exact per-group percentiles don't
+    * fit. Integer-cents bucket math is engine-independent; the estimate
+    * (bucket lower edge) must land within one bucket width BELOW OR AT
+    * the exact quantile, which the output exposes as err_cents.
+    */
+  private val hqBins = 1024
+  val histQuantile: GraftQuery = GraftQuery(
+    "hist_quantile_totalprice",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val o = Tables(s, dir, "orders")
+      val est = graft.sketch.HistQuantile.estimate(
+        o, col("o_totalprice"), nBins = hqBins, probs = Seq(0.25, 0.5, 0.75))
+      val exact = o.agg(percentile(
+        col("o_totalprice"), typedlit(Array(0.25, 0.5, 0.75))).as("q"))
+        .select(posexplode(col("q")).as(Seq("i", "exact")))
+        .select((lit(0.25) * (col("i") + 1)).as("prob"), col("exact"))
+      est.join(exact, Seq("prob"))
+        .select(col("prob"), Q.r6(col("est")).as("est"),
+          Q.r6(col("exact")).as("exact"),
+          (Q.cents(col("exact")) - Q.cents(col("est"))).as("err_cents"))
+        .orderBy("prob")
+    },
+    Some(s"""
+      WITH c AS MATERIALIZED (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+      mm AS MATERIALIZED (
+        SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM c),
+      h AS MATERIALIZED (
+        SELECT (v - lo) // (((hi - lo) // $hqBins) + 1) AS b,
+               COUNT(*) AS cnt
+        FROM c, mm GROUP BY 1),
+      cm AS MATERIALIZED (
+        SELECT b, SUM(cnt) OVER (ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM h),
+      p(prob) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                         (CAST(0.75 AS DOUBLE))),
+      sel AS MATERIALIZED (
+        SELECT prob, MIN(b) AS b
+        FROM p CROSS JOIN cm CROSS JOIN mm
+        WHERE cum >= prob * n GROUP BY prob),
+      ex AS MATERIALIZED (
+        SELECT CAST(0.25 * (i + 1) AS DOUBLE) AS prob,
+               q[CAST(i AS INTEGER) + 1] AS exact
+        FROM (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS q
+              FROM orders), range(0, 3) t(i))
+      SELECT sel.prob AS prob,
+             round((sel.b * (((mm.hi - mm.lo) // $hqBins) + 1) + mm.lo)
+                   / 100.0, 6) AS est,
+             round(ex.exact, 6) AS exact,
+             CAST(round(ex.exact * 100) AS BIGINT)
+               - CAST(round((sel.b * (((mm.hi - mm.lo) // $hqBins) + 1)
+                             + mm.lo) / 100.0 * 100) AS BIGINT) AS err_cents
+      FROM sel JOIN ex ON sel.prob = ex.prob CROSS JOIN mm
+      ORDER BY prob"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     profile, valueCounts, nullCounts, corrMatrix, crosstab, entropyGini,
-    skewKurt, corrVsLabel)
+    skewKurt, corrVsLabel, histQuantile)
 }

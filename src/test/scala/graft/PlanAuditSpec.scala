@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "ann_lsh_topk_vec0", "ivf_ann_topk_vec0", "embedding_near_dup_pairs",
     "near_dup_lsh_pruned", "accuracy_synth", "roc_auc_synth",
     "macro_f1_synth", "weighted_prf_synth", "entropy_gini_returnflag",
-    "priority_abs_deviation", "quality_sample_docs", "lm_score_docs")
+    "priority_abs_deviation", "quality_sample_docs", "lm_score_docs",
+    "hist_quantile_totalprice", "bloom_contamination_prefilter")
 
   test("no CartesianProduct / unexpected BroadcastNestedLoopJoin in any registered plan") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()
