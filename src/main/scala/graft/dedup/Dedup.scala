@@ -136,6 +136,34 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
+  /** (id, sig, band, bucket) banding of a signature frame — the shared
+    * blocking step of the self-join and cross-set LSH variants below.
+    */
+  private def banded(
+      sigs: DataFrame, bands: Int, sqlBuckets: Boolean): DataFrame = {
+    // bucket key per band: hash of the band's signature slice (fast
+    // default), or the slice itself joined to a string — bit-identical to
+    // DuckDB string_agg(m, ',' ORDER BY perm), for oracle checking
+    val sliceExpr =
+      s"slice(sig, band * (size(sig) div $bands) + 1, size(sig) div $bands)"
+    val bucketCol =
+      if (sqlBuckets)
+        expr(s"array_join(transform($sliceExpr, x -> cast(x as string)), ',')")
+      else xxhash64(col("band"), expr(sliceExpr)).cast("string")
+    sigs
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("sig"), col("band"), bucketCol.as("bucket"))
+  }
+
+  /** Estimated similarity of two joined signature columns: fraction of
+    * matching minhash positions.
+    */
+  private def estJaccard: Column =
+    Q.r6(
+      expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z))") *
+        1.0 / expr("size(sig_a)"))
+
   /** LSH candidate pairs: split signatures into `bands` bands, bucket by
     * band hash, emit distinct id pairs sharing any bucket, with estimated
     * similarity = fraction of matching minhashes.
@@ -154,33 +182,46 @@ object Dedup {
     // queries do; long-lived sessions that skip it pin signature blocks.
     val sigs = sigsIn.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bucket key per band: hash of the band's signature slice (fast
-    // default), or the slice itself joined to a string — bit-identical to
-    // DuckDB string_agg(m, ',' ORDER BY perm), for oracle checking
-    val sliceExpr =
-      s"slice(sig, band * (size(sig) div $bands) + 1, size(sig) div $bands)"
-    val bucketCol =
-      if (sqlBuckets)
-        expr(s"array_join(transform($sliceExpr, x -> cast(x as string)), ',')")
-      else xxhash64(col("band"), expr(sliceExpr)).cast("string")
-    val banded = sigs
-      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("id"), col("sig"), col("band"), bucketCol.as("bucket"))
+    val bk = banded(sigs, bands, sqlBuckets)
     // dedupe bare id pairs first (cheap shuffle), then join signatures
     // back — never shuffle signature arrays through the pair distinct
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val a = bk.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = bk.select(col("band"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(
-        col("id_a"), col("id_b"),
-        Q.r6(
-          expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z))") *
-            1.0 / expr("size(sig_a)")).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"), estJaccard.as("est_jaccard"))
+  }
+
+  /** Cross-set LSH: candidate (id_a from `newSigs`, id_b from `oldSigs`)
+    * pairs sharing any band bucket — the INCREMENTAL ingest shape, where
+    * a new shard is deduped against the existing corpus instead of
+    * against itself. Same banding, pair-dedup-before-signature-join, and
+    * estimate as `lshCandidates`; at scale the old side's banded buckets
+    * are a precomputed index the daily shard joins against.
+    * Both signature frames are persisted (consumed twice each) — callers
+    * unpersist after materializing, as with `lshCandidates`.
+    */
+  def lshCandidatesAcross(
+      newSigs: DataFrame, oldSigs: DataFrame, bands: Int,
+      sqlBuckets: Boolean = false): DataFrame = {
+    val ns = newSigs.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val os = oldSigs.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = banded(ns, bands, sqlBuckets)
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded(os, bands, sqlBuckets)
+      .select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(ns.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(os.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), estJaccard.as("est_jaccard"))
   }
 
   /** Connected components over an undirected edge list `(id_a, id_b)` by

@@ -439,6 +439,92 @@ object DocQueries extends QueryPack {
       WHERE shared * 1.0 / n_grams >= 0.05
       ORDER BY bench_id, corpus_id"""))
 
+  /** Incremental ingest dedup — the daily-shard production shape: the
+    * "new" 10% (doc_id % 10 = 0) is deduped AGAINST THE EXISTING CORPUS
+    * rather than against itself. Exact duplicates by full-text md5
+    * semi-join; near-duplicates by cross-set MinHash LSH
+    * (`Dedup.lshCandidatesAcross`, est >= 0.5). One summary row: shard
+    * size, exact dups, near-dup docs, union, and the clean remainder
+    * that would be admitted to the corpus.
+    */
+  val incrementalDedup: GraftQuery = GraftQuery(
+    "incremental_dedup_shard",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val isNew = col("doc_id") % 10 === 0
+      val newDocs = d.filter(isNew)
+      val corpus = d.filter(!isNew)
+      val exactIds = newDocs
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+        .join(corpus.select(md5(col("text").cast("binary")).as("fp"))
+          .distinct(), Seq("fp"), "left_semi")
+        .select("doc_id")
+      val sigsNew = Dedup.minhashSignaturesPerm(
+        Dedup.shingleSet(newDocs, "doc_id", "text", 3), 32)
+      val sigsOld = Dedup.minhashSignaturesPerm(
+        Dedup.shingleSet(corpus, "doc_id", "text", 3), 32)
+      val near = Dedup.lshCandidatesAcross(sigsNew, sigsOld, 4,
+          sqlBuckets = true)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a").as("doc_id")).distinct()
+        .localCheckpoint() // materialize, then release the signature blocks
+      sigsNew.unpersist(blocking = false)
+      sigsOld.unpersist(blocking = false)
+      val dup = exactIds.unionByName(near).distinct()
+      newDocs.agg(count(lit(1)).as("n_new"))
+        .crossJoin(exactIds.agg(count(lit(1)).as("n_exact_dup")))
+        .crossJoin(near.agg(count(lit(1)).as("n_near_dup")))
+        .crossJoin(dup.agg(count(lit(1)).as("n_dup_docs")))
+        .select(col("n_new"), col("n_exact_dup"), col("n_near_dup"),
+          col("n_dup_docs"),
+          (col("n_new") - col("n_dup_docs")).as("n_clean"))
+    },
+    Some(s"""
+      WITH sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INTEGER), 3) AS sh
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 2)) AS i
+              FROM documents)),
+      base AS MATERIALIZED (
+        SELECT id,
+               CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT)
+                 % 2147483647 AS h
+        FROM sh),
+      perms(p, a, b) AS (VALUES $permValues),
+      mh AS MATERIALIZED (
+        SELECT id, p, MIN((a * h + b) % 2147483647) AS m
+        FROM base CROSS JOIN perms
+        GROUP BY id, p),
+      bk AS MATERIALIZED (
+        SELECT id, p // 8 AS band,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS bucket
+        FROM mh GROUP BY id, p // 8),
+      cand AS MATERIALIZED (
+        SELECT DISTINCT a.id AS ia, b.id AS ib
+        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.id % 10 = 0 AND b.id % 10 != 0),
+      est AS MATERIALIZED (
+        SELECT c.ia, c.ib,
+               SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 32.0 AS ej
+        FROM cand c
+        JOIN mh ma ON ma.id = c.ia
+        JOIN mh mb ON mb.id = c.ib AND mb.p = ma.p
+        GROUP BY c.ia, c.ib),
+      near AS MATERIALIZED (
+        SELECT DISTINCT ia AS doc_id FROM est WHERE round(ej, 6) >= 0.5),
+      ex AS MATERIALIZED (
+        SELECT DISTINCT n.doc_id
+        FROM documents n JOIN documents o ON md5(n.text) = md5(o.text)
+        WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 != 0),
+      dup AS MATERIALIZED (
+        SELECT doc_id FROM ex UNION SELECT doc_id FROM near)
+      SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0) AS n_new,
+             (SELECT COUNT(*) FROM ex) AS n_exact_dup,
+             (SELECT COUNT(*) FROM near) AS n_near_dup,
+             (SELECT COUNT(*) FROM dup) AS n_dup_docs,
+             (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
+               - (SELECT COUNT(*) FROM dup) AS n_clean"""))
+
   /** Two-phase decontamination prefilter (graft.sketch.BloomFilter): the
     * protected benchmark trigram set compressed to a <= m-row Bloom
     * bucket set, probed by the corpus's distinct trigrams, candidates
@@ -519,5 +605,6 @@ object DocQueries extends QueryPack {
   override def queries: Seq[GraftQuery] = Seq(
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
     jaccardAdjacent, minhashLsh, simhashDocs, dedupClusters, packDocs,
-    qualitySample, dedupStream, contamination, bloomPrefilter)
+    qualitySample, dedupStream, contamination, bloomPrefilter,
+    incrementalDedup)
 }

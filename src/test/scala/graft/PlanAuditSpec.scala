@@ -38,7 +38,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "near_dup_lsh_pruned", "accuracy_synth", "roc_auc_synth",
     "macro_f1_synth", "weighted_prf_synth", "entropy_gini_returnflag",
     "priority_abs_deviation", "quality_sample_docs", "lm_score_docs",
-    "hist_quantile_totalprice", "bloom_contamination_prefilter")
+    "hist_quantile_totalprice", "bloom_contamination_prefilter",
+    "incremental_dedup_shard")
 
   test("no CartesianProduct / unexpected BroadcastNestedLoopJoin in any registered plan") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()
