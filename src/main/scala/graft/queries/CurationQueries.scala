@@ -84,5 +84,35 @@ object CurationQueries extends QueryPack {
                                 ORDER BY hv, doc_id) AS pos
       FROM h ORDER BY doc_id"""))
 
-  override def queries: Seq[GraftQuery] = Seq(piiRedact, shardAssign)
+  /** Deterministic per-group sampling: the k lowest-hash docs per lang
+    * (seeded md5 order, doc_id tiebreak) — the "inspect k examples per
+    * stratum" curation primitive, reproducible across runs and engines.
+    * One window per group — scales like any hash-partitioned top-k.
+    */
+  val samplePerGroup: GraftQuery = GraftQuery(
+    "sample_per_lang_docs",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(graft.dedup.Dedup.md5Hash60(col("doc_id").cast("string"), 7),
+          col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rk")
+    },
+    Some("""
+      SELECT lang, rk, doc_id, n_chars
+      FROM (SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY CAST(concat('0x', substring(
+                         md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 15))
+                       AS BIGINT),
+                       doc_id) AS rk
+            FROM documents)
+      WHERE rk <= 3 ORDER BY lang, rk"""))
+
+  override def queries: Seq[GraftQuery] =
+    Seq(piiRedact, shardAssign, samplePerGroup)
 }

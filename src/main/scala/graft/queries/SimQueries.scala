@@ -217,6 +217,30 @@ object SimQueries extends QueryPack {
       SELECT vec_id, round(dot / (sqrt(nd) * sqrt(nq)), 6) AS cos
       FROM agg, nq ORDER BY cos DESC, vec_id LIMIT 10"""))
 
+  /** Per-label embedding centroids in long form (label, pos, mean, n):
+    * the vector-aggregation primitive behind class prototypes and
+    * IVF/k-means seeding. posexplode + one groupBy — a plain aggregation
+    * that scales like any other; long form keeps the oracle compare on
+    * scalar columns instead of array cells.
+    */
+  val centroids: GraftQuery = GraftQuery(
+    "embedding_centroid_per_label",
+    (s, dir) => Tables(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p0", "x")))
+      .select(col("label"), (col("p0") + 1).cast("long").as("pos"),
+        col("x").cast("double").as("x"))
+      .groupBy("label", "pos")
+      .agg(Q.r6(sum("x") / count(lit(1))).as("mean"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "pos"),
+    Some("""
+      SELECT label, CAST(pos AS BIGINT) AS pos,
+             round(SUM(x) / COUNT(*), 6) AS mean, COUNT(*) AS n
+      FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings)
+      GROUP BY label, pos ORDER BY label, pos"""))
+
   /** IVF ANN: k-means coarse quantizer, 2-of-8 lists probed. */
   val ivfTopK: GraftQuery = GraftQuery(
     "ivf_ann_topk_vec0",
@@ -261,5 +285,5 @@ object SimQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] =
     Seq(cosineTopK, knnVote, nearDup, nearDupLsh, annTopK, annTopKSign,
-      ivfTopK, quantizeInt8)
+      centroids, ivfTopK, quantizeInt8)
 }
