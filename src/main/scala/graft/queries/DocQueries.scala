@@ -602,9 +602,59 @@ object DocQueries extends QueryPack {
                    / GREATEST((SELECT COUNT(*) FROM corpus)
                       - (SELECT COUNT(*) FROM conf), 1), 6) AS fp_rate"""))
 
+  /** Span-level exact substring dedup (Lee et al. ACL 2022, ExactSubstr
+    * for a fixed window): every 8-token window fingerprinted, windows
+    * whose fingerprint occurs in >=2 documents unioned into per-doc
+    * coverage intervals. Shuffle is on 32-char fingerprints, never text;
+    * the interval union is one bounded window per doc — the shape holds
+    * at corpus scale. Entire pipeline (tokenize, fingerprint, dup
+    * detection, interval union) replays verbatim in the oracle.
+    */
+  private val spanK = 8
+  val spanDedup: GraftQuery = GraftQuery(
+    "span_dedup_coverage",
+    (s, dir) => graft.dedup.SpanDedup
+      .coverageReport(Tables(s, dir, "documents"), "doc_id", "text", spanK)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH t AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      w AS MATERIALIZED (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               md5(array_to_string(l[CAST(i AS INTEGER):CAST(i AS INTEGER) + ${spanK - 1}], ' ')) AS fp
+        FROM t, LATERAL unnest(generate_series(1, len(l) - ${spanK - 1})) AS u(i)),
+      dupfp AS MATERIALIZED (
+        SELECT fp, MIN(doc_id) AS keep_id FROM w
+        GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+      d AS (
+        SELECT w.doc_id, w.pos, (dupfp.keep_id <> w.doc_id) AS removable
+        FROM w JOIN dupfp USING (fp)),
+      cov AS (
+        SELECT doc_id, pos, removable,
+               GREATEST(0, pos + ${spanK - 1}
+                 - GREATEST(COALESCE(MAX(pos + ${spanK - 1}) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+                   pos - 1)) AS nc
+        FROM d),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_dup_spans,
+               CAST(SUM(nc) AS BIGINT) AS covered_tokens,
+               CAST(SUM(CASE WHEN removable THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removable_spans
+        FROM cov GROUP BY doc_id)
+      SELECT agg.doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+             CAST(GREATEST(len(l) - ${spanK - 1}, 0) AS BIGINT) AS n_spans,
+             n_dup_spans, covered_tokens,
+             round(covered_tokens * 1.0 / len(l), 6) AS dup_frac,
+             n_removable_spans
+      FROM agg JOIN t ON t.doc_id = agg.doc_id
+      ORDER BY agg.doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
     jaccardAdjacent, minhashLsh, simhashDocs, dedupClusters, packDocs,
     qualitySample, dedupStream, contamination, bloomPrefilter,
-    incrementalDedup)
+    incrementalDedup, spanDedup)
 }
