@@ -1,8 +1,8 @@
 package graft.queries
 
-import graft.{GraftQuery, QueryPack, Tables}
+import graft.{GraftQuery, Q, QueryPack, Tables}
 import graft.split.Splits
-import graft.text.Pii
+import graft.text.{Pii, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators beyond the reference's surface: PII
@@ -10,6 +10,8 @@ import org.apache.spark.sql.functions._
   * a training-data pipeline runs between quality filtering and packing.
   */
 object CurationQueries extends QueryPack {
+
+  private val stop = Seq("the", "a")
 
   /** PII detect + redact over the documents table. The synthetic corpus
     * carries no PII, so the query first APPENDS deterministic doc_id-
@@ -113,6 +115,113 @@ object CurationQueries extends QueryPack {
             FROM documents)
       WHERE rk <= 3 ORDER BY lang, rk"""))
 
+  /** Quality-weighted deterministic downsampling: each doc kept with
+    * P(keep) = its r6-rounded quality score, decided by an integer
+    * compare of the seeded md5 uniform against the scaled weight
+    * ([[Splits.weightedHashSample]]) — the rejection-sampling pass that
+    * thins a corpus toward its high-quality tail without an RNG. Summary
+    * is per-lang integer counts/token sums (exact cross-engine).
+    */
+  val weightedSample: GraftQuery = GraftQuery(
+    "weighted_sample_docs",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("__q", Q.r6(TextOps.qualityScore(col("text"), stop)))
+      val kept = Splits
+        .weightedHashSample(d, col("doc_id"), col("__q"), seed = 7)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextOps.tokenCount(col("text"))).as("kept_tokens"))
+      d.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          Q.r6(coalesce(col("n_kept"), lit(0L)) / col("n_total"))
+            .as("kept_share"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS nt,
+               round(0.4 * least(length(text) / 500.0, 1.0)
+                   + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the', 'a'))) * 1.0
+                     / len(string_split(text, ' ')))
+                   + 0.3 * least(((length(text)
+                       - (len(string_split(text, ' ')) - 1)) * 1.0
+                     / len(string_split(text, ' '))) / 8.0, 1.0), 6) AS q
+        FROM documents),
+      k AS (
+        SELECT lang, COUNT(*) AS n_kept, CAST(SUM(nt) AS BIGINT) AS kept_tokens
+        FROM b
+        WHERE CAST(concat('0x',
+                substring(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 15))
+              AS BIGINT) % 1000000
+              < CAST(round(q * 1000000) AS BIGINT)
+        GROUP BY lang),
+      t AS (SELECT lang, COUNT(*) AS n_total FROM b GROUP BY lang)
+      SELECT t.lang, n_total,
+             COALESCE(n_kept, 0) AS n_kept,
+             COALESCE(kept_tokens, 0) AS kept_tokens,
+             round(COALESCE(n_kept, 0) * 1.0 / n_total, 6) AS kept_share
+      FROM t LEFT JOIN k USING (lang) ORDER BY t.lang"""))
+
+  /** Static data-mixing plan (Pile/DoReMi-style fixed source weights):
+    * per-language token inventory vs literal target shares -> the
+    * repeat factor and epoch count each slice needs to fill a one-pass
+    * token budget. repeat_factor divides the RAW integer token counts
+    * (never a rounded intermediate), then rounds once; epochs is ceil of
+    * that identically-rounded double in both engines.
+    */
+  private val mixTargets = Seq(
+    "de" -> 0.20, "en" -> 0.40, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.10)
+  val mixingPlan: GraftQuery = GraftQuery(
+    "mixing_plan_langs",
+    (s, dir) => {
+      val target = mixTargets.foldLeft(lit(null).cast("double")) {
+        case (acc, (l, w)) => when(col("lang") === l, w).otherwise(acc)
+      }
+      val perLang = Tables(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+      val total = perLang.agg(sum("n_tokens").as("total_tokens"))
+      perLang.crossJoin(broadcast(total))
+        .withColumn("target_share", target)
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          Q.r6(col("n_tokens") / col("total_tokens")).as("natural_share"),
+          col("target_share"),
+          Q.r6(col("target_share") * col("total_tokens") / col("n_tokens"))
+            .as("repeat_factor"),
+          ceil(Q.r6(col("target_share") * col("total_tokens")
+            / col("n_tokens"))).cast("long").as("epochs_needed"),
+          round(col("target_share") * col("total_tokens")).cast("long")
+            .as("planned_tokens"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang),
+      tw AS (SELECT * FROM (VALUES ${mixTargets
+        .map { case (l, w) => s"('$l', CAST($w AS DOUBLE))" }.mkString(", ")})
+             AS t(lang, target_share)),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM p)
+      SELECT p.lang, n_docs, n_tokens,
+             round(n_tokens * 1.0 / total_tokens, 6) AS natural_share,
+             target_share,
+             round(target_share * total_tokens / n_tokens, 6)
+               AS repeat_factor,
+             CAST(ceil(round(target_share * total_tokens / n_tokens, 6))
+               AS BIGINT) AS epochs_needed,
+             CAST(round(target_share * total_tokens) AS BIGINT)
+               AS planned_tokens
+      FROM p JOIN tw ON tw.lang = p.lang CROSS JOIN tot
+      ORDER BY p.lang"""))
+
   override def queries: Seq[GraftQuery] =
-    Seq(piiRedact, shardAssign, samplePerGroup)
+    Seq(piiRedact, shardAssign, samplePerGroup, weightedSample, mixingPlan)
 }

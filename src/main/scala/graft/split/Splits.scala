@@ -32,6 +32,21 @@ object Splits {
     df.filter(
       graft.dedup.Dedup.md5Hash60(keyCol.cast("string"), seed) % 100 < pct)
 
+  /** Weight-proportional deterministic sampling: keep a row with
+    * probability `weightCol` (in [0,1], at most 6 decimals — e.g. an
+    * r6-rounded quality score). The per-row uniform is the seeded 60-bit
+    * md5 hash reduced mod 1e6, so the compare is INTEGER vs INTEGER —
+    * reproducible across runs, engines, and partitionings with no float
+    * boundary cases. The quality-weighted corpus-downsampling primitive
+    * (rejection sampling with P(keep) = quality); pure projection.
+    */
+  def weightedHashSample(
+      df: DataFrame, keyCol: org.apache.spark.sql.Column,
+      weightCol: org.apache.spark.sql.Column, seed: Int = 0): DataFrame =
+    df.filter(
+      graft.dedup.Dedup.md5Hash60(keyCol.cast("string"), seed) % 1000000L <
+        round(weightCol * 1000000L).cast("long"))
+
   /** Seeded random split: fraction `frac` -> split=0 (train), rest ->
     * split=1. Pure projection (rand is per-row, no shuffle).
     */

@@ -30,6 +30,29 @@ class SplitsSpec extends AnyFunSuite with SparkTestSession {
     assert(Splits.hashSample(df, col("id"), 100).count() == 1000)
   }
 
+  test("weightedHashSample: w=0 drops all, w=1 keeps all, rate tracks weight") {
+    val df = (1L to 2000L).toDF("id")
+    assert(Splits.weightedHashSample(df, col("id"), lit(0.0)).count() == 0)
+    assert(Splits.weightedHashSample(df, col("id"), lit(1.0)).count() == 2000)
+    val k30 = Splits.weightedHashSample(df, col("id"), lit(0.3))
+      .collect().map(_.getLong(0)).toSet
+    assert(k30.size > 500 && k30.size < 700) // ~0.3 * 2000, generous band
+    // deterministic: same seed reproduces the exact set
+    val again = Splits.weightedHashSample(df, col("id"), lit(0.3))
+      .collect().map(_.getLong(0)).toSet
+    assert(k30 == again)
+    // monotone in the weight: raising every weight only ADDS rows (the
+    // uniform is per-row fixed, so a doc kept at w stays kept at w' > w)
+    val k60 = Splits.weightedHashSample(df, col("id"), lit(0.6))
+      .collect().map(_.getLong(0)).toSet
+    assert(k30.subsetOf(k60))
+    // per-row weights: rows with w=1 always survive alongside w=0 drops
+    val mixed = df.withColumn("w", when(col("id") <= 1000L, 1.0).otherwise(0.0))
+    val keptMixed = Splits.weightedHashSample(mixed, col("id"), col("w"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptMixed == (1L to 1000L).toSet)
+  }
+
   test("stratified split: exact per-class proportions, disjoint, reproducible") {
     val df = ((1 to 80).map(i => (i, "a")) ++ (1 to 20).map(i => (i + 100, "b")))
       .toDF("id", "label")
