@@ -56,13 +56,7 @@ object EventQueries extends QueryPack {
       EventOps.streamingSessionizeResult(s, dir, 30L * 60 * 1000000L),
     Some(sessionizeSql))
 
-  /** Sliding windows (2h length, 1h slide): each event is counted in two
-    * windows; the oracle unnests the two window starts explicitly.
-    */
-  val sliding: GraftQuery = GraftQuery(
-    "events_sliding_2h",
-    (s, dir) => EventOps.sliding(EventOps.events(s, dir)),
-    Some("""
+  private val slidingSql = """
       SELECT strftime(ws, '%Y-%m-%d %H') AS win_start, event_type,
              COUNT(*) AS n,
              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
@@ -71,7 +65,24 @@ object EventQueries extends QueryPack {
                    unnest([date_trunc('hour', ts),
                            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
             FROM events)
-      GROUP BY ws, event_type ORDER BY win_start, event_type"""))
+      GROUP BY ws, event_type ORDER BY win_start, event_type"""
+
+  /** Sliding windows (2h length, 1h slide): each event is counted in two
+    * windows; the oracle unnests the two window starts explicitly.
+    */
+  val sliding: GraftQuery = GraftQuery(
+    "events_sliding_2h",
+    (s, dir) => EventOps.sliding(EventOps.events(s, dir)),
+    Some(slidingSql))
+
+  /** The same sliding aggregation through Structured Streaming
+    * (watermarked multi-assign window state, complete-mode memory sink)
+    * — final table hash-checked against the batch oracle.
+    */
+  val slidingStream: GraftQuery = GraftQuery(
+    "events_sliding_stream",
+    (s, dir) => EventOps.streamingSlidingResult(s, dir),
+    Some(slidingSql))
 
   private val pairsSql = """
       WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
@@ -113,5 +124,5 @@ object EventQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeStream, sliding,
-      intervalJoin, intervalJoinStream, asofClick)
+      slidingStream, intervalJoin, intervalJoinStream, asofClick)
 }

@@ -227,6 +227,35 @@ object EventOps {
       .parquet(sfDir)
   }
 
+  /** The 2h/1h sliding-window aggregation as a Structured Streaming
+    * query — the same multi-assign `window(len, slide)` operator as the
+    * batch [[sliding]], running against the watermarked stream. Each
+    * event updates exactly two window states; state is bounded by the
+    * watermark horizon, not the stream length.
+    */
+  def streamingSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    streamingEvents(spark, sfDir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(Q.cents("value")).as("sum_value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("win_start"),
+        col("event_type"), col("n"), col("sum_value_cents"))
+  }
+
+  /** [[streamingSliding]] run to completion on a memory sink — final
+    * table equals the batch [[sliding]] output, hence shares its oracle.
+    */
+  def streamingSlidingResult(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_sliding"
+    val sq = streamingSliding(spark, sfDir)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try sq.processAllAvailable() finally sq.stop()
+    spark.table(name).orderBy("win_start", "event_type")
+  }
+
   /** The hourly aggregation as a Structured Streaming query over the same
     * parquet (watermark + tumbling window). Returns the streaming DF; the
     * caller starts it (tests use a memory sink + processAllAvailable).

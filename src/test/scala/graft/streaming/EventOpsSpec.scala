@@ -86,4 +86,17 @@ class EventOpsSpec extends AnyFunSuite with SparkTestSession {
         (r.getLong(2), r.getLong(3))).toMap
     assert(streamed == batch)
   }
+
+  test("structured streaming sliding window matches the batch result") {
+    val sfDir = "/root/testdata/sf0.001"
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val batch = key(EventOps.sliding(EventOps.events(spark, sfDir)))
+    val streamed = key(EventOps.streamingSlidingResult(spark, sfDir))
+    assert(streamed == batch)
+    // every event lands in exactly two sliding windows
+    val nEvents = EventOps.events(spark, sfDir).count()
+    assert(batch.values.map(_._1).sum == 2 * nEvents)
+  }
 }
