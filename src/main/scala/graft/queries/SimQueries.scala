@@ -241,6 +241,49 @@ object SimQueries extends QueryPack {
             FROM embeddings)
       GROUP BY label, pos ORDER BY label, pos"""))
 
+  /** Nearest-centroid assignment (the k-means E-step against the fixed
+    * per-label centroids above): every vector scored against all 10
+    * centroids by sequential-fold squared distance (bit-identical
+    * accumulation in both engines, so the argmin ordering replays
+    * exactly), summarized as a true-label x assigned confusion. The
+    * centroid side broadcasts; the corpus is never shuffled on data —
+    * the scale shape of prototype classification / cluster refinement.
+    */
+  val assignCentroid: GraftQuery = GraftQuery(
+    "embedding_assign_centroid",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cent = Similarity.centroidsByLabel(emb, "embedding", "label")
+      Similarity.assignToCentroids(emb, "vec_id", "embedding", cent)
+        .join(emb.select("vec_id", "label"), Seq("vec_id"))
+        .groupBy(col("label").cast("long").as("label"),
+          col("assigned").cast("long").as("assigned"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "assigned")
+    },
+    Some("""
+      WITH m AS (
+        SELECT label AS clabel, pos, round(SUM(x) / COUNT(*), 6) AS mean
+        FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings)
+        GROUP BY clabel, pos),
+      c AS (SELECT clabel, list(mean ORDER BY pos) AS centroid
+            FROM m GROUP BY clabel),
+      d AS (SELECT e.vec_id, e.label, c.clabel,
+                   list_sum(list_transform(list_zip(e.embedding, c.centroid),
+                     p -> (CAST(p[1] AS DOUBLE) - p[2])
+                        * (CAST(p[1] AS DOUBLE) - p[2]))) AS dist2
+            FROM embeddings e CROSS JOIN c),
+      a AS (SELECT vec_id, label, clabel,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2, clabel) AS rk
+            FROM d)
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(clabel AS BIGINT) AS assigned, COUNT(*) AS n
+      FROM a WHERE rk = 1
+      GROUP BY label, clabel ORDER BY label, assigned"""))
+
   /** IVF ANN: k-means coarse quantizer, 2-of-8 lists probed. */
   val ivfTopK: GraftQuery = GraftQuery(
     "ivf_ann_topk_vec0",
@@ -285,5 +328,5 @@ object SimQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] =
     Seq(cosineTopK, knnVote, nearDup, nearDupLsh, annTopK, annTopKSign,
-      centroids, ivfTopK, quantizeInt8)
+      centroids, assignCentroid, ivfTopK, quantizeInt8)
 }

@@ -185,6 +185,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-label centroids as ordered double arrays, means rounded to 6
+    * decimals so downstream distance math runs on cross-engine-identical
+    * operands. One explode + one fixed-size agg; the result is k rows.
+    */
+  def centroidsByLabel(
+      emb: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    emb.select(col(labelCol).as("clabel"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("clabel", "pos")
+      .agg(Q.r6(sum(col("x").cast("double")) / count(lit(1))).as("mean"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+        s => s.getField("mean")).as("centroid"))
+
+  /** Nearest-centroid assignment (the k-means E-step against fixed
+    * centroids): each vector scored against all k centroids via a
+    * sequential-fold squared distance (same left-to-right double
+    * accumulation both engines use for the LSH dot products, so the
+    * argmin ordering is bit-identical), ties broken by label. The
+    * centroid side is k rows — broadcast, no shuffle on the corpus.
+    */
+  def assignToCentroids(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val dist2 = aggregate(
+      zip_with(col(vecCol), col("centroid"),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+    // argmin via min(struct): lexicographic struct ordering = (dist, label)
+    // tie-break, map-side combinable — no per-id window sort.
+    emb.crossJoin(broadcast(centroids))
+      .withColumn("__d2", dist2)
+      .groupBy(idCol)
+      .agg(min(struct(col("__d2").as("d2"), col("clabel").as("cl"))).as("__m"))
+      .select(col(idCol), col("__m.cl").as("assigned"), col("__m.d2").as("dist2"))
+  }
+
   /** Seeded random hyperplanes (driver-side, deterministic). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)

@@ -80,4 +80,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .collect().map(_.getLong(0))
     assert(got.contains(1L)) // identical vector always shares the bucket
   }
+
+  test("nearest-centroid assignment recovers well-separated clusters") {
+    // two tight clusters around (1,0,0) and (0,10,0)
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.1f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 10.0f, 0.0f), 1),
+      (4L, Array(0.1f, 9.9f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cent = Similarity.centroidsByLabel(labeled, "embedding", "label")
+    val crows = cent.collect()
+    assert(crows.length == 2)
+    // centroid arrays are position-ordered r6 means
+    val c0 = crows.find(_.getInt(0) == 0).get.getSeq[Double](1)
+    assert(c0 == Seq(1.0, 0.033333, 0.0))
+    val assigned = Similarity
+      .assignToCentroids(labeled, "vec_id", "embedding", cent)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned == Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+  }
+
+  test("centroid assignment ties break toward the smaller label") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f), 5), (1L, Array(-1.0f, 0.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val cent = Similarity.centroidsByLabel(labeled, "embedding", "label")
+    // the midpoint is equidistant from both centroids -> label 3 wins
+    val mid = Seq((9L, Array(0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.assignToCentroids(mid, "vec_id", "embedding", cent)
+      .collect()
+    assert(got.head.getInt(1) == 3)
+  }
 }
