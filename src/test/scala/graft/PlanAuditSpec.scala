@@ -26,10 +26,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "events_hourly_stream", "sessionize_stream", "interval_join_stream",
     "dedup_distinct_stream", "cms_heavy_hitters_stream", "dedup_clusters_lsh")
 
-  /** Queries that intentionally attach a <=1-row broadcast aggregate
-    * (share-of-total denominators, a single query vector, a corpus-size
-    * scalar) via crossJoin — rendered by Spark as BroadcastNestedLoopJoin
-    * over a single broadcast row, which is a literal attach, not a join.
+  /** Queries that intentionally attach a bounded tiny broadcast side via
+    * crossJoin — a <=1-row aggregate (share-of-total denominators, a
+    * single query vector, a corpus-size scalar) or a fixed-k frame (the
+    * 10 per-label centroids every vector must score against). Spark
+    * renders these as BroadcastNestedLoopJoin over the broadcast rows,
+    * which is a bounded attach, not a data x data join.
     */
   private val oneRowAttach = Set(
     "value_counts_priority", "describe_strings_orders", "tfidf_top_terms",
@@ -39,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "macro_f1_synth", "weighted_prf_synth", "entropy_gini_returnflag",
     "priority_abs_deviation", "quality_sample_docs", "lm_score_docs",
     "hist_quantile_totalprice", "bloom_contamination_prefilter",
-    "incremental_dedup_shard")
+    "incremental_dedup_shard", "mixing_plan_langs",
+    "embedding_assign_centroid")
 
   test("no CartesianProduct / unexpected BroadcastNestedLoopJoin in any registered plan") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()
