@@ -342,4 +342,38 @@ object Dedup {
     toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"), fp.as("simhash"))
   }
+
+  /** All pairs within `maxDist` Hamming distance of each other's SimHash,
+    * found EXACTLY without an all-pairs compare: split each fingerprint
+    * into `nBands` contiguous `bandBits`-bit bands and equi-join on
+    * (band, bucket). Pigeonhole: two fingerprints differing in at most
+    * nBands-1 bits must agree on at least one full band, so with
+    * maxDist < nBands the banded candidate set provably contains every
+    * qualifying pair — banding here is a lossless pruning, unlike
+    * MinHash-LSH's probabilistic recall. Candidates are verified with
+    * one bit_count(xor) projection. Shuffle carries (id, fingerprint,
+    * bucket) only.
+    */
+  def simhashHammingPairs(
+      sh: DataFrame, nBands: Int, bandBits: Int, maxDist: Int): DataFrame = {
+    require(maxDist < nBands,
+      s"pigeonhole guarantee needs maxDist < nBands (got $maxDist >= $nBands)")
+    val mask = (1L << bandBits) - 1
+    val banded = sh.select(
+        col("id"), col("simhash"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
+              .as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("id").as("ia"), col("simhash").as("sa"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("id").as("ib"), col("simhash").as("sb"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket")).filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
 }

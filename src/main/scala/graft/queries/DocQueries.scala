@@ -403,6 +403,53 @@ object DocQueries extends QueryPack {
       SELECT id, $simhashAssemble AS simhash
       FROM b ORDER BY id"""))
 
+  /** SimHash near-dup pairs at Hamming distance <= 3 via 4x15-bit band
+    * blocking. Pigeonhole (maxDist < nBands) makes the banding LOSSLESS:
+    * every qualifying pair shares a full band, so this equi-join +
+    * bit_count(xor) verification is exact — the scale path needs no
+    * all-pairs compare and no recall caveat. Oracle replays fingerprint
+    * build, banding, candidate dedup, and verification.
+    */
+  private val shBands = 4
+  private val shBandBits = 15
+  val simhashPairs: GraftQuery = GraftQuery(
+    "simhash_hamming_pairs",
+    (s, dir) => Dedup.simhashHammingPairs(
+        Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text",
+          nBits = simhashBits, hashFn = Dedup.md5Hash60),
+        nBands = shBands, bandBits = shBandBits, maxDist = 3)
+      .orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH toks AS MATERIALIZED (
+        SELECT id, tok, COUNT(*) AS w
+        FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY id, tok),
+      h AS (
+        SELECT id, w,
+               CAST(concat('0x', substring(md5(tok || '|0'), 1, 15))
+                    AS BIGINT) AS h
+        FROM toks),
+      b AS (
+        SELECT id,
+               $simhashBitSums
+        FROM h GROUP BY id),
+      sh AS MATERIALIZED (
+        SELECT id, $simhashAssemble AS simhash FROM b),
+      bands AS (
+        SELECT id, simhash, band,
+               (simhash >> (band * $shBandBits)) & ${(1L << shBandBits) - 1}
+                 AS bucket
+        FROM sh CROSS JOIN range(0, $shBands) r(band)),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+               a.simhash AS sa, b2.simhash AS sb
+        FROM bands a JOIN bands b2
+          ON a.band = b2.band AND a.bucket = b2.bucket AND a.id < b2.id)
+      SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS dist
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+      ORDER BY id_a, id_b"""))
+
   /** Benchmark-contamination sweep: every 50th document stands in for a
     * protected eval set; flag corpus documents containing >= 5% of a
     * bench document's distinct trigrams (GPT-3 appendix C n-gram
@@ -654,7 +701,7 @@ object DocQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] = Seq(
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
-    jaccardAdjacent, minhashLsh, simhashDocs, dedupClusters, packDocs,
-    qualitySample, dedupStream, contamination, bloomPrefilter,
+    jaccardAdjacent, minhashLsh, simhashDocs, simhashPairs, dedupClusters,
+    packDocs, qualitySample, dedupStream, contamination, bloomPrefilter,
     incrementalDedup, spanDedup)
 }

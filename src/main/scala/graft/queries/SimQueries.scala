@@ -241,6 +241,42 @@ object SimQueries extends QueryPack {
             FROM embeddings)
       GROUP BY label, pos ORDER BY label, pos"""))
 
+  /** Johnson-Lindenstrauss random projection 64 -> 16 dims: seeded
+    * Gaussian matrix (replayed into the oracle as literal coefficients),
+    * projected norm scaled by 1/k so E[proj_norm2] = orig_norm2. The
+    * report pins the distortion per vector — the JL contract a
+    * dimensionality-reduced ANN index relies on. Pure projection
+    * (16 codegen'd dot products per row), zero shuffle.
+    */
+  private val rpK = 16
+  private val rpPlanes = Similarity.hyperplanes(rpK, dim = 64, seed = 7)
+  val randomProjection: GraftQuery = GraftQuery(
+    "embedding_random_projection",
+    (s, dir) => {
+      val dots = rpPlanes.map(p =>
+        Similarity.dotD(col("embedding"), typedLit(p)))
+      val projN2 = dots.map(d => d * d).reduce(_ + _) / rpK
+      val origN2 = Similarity.dotD(col("embedding"), col("embedding"))
+      Tables(s, dir, "embeddings").select(
+        col("vec_id"),
+        Q.r6(origN2).as("orig_norm2"),
+        Q.r6(projN2).as("proj_norm2"),
+        Q.r6(projN2 / origN2).as("distortion"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT vec_id,
+               list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS orig_norm2,
+               (${rpPlanes.map(p => s"(${planeDotSql(p)}) * (${planeDotSql(p)})")
+                  .mkString("\n                + ")}) / $rpK AS proj_norm2
+        FROM embeddings)
+      SELECT vec_id, round(orig_norm2, 6) AS orig_norm2,
+             round(proj_norm2, 6) AS proj_norm2,
+             round(proj_norm2 / orig_norm2, 6) AS distortion
+      FROM p ORDER BY vec_id"""))
+
   /** Nearest-centroid assignment (the k-means E-step against the fixed
     * per-label centroids above): every vector scored against all 10
     * centroids by sequential-fold squared distance (bit-identical
@@ -328,5 +364,5 @@ object SimQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] =
     Seq(cosineTopK, knnVote, nearDup, nearDupLsh, annTopK, annTopKSign,
-      centroids, assignCentroid, ivfTopK, quantizeInt8)
+      centroids, assignCentroid, randomProjection, ivfTopK, quantizeInt8)
 }

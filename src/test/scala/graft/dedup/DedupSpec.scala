@@ -92,4 +92,27 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(fp60(1L) == fp60(2L) && fp60(1L) != fp60(4L))
     assert(fp60.values.forall(v => v >= 0 && v < (1L << 60)))
   }
+
+  test("simhash hamming pairs: banded blocking is lossless under pigeonhole") {
+    import spark.implicits._
+    // crafted fingerprints with known pairwise Hamming distances
+    val base = (1L << 59) | (1L << 31) | (1L << 3)
+    val sh = Seq(
+      (1L, base),                    // reference
+      (2L, base),                    // dist 0
+      (3L, base ^ (1L << 17)),       // dist 1
+      (4L, base ^ 7L),               // dist 3 (bits 0..2, one band)
+      (5L, base ^ (1L << 0) ^ (1L << 16) ^ (1L << 32) ^ (1L << 48))
+    ).toDF("id", "simhash")          // 5: dist 4 spread over ALL 4 bands
+    val got = Dedup.simhashHammingPairs(sh, nBands = 4, bandBits = 15, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 0L && got((1L, 3L)) == 1L && got((1L, 4L)) == 3L)
+    assert(got((2L, 3L)) == 1L && got((2L, 4L)) == 3L)
+    assert(!got.contains((3L, 4L))) // dist 4 > maxDist -> filtered
+    // dist-4-spread-over-all-bands shares NO band -> correctly absent
+    // (it also exceeds maxDist, so losslessness is not violated)
+    assert(!got.contains((1L, 5L)))
+    // every reported pair respects the threshold
+    assert(got.values.forall(_ <= 3L))
+  }
 }
