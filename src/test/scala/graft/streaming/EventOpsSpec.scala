@@ -87,6 +87,42 @@ class EventOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed == batch)
   }
 
+  test("watermark finalizes windows and drops late events behind it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = in.toDF().toDF("event_ts", "event_type")
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "HH").as("hour"),
+        col("event_type"), col("n"))
+    val sq = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: two 10:xx clicks + a 12:30 view -> watermark 11:30,
+      // the 10:00 window is finalized and emitted
+      in.addData(
+        (ts("2026-01-01 10:05:00"), "click"),
+        (ts("2026-01-01 10:10:00"), "click"),
+        (ts("2026-01-01 12:30:00"), "view"))
+      sq.processAllAvailable()
+      // batch 2: a LATE 10:20 click — behind the watermark, its window
+      // state is gone -> must be dropped, not re-emitted
+      in.addData((ts("2026-01-01 10:20:00"), "click"))
+      sq.processAllAvailable()
+      // batch 3: advance the watermark to 13:00 to flush the 12:00 window
+      in.addData((ts("2026-01-01 14:00:00"), "view"))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val got = spark.table("wm_test").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // late click NOT counted: the finalized 10:00 window stays at 2
+    assert(got == Map(("10", "click") -> 2L, ("12", "view") -> 1L))
+  }
+
   test("structured streaming sliding window matches the batch result") {
     val sfDir = "/root/testdata/sf0.001"
     def key(df: org.apache.spark.sql.DataFrame) =
