@@ -46,6 +46,16 @@ object EventQueries extends QueryPack {
       EventOps.sessionize(EventOps.events(s, dir), 30L * 60 * 1000000L),
     Some(sessionizeSql))
 
+  /** The same sessionization through Spark's native `session_window`
+    * aggregation (gap widened 1us for end-exclusivity parity — see
+    * EventOps.sessionizeNative). Three engine paths, one oracle.
+    */
+  val sessionizeNative: GraftQuery = GraftQuery(
+    "sessionize_native",
+    (s, dir) =>
+      EventOps.sessionizeNative(EventOps.events(s, dir), 30L * 60 * 1000000L),
+    Some(sessionizeSql))
+
   /** Sessionization through the stateful-streaming operator
     * (`flatMapGroupsWithState`, update-mode memory sink), hash-checked
     * against the same oracle as the batch window form.
@@ -123,6 +133,6 @@ object EventQueries extends QueryPack {
       FROM w WHERE event_type = 'error' ORDER BY event_id"""))
 
   override def queries: Seq[GraftQuery] =
-    Seq(hourly, hourlyStream, sessionize, sessionizeStream, sliding,
-      slidingStream, intervalJoin, intervalJoinStream, asofClick)
+    Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
+      sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick)
 }

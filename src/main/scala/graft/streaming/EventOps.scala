@@ -73,6 +73,25 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` aggregation — the
+    * third implementation of the same semantics (lag-window batch,
+    * flatMapGroupsWithState streaming, and this), all sharing one oracle.
+    * Spark merges an event into the running session when its gap to the
+    * previous event is <= gapDuration (end-inclusive merge — pinned by
+    * the boundary case in EventOpsSpec), exactly the lag form's
+    * `diff <= gap`, so the same gap value replays identically.
+    * No per-user ordered window here: session merging happens inside the
+    * aggregation, which at scale avoids the full per-user sort.
+    */
+  def sessionizeNative(df: DataFrame, gapUs: Long): DataFrame =
+    df.groupBy(
+        col("user_id"),
+        session_window(col("event_ts"), s"$gapUs microseconds"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("user_id")
+      .agg(sum("__n").as("n_events"), count(lit(1)).as("n_sessions"))
+      .orderBy("user_id")
+
   /** Interval join: per user, count (click, error) pairs where the click
     * falls within [error - gapUs, error]. Equi-join on user_id carries the
     * shuffle; the range predicate filters inside the join — at scale this

@@ -87,6 +87,29 @@ class EventOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed == batch)
   }
 
+  test("native session_window matches the lag-window sessionization") {
+    val sfDir = "/root/testdata/sf0.001"
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val gapUs = 30L * 60 * 1000000L
+    val ev = EventOps.events(spark, sfDir)
+    assert(key(EventOps.sessionizeNative(ev, gapUs)) ==
+      key(EventOps.sessionize(ev, gapUs)))
+    // boundary: a gap of EXACTLY gapUs stays one session in both forms
+    // (session_window merges end-inclusively, diff <= gap, same as the
+    // lag form); gapUs+1 splits in both
+    import org.apache.spark.sql.functions._
+    def mk(ts: Long*) = ts.zipWithIndex
+      .map { case (t, i) => (7L, i.toLong, t) }
+      .toDF("user_id", "event_id", "ts_us")
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+    for ((gap2, want) <- Seq(gapUs -> 1L, (gapUs + 1) -> 2L)) {
+      val d = mk(0L, gap2)
+      assert(EventOps.sessionize(d, gapUs).head().getLong(2) == want)
+      assert(EventOps.sessionizeNative(d, gapUs).head().getLong(2) == want)
+    }
+  }
+
   test("watermark finalizes windows and drops late events behind it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
