@@ -382,8 +382,50 @@ object TextExtraQueries extends QueryPack {
       FROM w JOIN v USING (word) CROSS JOIN tot
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Vocabulary coverage / OOV rate: fit a top-200 corpus vocabulary
+    * (count-desc, token tiebreak — deterministic) and score every
+    * document's out-of-vocabulary token share — the coverage check run
+    * before committing a tokenizer vocab. The vocab side is 200 rows —
+    * broadcast; the corpus sees one token-count shuffle + one per-doc
+    * aggregation.
+    */
+  private val vocabK = 200
+  val vocabOov: GraftQuery = GraftQuery(
+    "vocab_oov_docs",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      val vocab = toks.groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("word")).limit(vocabK)
+        .select(col("word"), lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          Q.r6(col("n_oov") / col("n_tokens")).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH toks AS MATERIALIZED (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      vocab AS (
+        SELECT word FROM (
+          SELECT word, COUNT(*) AS n FROM toks GROUP BY word
+          ORDER BY n DESC, word LIMIT $vocabK)),
+      j AS (
+        SELECT t.doc_id,
+               CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+        FROM toks t LEFT JOIN vocab v ON v.word = t.word)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(oov) AS BIGINT) AS n_oov,
+             round(SUM(oov) * 1.0 / COUNT(*), 6) AS oov_rate
+      FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(wordCount, cmsHeavyHitters, cmsStream, distinctEstimate,
       describeStrings, monthly, chunkDocs, tfidfTop, topBigrams,
-      repetitionScores, qualityGate, repetitionStream, lmScore)
+      repetitionScores, qualityGate, repetitionStream, lmScore, vocabOov)
 }
