@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, Q, QueryPack, Tables}
 import graft.stats.Stats
+import org.apache.spark.sql.functions.col
 
 /** Oracle-checked queries for the profiling module (SURVEY §2.4). */
 object StatsQueries extends QueryPack {
@@ -204,7 +205,71 @@ object StatsQueries extends QueryPack {
       FROM sel JOIN ex ON sel.prob = ex.prob CROSS JOIN mm
       ORDER BY prob"""))
 
+  /** Chi-square independence + Cramér's V over the returnflag ×
+    * linestatus contingency table — the categorical-association /
+    * drift primitive ([[Stats.chiSquare]]).
+    */
+  val chi2: GraftQuery = GraftQuery(
+    "chi2_flag_status",
+    (s, dir) => Stats.chiSquare(
+      Tables(s, dir, "lineitem"), "l_returnflag", "l_linestatus"),
+    Some("""
+      WITH cells AS (
+        SELECT l_returnflag AS a, l_linestatus AS b, COUNT(*) AS o
+        FROM lineitem GROUP BY 1, 2),
+      m AS (
+        SELECT a, b, o,
+               SUM(o) OVER (PARTITION BY a) * SUM(o) OVER (PARTITION BY b)
+                 * 1.0 / SUM(o) OVER () AS e,
+               SUM(o) OVER () AS n
+        FROM cells)
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+               AS BIGINT) AS dof,
+             round(SUM(pow(o - e, 2) / e), 6) AS chi2,
+             round(sqrt(SUM(pow(o - e, 2) / e) / MAX(n)
+               / least(COUNT(DISTINCT a) - 1, COUNT(DISTINCT b) - 1)), 6)
+               AS cramers_v
+      FROM m"""))
+
+  /** Exact two-sample KS drift statistic between two deterministic
+    * hash-halves of orders on the o_totalprice cents grid
+    * ([[Stats.ksStatistic]]) — a self-split, so D measures pure
+    * sampling noise; the same query pointed at two corpus snapshots is
+    * the drift gate.
+    */
+  val ksDrift: GraftQuery = GraftQuery(
+    "ks_drift_totalprice",
+    (s, dir) => Stats.ksStatistic(
+      Tables(s, dir, "orders"),
+      Q.cents("o_totalprice"),
+      graft.dedup.Dedup.md5Hash60(col("o_orderkey").cast("string"), 7)
+        % 2 === 0),
+    Some("""
+      WITH s AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               CASE WHEN CAST(concat('0x', substring(
+                      md5(CAST(o_orderkey AS VARCHAR) || '|7'), 1, 15))
+                    AS BIGINT) % 2 = 0
+                    THEN 1 ELSE 0 END AS a
+        FROM orders),
+      p AS (
+        SELECT v, CAST(SUM(a) AS BIGINT) AS na,
+               CAST(COUNT(*) - SUM(a) AS BIGINT) AS nb
+        FROM s GROUP BY v),
+      c AS (
+        SELECT SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS ca,
+               SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cb,
+               SUM(na) OVER () AS ta, SUM(nb) OVER () AS tb
+        FROM p)
+      SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+             COUNT(*) AS n_values,
+             round(MAX(ABS(ca * 1.0 / ta - cb * 1.0 / tb)), 6) AS ks
+      FROM c GROUP BY ta, tb"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     profile, valueCounts, nullCounts, corrMatrix, crosstab, entropyGini,
-    skewKurt, corrVsLabel, histQuantile)
+    skewKurt, corrVsLabel, histQuantile, chi2, ksDrift)
 }

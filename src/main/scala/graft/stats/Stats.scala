@@ -166,4 +166,64 @@ object Stats {
     perCol.map { case (c, _, sk, ku) => (c, Q.r6Double(sk), Q.r6Double(ku)) }
       .toDF("column", "skewness", "kurtosis").orderBy("column")
   }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns, plus Cramér's V effect size — the categorical-drift /
+    * feature-association check run before committing an encoded feature.
+    * One shuffle builds the R×C contingency cells; marginals come from
+    * windows over that (tiny) cell frame, never a second pass over the
+    * data. All counts are exact integers; each cell contributes one
+    * division on identical doubles in both engines.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(aCol, bCol).agg(count(lit(1)).as("o"))
+    val e = sum("o").over(Window.partitionBy(aCol)) *
+      sum("o").over(Window.partitionBy(bCol)) * 1.0 /
+      sum("o").over(Window.partitionBy())
+    cells
+      .select(col(aCol), col(bCol), col("o"),
+        e.as("e"), sum("o").over(Window.partitionBy()).as("n"))
+      .agg(
+        max("n").as("n"),
+        ((countDistinct(aCol) - 1) * (countDistinct(bCol) - 1)).as("dof"),
+        Q.r6(sum(pow(col("o") - col("e"), 2) / col("e"))).as("chi2"),
+        Q.r6(sqrt(
+          sum(pow(col("o") - col("e"), 2) / col("e")) / max("n") /
+            least(countDistinct(aCol) - 1, countDistinct(bCol) - 1)))
+          .as("cramers_v"))
+      .select("n", "dof", "chi2", "cramers_v")
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the value
+    * distributions of two row groups: D = max over the value grid of
+    * |F_a(v) - F_b(v)| — the numeric-drift check between corpus shards
+    * or train/serve splits. `valueCol` must be an exact integer grid
+    * (scale fixed-decimal inputs with [[Q.cents]] first) and `isA` marks
+    * the first sample. One shuffle aggregates per-value counts; the
+    * cumulative window then runs over the DISTINCT-VALUE frame (not data
+    * rows), so its single-task sort is bounded by grid cardinality — at
+    * 100 TB quantize the grid (bin the values) and the same plan holds.
+    * Every intermediate is an integer sum or a single division, so D is
+    * bit-identical across engines and partitionings.
+    */
+  def ksStatistic(df: DataFrame, valueCol: Column, isA: Column): DataFrame = {
+    val per = df
+      .select(valueCol.as("v"), when(isA, 1L).otherwise(0L).as("a"))
+      .groupBy("v")
+      .agg(sum("a").as("na"), (count(lit(1)) - sum("a")).as("nb"))
+    val cum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    per
+      .select(
+        sum("na").over(cum).as("ca"), sum("nb").over(cum).as("cb"),
+        sum("na").over(all).as("ta"), sum("nb").over(all).as("tb"))
+      .groupBy("ta", "tb")
+      .agg(
+        count(lit(1)).as("n_values"),
+        Q.r6(max(abs(col("ca") * 1.0 / col("ta") -
+          col("cb") * 1.0 / col("tb")))).as("ks"))
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        col("n_values"), col("ks"))
+  }
 }

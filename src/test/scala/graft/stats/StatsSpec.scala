@@ -42,4 +42,26 @@ class StatsSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(r.getDouble(1) - 1.697056) < 1e-5)
     assert(math.abs(r.getDouble(2) - 3.152) < 1e-5)
   }
+
+  test("chiSquare on a hand-computed 2x2 table") {
+    // counts: (x,p)=10 (x,q)=20 (y,p)=20 (y,q)=10; every expected cell
+    // is 15, so chi2 = 4 * 25/15 = 6.666667, dof = 1, V = sqrt(1/9).
+    val rows = Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(10)(("y", "q"))
+    val r = Stats.chiSquare(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getAs[Long]("n") == 60 && r.getAs[Long]("dof") == 1)
+    assert(r.getAs[Double]("chi2") == 6.666667)
+    assert(r.getAs[Double]("cramers_v") == 0.333333)
+  }
+
+  test("ksStatistic on a hand-computed two-sample case") {
+    // A = {1,2,3}, B = {3,4}: ECDF gaps are 1/3, 2/3, 1/2, 0 -> D = 2/3.
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, true), (2L, true), (3L, true), (3L, false),
+      (4L, false)).toDF("v", "isa")
+    val r = Stats.ksStatistic(df, col("v"), col("isa")).head()
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Long]("n_values") == 4)
+    assert(r.getAs[Double]("ks") == 0.666667)
+  }
 }
