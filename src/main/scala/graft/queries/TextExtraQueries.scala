@@ -382,6 +382,47 @@ object TextExtraQueries extends QueryPack {
       FROM w JOIN v USING (word) CROSS JOIN tot
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Held-out perplexity filter ([[graft.text.LmScore.holdoutScore]]):
+    * add-one-smoothed unigram model fitted on the md5-even half of the
+    * corpus, scoring the odd half incl. OOV smoothing mass — the
+    * CCNet-style quality gate where the reference corpus and the scored
+    * shard are DIFFERENT data.
+    */
+  val lmPplHoldout: GraftQuery = GraftQuery(
+    "lm_ppl_holdout",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val h = graft.dedup.Dedup
+        .md5Hash60(col("doc_id").cast("string"), 7) % 2
+      graft.text.LmScore
+        .holdoutScore(d.filter(h === 0), d.filter(h === 1), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          Q.r6(col("avg_nll")).as("avg_nll"), Q.r6(col("ppl")).as("ppl"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text,
+               CAST(concat('0x', substring(
+                 md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 15))
+               AS BIGINT) % 2 AS h
+        FROM documents),
+      tw AS (SELECT unnest(string_split(text, ' ')) AS word
+             FROM d WHERE h = 0),
+      v AS (SELECT word, COUNT(*) AS cnt FROM tw GROUP BY 1),
+      den AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nn, COUNT(*) AS vv FROM v),
+      sw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM d WHERE h = 1),
+      j AS (SELECT s.doc_id, v.cnt FROM sw s LEFT JOIN v USING (word))
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+             round(SUM(-ln((COALESCE(cnt, 0) + 1) * 1.0 / (nn + vv)))
+               / COUNT(*), 6) AS avg_nll,
+             round(exp(SUM(-ln((COALESCE(cnt, 0) + 1) * 1.0 / (nn + vv)))
+               / COUNT(*)), 6) AS ppl
+      FROM j CROSS JOIN den GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Vocabulary coverage / OOV rate: fit a top-200 corpus vocabulary
     * (count-desc, token tiebreak — deterministic) and score every
     * document's out-of-vocabulary token share — the coverage check run
@@ -427,5 +468,6 @@ object TextExtraQueries extends QueryPack {
   override def queries: Seq[GraftQuery] =
     Seq(wordCount, cmsHeavyHitters, cmsStream, distinctEstimate,
       describeStrings, monthly, chunkDocs, tfidfTop, topBigrams,
-      repetitionScores, qualityGate, repetitionStream, lmScore, vocabOov)
+      repetitionScores, qualityGate, repetitionStream, lmScore,
+      lmPplHoldout, vocabOov)
 }
