@@ -163,6 +163,56 @@ object MiscQueries extends QueryPack {
       FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
       ORDER BY side, nationkey"""))
 
+  /** Z-order (Morton) layout report over orders on the
+    * (customer, order-day) plane ([[graft.sources.Layout.zValue]]):
+    * rows are assigned to 16 "files" in Z-value order and each file
+    * reports its min/max rectangle in BOTH dimensions — narrow ranges
+    * on both axes are what make parquet row-group stats prune scans for
+    * either predicate at 100 TB. ntile emulates the file assignment
+    * deterministically for the oracle; the production write is
+    * `repartitionByRange(n, z).sortWithinPartitions(z).write`, which
+    * needs no global window.
+    */
+  val zorderLayout: GraftQuery = GraftQuery(
+    "zorder_layout_orders",
+    (s, dir) => {
+      val day = datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+        .cast("long")
+      val z = graft.sources.Layout.zValue(col("o_custkey"), day, 16)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), day.as("day_idx"),
+          z.as("z"))
+        .withColumn("file_id",
+          ntile(16).over(Window.orderBy(col("z"), col("o_orderkey")))
+            .cast("long"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+          min("day_idx").as("min_day"), max("day_idx").as("max_day"))
+        .orderBy("file_id")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT o_orderkey, o_custkey,
+               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                 AS day_idx
+        FROM orders),
+      b AS (
+        SELECT o_orderkey, o_custkey, day_idx,
+               ${graft.sources.Layout.zValueSql("o_custkey", "day_idx", 16)}
+                 AS z
+        FROM d),
+      f AS (
+        SELECT o_custkey, day_idx,
+               ntile(16) OVER (ORDER BY z, o_orderkey) AS file_id
+        FROM b)
+      SELECT CAST(file_id AS BIGINT) AS file_id, COUNT(*) AS n_rows,
+             MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+             CAST(MIN(day_idx) AS BIGINT) AS min_day,
+             CAST(MAX(day_idx) AS BIGINT) AS max_day
+      FROM f GROUP BY file_id ORDER BY file_id"""))
+
   override def queries: Seq[GraftQuery] =
-    Seq(unionConcat, topkPerBrand, absRank, setOps, csvRoundtrip, calibration)
+    Seq(unionConcat, topkPerBrand, absRank, setOps, csvRoundtrip,
+      calibration, zorderLayout)
 }
