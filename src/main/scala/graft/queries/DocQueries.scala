@@ -3,6 +3,7 @@ package graft.queries
 import graft.{GraftQuery, Q, QueryPack, Tables}
 import graft.dedup.Dedup
 import graft.text.TextOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication queries over the `documents` table.
@@ -412,15 +413,10 @@ object DocQueries extends QueryPack {
     */
   private val shBands = 4
   private val shBandBits = 15
-  val simhashPairs: GraftQuery = GraftQuery(
-    "simhash_hamming_pairs",
-    (s, dir) => Dedup.simhashHammingPairs(
-        Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text",
-          nBits = simhashBits, hashFn = Dedup.md5Hash60),
-        nBands = shBands, bandBits = shBandBits, maxDist = 3)
-      .orderBy("id_a", "id_b"),
-    Some(s"""
-      WITH toks AS MATERIALIZED (
+  /** Shared oracle prefix: fingerprints -> bands -> verified candidate
+    * pairs (used by `simhash_hamming_pairs` and `dedup_drop_list`).
+    */
+  private val simhashCandSql = s"""toks AS MATERIALIZED (
         SELECT id, tok, COUNT(*) AS w
         FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
               FROM documents)
@@ -445,10 +441,64 @@ object DocQueries extends QueryPack {
         SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
                a.simhash AS sa, b2.simhash AS sb
         FROM bands a JOIN bands b2
-          ON a.band = b2.band AND a.bucket = b2.bucket AND a.id < b2.id)
+          ON a.band = b2.band AND a.bucket = b2.bucket AND a.id < b2.id)"""
+  val simhashPairs: GraftQuery = GraftQuery(
+    "simhash_hamming_pairs",
+    (s, dir) => Dedup.simhashHammingPairs(
+        Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text",
+          nBits = simhashBits, hashFn = Dedup.md5Hash60),
+        nBands = shBands, bandBits = shBandBits, maxDist = 3)
+      .orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH $simhashCandSql
       SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS dist
       FROM cand WHERE bit_count(xor(sa, sb)) <= 3
       ORDER BY id_a, id_b"""))
+
+  /** The dedup DECISION, end to end: SimHash hamming pairs as edges,
+    * connected components, then one canonical survivor per cluster —
+    * keep the longest document (n_chars desc, id tiebreak), drop the
+    * rest. keep=1 rows are the cluster representatives a pipeline
+    * retains; unclustered docs are implicitly kept and don't appear.
+    * Same bounded-window scale shape as `dedup_clusters_lsh` plus one
+    * per-cluster row_number — no new shuffle class.
+    */
+  val dedupDropList: GraftQuery = GraftQuery(
+    "dedup_drop_list",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.simhashHammingPairs(
+        Dedup.simhash(docs, "doc_id", "text",
+          nBits = simhashBits, hashFn = Dedup.md5Hash60),
+        nBands = shBands, bandBits = shBandBits, maxDist = 3)
+      val labels = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      val w = Window.partitionBy("component")
+        .orderBy(desc("n_chars"), col("id"))
+      labels.select(col("id"), col("comp").as("component"))
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+        .withColumn("keep",
+          when(row_number().over(w) === 1, 1L).otherwise(0L))
+        .select("id", "component", "n_chars", "keep")
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH RECURSIVE $simhashCandSql,
+      edges AS (
+        SELECT id_a, id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+      sym AS (SELECT id_a AS s, id_b AS d FROM edges
+              UNION SELECT id_b, id_a FROM edges),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM sym
+        UNION
+        SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id),
+      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      jd AS (SELECT c.id, c.component, d.n_chars
+             FROM comp c JOIN documents d ON d.doc_id = c.id)
+      SELECT id, component, n_chars,
+             CAST(CASE WHEN row_number() OVER (PARTITION BY component
+                    ORDER BY n_chars DESC, id) = 1
+                  THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM jd ORDER BY id"""))
 
   /** Benchmark-contamination sweep: every 50th document stands in for a
     * protected eval set; flag corpus documents containing >= 5% of a
@@ -702,6 +752,6 @@ object DocQueries extends QueryPack {
   override def queries: Seq[GraftQuery] = Seq(
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
     jaccardAdjacent, minhashLsh, simhashDocs, simhashPairs, dedupClusters,
-    packDocs, qualitySample, dedupStream, contamination, bloomPrefilter,
-    incrementalDedup, spanDedup)
+    dedupDropList, packDocs, qualitySample, dedupStream, contamination,
+    bloomPrefilter, incrementalDedup, spanDedup)
 }
