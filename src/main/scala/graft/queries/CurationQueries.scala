@@ -222,6 +222,46 @@ object CurationQueries extends QueryPack {
       FROM p JOIN tw ON tw.lang = p.lang CROSS JOIN tot
       ORDER BY p.lang"""))
 
+  /** Text cleaning / normalization gate (the Common-Crawl-style first
+    * pass): the synthetic corpus is already clean, so the query first
+    * wraps each document in deterministic dirt (an HTML tag pair, a tab,
+    * doubled spaces — the same string expression in both engines), then
+    * runs `TextOps.cleanText` and hash-checks the md5 of the cleaned
+    * text plus before/after char counts. Zero shuffles — pure codegen'd
+    * regexp projections.
+    */
+  val cleanNormalize: GraftQuery = GraftQuery(
+    "clean_normalize_docs",
+    (s, dir) => {
+      val dirty = concat(
+        lit("<p id=\""), col("doc_id").cast("string"), lit("\">"),
+        col("text"), lit("</p>"), lit("\t"), lit(" x  y"))
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(dirty).as("n_chars_dirty"),
+          length(TextOps.cleanText(dirty)).as("n_chars_clean"),
+          md5(TextOps.cleanText(dirty)).as("md5_clean"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               '<p id="' || CAST(doc_id AS VARCHAR) || '">' || text ||
+                 '</p>' || chr(9) || ' x  y' AS dirty
+        FROM documents),
+      c AS (
+        SELECT doc_id, dirty,
+               trim(regexp_replace(regexp_replace(regexp_replace(
+                 dirty, '<[^>]*>', ' ', 'g'),
+                 '[\x00-\x1f\x7f]', ' ', 'g'),
+                 '  +', ' ', 'g')) AS clean
+        FROM d)
+      SELECT doc_id, length(dirty) AS n_chars_dirty,
+             length(clean) AS n_chars_clean, md5(clean) AS md5_clean
+      FROM c ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] =
-    Seq(piiRedact, shardAssign, samplePerGroup, weightedSample, mixingPlan)
+    Seq(piiRedact, shardAssign, samplePerGroup, weightedSample, mixingPlan,
+      cleanNormalize)
 }

@@ -132,7 +132,60 @@ object EventQueries extends QueryPack {
       SELECT event_id, user_id, tus AS ts_us, last_click_us
       FROM w WHERE event_type = 'error' ORDER BY event_id"""))
 
+  /** Per-user trailing rolling features (count/sum/min/max/mean over the
+    * last 5 events, previous-event delta, alpha=1/2 EW score over the
+    * last 4). Single exchange + sort; all terms exact across engines.
+    */
+  val rollingFeatures: GraftQuery = GraftQuery(
+    "rolling_user_features",
+    (s, dir) => EventOps.rollingUserFeatures(EventOps.events(s, dir))
+      .orderBy("user_id", "event_id"),
+    Some("""
+      WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      w AS (SELECT user_id, event_id, cents,
+                   lag(cents, 1) OVER uw AS l1,
+                   lag(cents, 2) OVER uw AS l2,
+                   lag(cents, 3) OVER uw AS l3,
+                   COUNT(*) OVER (uw ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n5,
+                   SUM(cents) OVER (uw ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sum5_cents,
+                   MIN(cents) OVER (uw ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS min5_cents,
+                   MAX(cents) OVER (uw ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS max5_cents
+            FROM x WINDOW uw AS (PARTITION BY user_id ORDER BY tus, event_id))
+      SELECT user_id, event_id, n5, sum5_cents, min5_cents, max5_cents,
+             round(sum5_cents / 100.0 / n5, 6) AS mean5,
+             cents - l1 AS delta_cents,
+             cents / 1.0 + coalesce(l1, 0) / 2.0 + coalesce(l2, 0) / 4.0
+               + coalesce(l3, 0) / 8.0 AS ew4_cents
+      FROM w ORDER BY user_id, event_id"""))
+
+  /** Ordered conversion funnel signup -> click -> purchase: chained
+    * min-over-user windows, one shuffle, one summary row.
+    */
+  val funnel: GraftQuery = GraftQuery(
+    "funnel_signup_click_purchase",
+    (s, dir) => EventOps.funnel(
+      EventOps.events(s, dir), Seq("signup", "click", "purchase")),
+    Some("""
+      WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      a AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN tus END)
+                        OVER (PARTITION BY user_id) AS s1 FROM x),
+      b AS (SELECT *, min(CASE WHEN event_type = 'click' AND tus >= s1
+                               THEN tus END)
+                        OVER (PARTITION BY user_id) AS s2 FROM a),
+      c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tus >= s2
+                               THEN tus END)
+                        OVER (PARTITION BY user_id) AS s3 FROM b),
+      u AS (SELECT user_id, max(s1) AS u1, max(s2) AS u2, max(s3) AS u3
+            FROM c GROUP BY user_id)
+      SELECT count(u1) AS n_stage1, count(u2) AS n_stage2,
+             count(u3) AS n_stage3,
+             round(count(u3) * 1.0 / count(u1), 6) AS conversion
+      FROM u"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
-      sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick)
+      sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
+      rollingFeatures, funnel)
 }

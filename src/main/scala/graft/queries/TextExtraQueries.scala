@@ -465,9 +465,66 @@ object TextExtraQueries extends QueryPack {
              round(SUM(oov) * 1.0 / COUNT(*), 6) AS oov_rate
       FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Top bigram collocations by pointwise mutual information —
+    * PMI(a,b) = ln(p(ab) / (p(a)p(b))) over corpus unigram/bigram
+    * frequencies, the classic collocation-mining statistic (beats raw
+    * counts, which just surface stopword pairs). Plan: one unigram agg,
+    * one bigram agg (min-count pruned BEFORE the joins), two keyed joins
+    * on the token, a 1-row totals broadcast, TakeOrdered top-20 — no
+    * window over a single partition anywhere, so the ranking scales with
+    * vocabulary. Totals come from doc token counts (bigrams per doc =
+    * tokens - 1), not a second pass over the exploded frames.
+    */
+  val pmiCollocations: GraftQuery = GraftQuery(
+    "pmi_collocations",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val nt = size(toks)
+      val uni = docs.select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("nu"))
+      val bi = docs.select(explode(zip_with(
+          slice(toks, lit(1), nt - 1), slice(toks, lit(2), nt - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
+        .filter(col("nb") >= 10)
+      val totals = docs.agg(
+        sum(nt.cast("long")).as("n_tok"), count(lit(1)).as("n_doc"))
+      val pmi = log((col("nb") * 1.0 / (col("n_tok") - col("n_doc"))) /
+        (col("nu1") * 1.0 / col("n_tok")) / (col("nu2") * 1.0 / col("n_tok")))
+      bi.join(uni.toDF("w1", "nu1"), Seq("w1"))
+        .join(uni.toDF("w2", "nu2"), Seq("w2"))
+        .crossJoin(broadcast(totals))
+        .select(col("w1"), col("w2"), col("nb"), Q.r6(pmi).as("pmi"))
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_tok,
+                     COUNT(*) AS n_doc FROM t),
+      u AS (SELECT unnest(toks) AS tok FROM t),
+      uni AS (SELECT tok, COUNT(*) AS nu FROM u GROUP BY tok),
+      i AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t),
+      b AS (SELECT toks[CAST(i AS INTEGER)] AS w1,
+                   toks[CAST(i AS INTEGER) + 1] AS w2 FROM i),
+      bi AS (SELECT w1, w2, COUNT(*) AS nb FROM b GROUP BY w1, w2
+             HAVING COUNT(*) >= 10),
+      j AS (SELECT w1, w2, nb,
+                   round(ln((nb * 1.0 / (n_tok - n_doc)) /
+                     (u1.nu * 1.0 / n_tok) / (u2.nu * 1.0 / n_tok)), 6)
+                     AS pmi
+            FROM bi JOIN uni u1 ON u1.tok = w1
+                    JOIN uni u2 ON u2.tok = w2
+                    CROSS JOIN tot)
+      SELECT w1, w2, nb, pmi FROM j
+      ORDER BY pmi DESC, w1, w2 LIMIT 20"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(wordCount, cmsHeavyHitters, cmsStream, distinctEstimate,
       describeStrings, monthly, chunkDocs, tfidfTop, topBigrams,
       repetitionScores, qualityGate, repetitionStream, lmScore,
-      lmPplHoldout, vocabOov)
+      lmPplHoldout, vocabOov, pmiCollocations)
 }

@@ -289,4 +289,64 @@ object EventOps {
         date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"), col("sum_value_cents"))
   }
+
+  /** Per-user trailing time-series features over the ordered event
+    * stream: rolling count/sum/min/max/mean of value over the last 5
+    * events, delta to the previous event, and an exponentially-weighted
+    * (alpha = 1/2) score over the last 4 events. One shuffle on user_id;
+    * every window shares the same partitioning + sort, so the whole
+    * feature block is a single exchange + sort at any scale. All rolling
+    * terms are integer cents (exact under any accumulation order); the
+    * EW score is built from an explicit lag chain so each term is an
+    * exact binary scaling of integer cents — bit-identical across
+    * engines without trusting windowed float accumulation order.
+    */
+  def rollingUserFeatures(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val w5 = w.rowsBetween(-4, 0)
+    val c = Q.cents("value")
+    df.select(
+        col("user_id"), col("event_id"), c.as("cents"),
+        lag(c, 1).over(w).as("l1"), lag(c, 2).over(w).as("l2"),
+        lag(c, 3).over(w).as("l3"),
+        count(lit(1)).over(w5).as("n5"),
+        sum(c).over(w5).as("sum5_cents"),
+        min(c).over(w5).as("min5_cents"),
+        max(c).over(w5).as("max5_cents"))
+      .select(
+        col("user_id"), col("event_id"), col("n5"), col("sum5_cents"),
+        col("min5_cents"), col("max5_cents"),
+        Q.r6(col("sum5_cents") / 100.0 / col("n5")).as("mean5"),
+        (col("cents") - col("l1")).as("delta_cents"),
+        (col("cents") / 1.0 + coalesce(col("l1"), lit(0L)) / 2.0 +
+          coalesce(col("l2"), lit(0L)) / 4.0 +
+          coalesce(col("l3"), lit(0L)) / 8.0).as("ew4_cents"))
+  }
+
+  /** Ordered conversion funnel: the first `stages(0)` event per user,
+    * the first `stages(1)` at-or-after it, the first `stages(2)`
+    * at-or-after that. Three chained min-over-user windows — one shuffle,
+    * the sort is reused by every pass — then a per-user collapse and one
+    * global count row. No self-joins, so the funnel holds at any event
+    * volume.
+    */
+  def funnel(df: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.length == 3, "funnel expects exactly 3 stages")
+    val w = Window.partitionBy("user_id")
+    val s1 = df.withColumn(
+      "s1", min(when(col("event_type") === stages(0), col("ts_us"))).over(w))
+    val s2 = s1.withColumn(
+      "s2", min(when(col("event_type") === stages(1) &&
+        col("ts_us") >= col("s1"), col("ts_us"))).over(w))
+    val s3 = s2.withColumn(
+      "s3", min(when(col("event_type") === stages(2) &&
+        col("ts_us") >= col("s2"), col("ts_us"))).over(w))
+    s3.groupBy("user_id")
+      .agg(max("s1").as("u1"), max("s2").as("u2"), max("s3").as("u3"))
+      .agg(
+        count(col("u1")).as("n_stage1"),
+        count(col("u2")).as("n_stage2"),
+        count(col("u3")).as("n_stage3"),
+        Q.r6(count(col("u3")) * 1.0 / count(col("u1"))).as("conversion"))
+  }
 }

@@ -106,4 +106,18 @@ object TextOps {
     transform(sequence(lit(0), nChunks - 1),
       i => slice(toks, i * stride + 1, lit(chunkSize)))
   }
+
+  /** Curation-grade text normalization: strip HTML-ish tags, replace
+    * ASCII control characters with spaces, collapse whitespace runs,
+    * trim. Pure codegen'd regexp projections — the Common-Crawl-style
+    * first cleaning pass, runnable at full scan speed. Regexes use
+    * explicit character classes only (no `\s`): Java regex (Spark) and
+    * RE2 (DuckDB) disagree on shorthand-class membership (`\x0B`), but
+    * agree exactly on these literals.
+    */
+  def cleanText(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val noCtrl = regexp_replace(noTags, "[\\x00-\\x1f\\x7f]", " ")
+    trim(regexp_replace(noCtrl, "  +", " "))
+  }
 }

@@ -158,4 +158,44 @@ class EventOpsSpec extends AnyFunSuite with SparkTestSession {
     val nEvents = EventOps.events(spark, sfDir).count()
     assert(batch.values.map(_._1).sum == 2 * nEvents)
   }
+
+  test("rolling user features: trailing window, delta, EW score") {
+    // user 7 values: 1.00, 3.00, 2.00 (cents 100, 300, 200)
+    val df = Seq(
+      (1L, us(0), 7L, 1.00), (2L, us(10), 7L, 3.00), (3L, us(20), 7L, 2.00))
+      .toDF("event_id", "ts_us", "user_id", "value")
+    val rows = EventOps.rollingUserFeatures(df)
+      .orderBy("event_id").collect()
+    // third event: n5=3, sum=600, min=100, max=300, mean=2.0
+    val r3 = rows(2)
+    assert(r3.getAs[Long]("n5") == 3L)
+    assert(r3.getAs[Long]("sum5_cents") == 600L)
+    assert(r3.getAs[Long]("min5_cents") == 100L)
+    assert(r3.getAs[Long]("max5_cents") == 300L)
+    assert(r3.getAs[Double]("mean5") == 2.0)
+    assert(r3.getAs[Long]("delta_cents") == -100L)
+    // EW: 200 + 300/2 + 100/4 = 375.0 (exact binary scaling)
+    assert(r3.getAs[Double]("ew4_cents") == 375.0)
+    // first event: no lag -> null delta, EW = own cents
+    assert(rows(0).isNullAt(rows(0).fieldIndex("delta_cents")))
+    assert(rows(0).getAs[Double]("ew4_cents") == 100.0)
+  }
+
+  test("funnel honors stage ordering, not mere presence") {
+    val df = Seq(
+      // user 1: signup -> click -> purchase (full conversion)
+      (1L, us(0), 1L, "signup"), (2L, us(5), 1L, "click"),
+      (3L, us(9), 1L, "purchase"),
+      // user 2: purchase BEFORE click -> stops at stage 2
+      (4L, us(0), 2L, "signup"), (5L, us(8), 2L, "click"),
+      (6L, us(4), 2L, "purchase"),
+      // user 3: never signed up -> not even stage 1
+      (7L, us(1), 3L, "click"), (8L, us(2), 3L, "purchase"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    val r = EventOps.funnel(df, Seq("signup", "click", "purchase")).head()
+    assert(r.getAs[Long]("n_stage1") == 2L)
+    assert(r.getAs[Long]("n_stage2") == 2L)
+    assert(r.getAs[Long]("n_stage3") == 1L)
+    assert(r.getAs[Double]("conversion") == 0.5)
+  }
 }
