@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.Q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -98,6 +99,39 @@ object Dedup {
         col("id_a"), col("id_b"),
         Q.r6(col("inter") * 1.0 / (col("n_a") + col("n_b") - col("inter")))
           .as("jaccard"))
+  }
+
+  /** EXACT all-pairs Jaccard >= t via prefix filtering (the AllPairs /
+    * PPJoin candidate scheme, Bayardo et al. WWW'07 shape): order each
+    * set's shingles by ascending global document frequency (rarest
+    * first, shingle tiebreak), keep only the first
+    * `|S| - ceil(t*|S|) + 1` as the set's PREFIX, and equi-join prefixes
+    * on the shingle. Lossless: J(A,B) >= t implies the globally-smallest
+    * shared shingle sits inside BOTH prefixes (else one side would have
+    * more than `|S| - t*|S|` exclusive shingles before it, capping the
+    * intersection below `t*|S|`). So candidate generation never goes
+    * all-pairs — rare shingles drive the join and frequency-heavy
+    * shingles never fan out — and exact Jaccard verification runs on
+    * candidates only. Plan: one frequency agg, one per-set sort window
+    * (partitioned by id — never a global rank), one prefix equi-join,
+    * then `jaccardForPairs`.
+    */
+  def allPairsJaccard(
+      shingles: DataFrame, threshold: Double): DataFrame = {
+    val df = shingles.toDF("id", "sh")
+    val freq = df.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id").orderBy("df", "sh")
+    val ranked = df.join(freq, Seq("sh"))
+      .select(col("id"), col("sh"), row_number().over(wDoc).as("pos"),
+        count(lit(1)).over(Window.partitionBy("id")).as("n"))
+    val prefix = ranked
+      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("id", "sh")
+    val cand = prefix.toDF("id_a", "sh")
+      .join(prefix.toDF("id_b", "sh"), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardForPairs(df, cand).filter(col("jaccard") >= threshold)
   }
 
   /** MinHash signatures: numHashes seeded hash permutations, min per

@@ -147,6 +147,38 @@ object DocQueries extends QueryPack {
       JOIN sz sb ON sb.doc_id = id_b
       ORDER BY id_a"""))
 
+  /** EXACT all-pairs Jaccard >= 0.8 near-dup pairs via prefix filtering
+    * (Dedup.allPairsJaccard — candidate generation is a rare-shingle
+    * equi-join, never all-pairs; see the AllPairs/PPJoin losslessness
+    * argument there). The oracle brute-forces every shared-shingle pair
+    * — equivalent output because prefix filtering is lossless, which is
+    * exactly what this gate proves on real data.
+    */
+  val allPairsJaccard: GraftQuery = GraftQuery(
+    "allpairs_jaccard_pairs",
+    (s, dir) => {
+      val sh = Dedup.shingleSet(Tables(s, dir, "documents"), "doc_id", "text", 3)
+      Dedup.allPairsJaccard(sh, 0.8).orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INTEGER), 3) AS sh
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 2)) AS i
+              FROM documents)),
+      sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+      inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.id = id_a
+      JOIN sz sb ON sb.id = id_b
+      WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8
+      ORDER BY id_a, id_b"""))
+
   /** Dedup-keep-first: rows surviving prefix dedup + survivor stats. */
   val dedupKept: GraftQuery = GraftQuery(
     "dedup_keep_first_counts",
@@ -751,7 +783,7 @@ object DocQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] = Seq(
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
-    jaccardAdjacent, minhashLsh, simhashDocs, simhashPairs, dedupClusters,
-    dedupDropList, packDocs, qualitySample, dedupStream, contamination,
-    bloomPrefilter, incrementalDedup, spanDedup)
+    jaccardAdjacent, allPairsJaccard, minhashLsh, simhashDocs, simhashPairs,
+    dedupClusters, dedupDropList, packDocs, qualitySample, dedupStream,
+    contamination, bloomPrefilter, incrementalDedup, spanDedup)
 }

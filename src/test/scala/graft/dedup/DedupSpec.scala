@@ -115,4 +115,25 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     // every reported pair respects the threshold
     assert(got.values.forall(_ <= 3L))
   }
+
+  test("all-pairs jaccard: prefix filtering is lossless vs brute force") {
+    // 40 docs: 10 planted near-dup pairs (high overlap), 20 random-ish
+    val texts = (0 until 10).flatMap { i =>
+      val base = s"doc $i shared payload " + ("abcdefghij".map(c => s"$c$i ").mkString)
+      Seq((i * 2L, base + "tail one"), (i * 2L + 1, base + "tail two"))
+    } ++ (100 until 120).map(i => (i.toLong, s"unique text $i " + "%03d".format(i * 7)))
+    val df = texts.toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(df, "doc_id", "text", 3)
+    val got = Dedup.allPairsJaccard(sh, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force over all id pairs via jaccardForPairs
+    val ids = texts.map(_._1)
+    val all = (for { a <- ids; b <- ids if a < b } yield (a, b)).toDF("id_a", "id_b")
+    val brute = Dedup.jaccardForPairs(sh, all)
+      .filter(col("jaccard") >= 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == brute)
+    assert(got.size == 10) // exactly the planted pairs
+    assert(got.keys.forall { case (a, b) => b == a + 1 && a % 2 == 0 })
+  }
 }
