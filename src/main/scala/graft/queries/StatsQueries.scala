@@ -269,7 +269,40 @@ object StatsQueries extends QueryPack {
              round(MAX(ABS(ca * 1.0 / ta - cb * 1.0 / tb)), 6) AS ks
       FROM c GROUP BY ta, tb"""))
 
+  /** Mutual information / entropies / NMI over the orderpriority ×
+    * orderstatus table ([[Stats.mutualInfo]]) — the feature-redundancy
+    * screen beside [[chi2]]'s significance test.
+    */
+  val mutualInfo: GraftQuery = GraftQuery(
+    "mutual_info_priority_status",
+    (s, dir) => Stats.mutualInfo(
+      Tables(s, dir, "orders"), "o_orderpriority", "o_orderstatus"),
+    Some("""
+      WITH cells AS (
+        SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS o
+        FROM orders GROUP BY 1, 2),
+      m AS (
+        SELECT o, SUM(o) OVER () AS n,
+               SUM(o) OVER (PARTITION BY a) AS na,
+               SUM(o) OVER (PARTITION BY b) AS nb,
+               row_number() OVER (PARTITION BY a ORDER BY b) = 1 AS fa,
+               row_number() OVER (PARTITION BY b ORDER BY a) = 1 AS fb
+        FROM cells),
+      agg AS (
+        SELECT MAX(n) AS n,
+               SUM((o * 1.0 / n) * ln((o * 1.0 / n) / (na * 1.0 / n)
+                 / (nb * 1.0 / n))) AS mi_raw,
+               SUM(CASE WHEN fa THEN -(na * 1.0 / n) * ln(na * 1.0 / n)
+                   ELSE 0.0 END) AS ha_raw,
+               SUM(CASE WHEN fb THEN -(nb * 1.0 / n) * ln(nb * 1.0 / n)
+                   ELSE 0.0 END) AS hb_raw
+        FROM m)
+      SELECT CAST(n AS BIGINT) AS n, round(mi_raw, 6) AS mi,
+             round(ha_raw, 6) AS h_a, round(hb_raw, 6) AS h_b,
+             round(mi_raw / least(ha_raw, hb_raw), 6) AS nmi
+      FROM agg"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     profile, valueCounts, nullCounts, corrMatrix, crosstab, entropyGini,
-    skewKurt, corrVsLabel, histQuantile, chi2, ksDrift)
+    skewKurt, corrVsLabel, histQuantile, chi2, ksDrift, mutualInfo)
 }

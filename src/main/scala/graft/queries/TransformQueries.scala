@@ -172,7 +172,42 @@ object TransformQueries extends QueryPack {
       FROM lineitem, m WHERE l_orderkey < 300
       ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Min-max, robust (median/IQR), and winsorized views of
+    * l_extendedprice ([[Scaling]]): one wide fit aggregation over the
+    * full table, zero-shuffle projection transform on a bounded slice.
+    */
+  val scaling: GraftQuery = GraftQuery(
+    "scale_robust_extendedprice",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val st = Scaling.fit(li, "l_extendedprice")
+      val c = col("l_extendedprice")
+      li.filter(col("l_orderkey") < 300)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          st.minMax(c).as("minmax"),
+          st.robustZ(c).as("robust_z"),
+          st.winsorize(c).as("winsor"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""
+      WITH q AS (
+        SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.50) AS p50,
+               quantile_cont(l_extendedprice, 0.75) AS p75,
+               quantile_cont(l_extendedprice, 0.99) AS p99,
+               CAST(MIN(l_extendedprice) AS DOUBLE) AS mn,
+               CAST(MAX(l_extendedprice) AS DOUBLE) AS mx
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             round((l_extendedprice - mn) / (mx - mn), 6) AS minmax,
+             round((l_extendedprice - p50) / (p75 - p25), 6) AS robust_z,
+             round(least(greatest(l_extendedprice, p01), p99), 6) AS winsor
+      FROM lineitem, q WHERE l_orderkey < 300
+      ORDER BY l_orderkey, l_linenumber"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     labelEncode, labelEncodeUnseen, equalWidthBin, quantileBin,
-    derivedFeatures, standardize)
+    derivedFeatures, standardize, scaling)
 }

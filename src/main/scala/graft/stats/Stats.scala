@@ -226,4 +226,45 @@ object Stats {
       .select(col("ta").as("n_a"), col("tb").as("n_b"),
         col("n_values"), col("ks"))
   }
+
+  /** Mutual information I(A;B) in nats between two categorical columns,
+    * with the marginal entropies H(A), H(B) and the normalized variant
+    * NMI = I / min(H(A), H(B)) — the feature-redundancy / label-leakage
+    * screen complementing [[chiSquare]]. Same plan shape: ONE shuffle
+    * builds the R x C contingency cells; marginals are windows over that
+    * tiny cell frame; every per-cell term is arithmetic on exact integer
+    * counts, reduced once.
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(aCol, bCol).agg(count(lit(1)).as("o"))
+    val n = sum("o").over(Window.partitionBy())
+    val na = sum("o").over(Window.partitionBy(aCol))
+    val nb = sum("o").over(Window.partitionBy(bCol))
+    val t = cells.select(
+      col("o"), n.as("n"), na.as("na"), nb.as("nb"),
+      // rank-1 marker per distinct a (resp. b) so marginal entropies sum
+      // each marginal term exactly once without a second aggregation
+      (row_number().over(Window.partitionBy(aCol).orderBy(bCol)) === 1)
+        .as("fa"),
+      (row_number().over(Window.partitionBy(bCol).orderBy(aCol)) === 1)
+        .as("fb"))
+    val pmiTerm = (col("o") * 1.0 / col("n")) *
+      log((col("o") * 1.0 / col("n")) /
+        (col("na") * 1.0 / col("n")) / (col("nb") * 1.0 / col("n")))
+    val haTerm = when(col("fa"),
+      -(col("na") * 1.0 / col("n")) * log(col("na") * 1.0 / col("n")))
+      .otherwise(0.0)
+    val hbTerm = when(col("fb"),
+      -(col("nb") * 1.0 / col("n")) * log(col("nb") * 1.0 / col("n")))
+      .otherwise(0.0)
+    t.agg(
+        max("n").as("n"),
+        sum(pmiTerm).as("mi_raw"),
+        sum(haTerm).as("ha_raw"),
+        sum(hbTerm).as("hb_raw"))
+      .select(
+        col("n"), Q.r6(col("mi_raw")).as("mi"),
+        Q.r6(col("ha_raw")).as("h_a"), Q.r6(col("hb_raw")).as("h_b"),
+        Q.r6(col("mi_raw") / least(col("ha_raw"), col("hb_raw"))).as("nmi"))
+  }
 }

@@ -64,4 +64,23 @@ class StatsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getAs[Long]("n_values") == 4)
     assert(r.getAs[Double]("ks") == 0.666667)
   }
+
+  test("mutualInfo: identity gives MI = H and NMI = 1; independence gives 0") {
+    // perfectly dependent: a == b uniform over {x,y} -> MI = H = ln 2
+    val dep = (Seq.fill(2)(("x", "x")) ++ Seq.fill(2)(("y", "y")))
+      .toDF("a", "b")
+    val rd = Stats.mutualInfo(dep, "a", "b").head()
+    assert(rd.getAs[Long]("n") == 4)
+    assert(rd.getAs[Double]("mi") == 0.693147)
+    assert(rd.getAs[Double]("h_a") == 0.693147)
+    assert(rd.getAs[Double]("h_b") == 0.693147)
+    assert(rd.getAs[Double]("nmi") == 1.0)
+    // independent uniform 2x2 -> MI = 0, entropies ln 2
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val ri = Stats.mutualInfo(ind, "a", "b").head()
+    assert(ri.getAs[Double]("mi") == 0.0)
+    assert(ri.getAs[Double]("h_a") == 0.693147)
+    assert(ri.getAs[Double]("nmi") == 0.0)
+  }
 }
