@@ -179,6 +179,47 @@ object DocQueries extends QueryPack {
       WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8
       ORDER BY id_a, id_b"""))
 
+  /** Top-15 most-similar document pairs by bag-of-4-gram-shingle COSINE
+    * ([[graft.text.TermCosine]]): candidates from an inverted index over
+    * RARE shingles only (global df <= 25 — per-term fan-out bounded at
+    * df^2, the stopword-postings blowup never joins), then the EXACT
+    * full-vector cosine on candidates — integer tf dot products and
+    * norms, one final division per pair. Word tokens are useless as
+    * index keys on this corpus (31-token vocab, df ~ 390/500), which is
+    * exactly the regime where shingle-level rarity still discriminates.
+    */
+  val docCosine: GraftQuery = GraftQuery(
+    "doc_cosine_topk",
+    (s, dir) => {
+      val post = Tables(s, dir, "documents")
+        .select(col("doc_id").as("id"), explode(expr(
+          "transform(sequence(1, greatest(length(text) - 3, 0))," +
+            " i -> substring(text, i, 4))")).as("tok"))
+        .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      graft.text.TermCosine.cosineTopK(post, dfCap = 25, k = 15)
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id AS id, substr(text, CAST(i AS INTEGER), 4) AS tok
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 3)) AS i
+              FROM documents)),
+      p AS (SELECT id, tok, COUNT(*) AS tf FROM sh GROUP BY 1, 2),
+      n AS (SELECT id, SUM(tf * tf) AS n2 FROM p GROUP BY 1),
+      r AS (SELECT id, tok FROM (
+              SELECT id, tok, COUNT(*) OVER (PARTITION BY tok) AS df
+              FROM p) WHERE df <= 25),
+      c AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM r a JOIN r b USING (tok) WHERE a.id < b.id),
+      d AS (SELECT c.id_a, c.id_b, SUM(pa.tf * pb.tf) AS dot
+            FROM c JOIN p pa ON pa.id = c.id_a
+                   JOIN p pb ON pb.id = c.id_b AND pb.tok = pa.tok
+            GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+             round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+      FROM d JOIN n na ON na.id = id_a JOIN n nb ON nb.id = id_b
+      ORDER BY cosine DESC, id_a, id_b LIMIT 15"""))
+
   /** Dedup-keep-first: rows surviving prefix dedup + survivor stats. */
   val dedupKept: GraftQuery = GraftQuery(
     "dedup_keep_first_counts",
@@ -783,7 +824,7 @@ object DocQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] = Seq(
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
-    jaccardAdjacent, allPairsJaccard, minhashLsh, simhashDocs, simhashPairs,
-    dedupClusters, dedupDropList, packDocs, qualitySample, dedupStream,
-    contamination, bloomPrefilter, incrementalDedup, spanDedup)
+    jaccardAdjacent, allPairsJaccard, docCosine, minhashLsh, simhashDocs,
+    simhashPairs, dedupClusters, dedupDropList, packDocs, qualitySample,
+    dedupStream, contamination, bloomPrefilter, incrementalDedup, spanDedup)
 }
