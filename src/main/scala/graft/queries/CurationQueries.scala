@@ -261,7 +261,50 @@ object CurationQueries extends QueryPack {
              length(clean) AS n_chars_clean, md5(clean) AS md5_clean
       FROM c ORDER BY doc_id"""))
 
+  /** Per-language top-quality-quartile gate: percent_rank each document
+    * on its (r6-rounded) quality score WITHIN its language, keep the
+    * top quartile, report per-language kept counts and the quality
+    * floor. percent_rank = (rank-1)/(n-1) is definitionally identical
+    * across engines, and ranking on the ROUNDED score keeps tie groups
+    * identical too. The window partitions by lang (25 groups here;
+    * partition-parallel at corpus scale).
+    */
+  val qualityQuartileGate: GraftQuery = GraftQuery(
+    "quality_quartile_gate_lang",
+    (s, dir) => {
+      val q = Q.r6(TextOps.qualityScore(col("text"), stop))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("q")
+      Tables(s, dir, "documents")
+        .select(col("lang"), q.as("q"))
+        .withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.75)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min("q").as("min_quality"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH b AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS nt,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a'))) AS nstop,
+               length(text) AS nc
+        FROM documents),
+      s AS (
+        SELECT lang,
+               round(0.4 * least(nc / 500.0, 1.0)
+                 + 0.3 * (1.0 - nstop * 1.0 / nt)
+                 + 0.3 * least(((nc - (nt - 1)) * 1.0 / nt) / 8.0, 1.0), 6)
+                 AS q
+        FROM b),
+      r AS (SELECT lang, q,
+                   percent_rank() OVER (PARTITION BY lang ORDER BY q) AS pr
+            FROM s)
+      SELECT lang, COUNT(*) AS n_kept, MIN(q) AS min_quality
+      FROM r WHERE pr >= 0.75 GROUP BY lang ORDER BY lang"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(piiRedact, shardAssign, samplePerGroup, weightedSample, mixingPlan,
-      cleanNormalize)
+      cleanNormalize, qualityQuartileGate)
 }

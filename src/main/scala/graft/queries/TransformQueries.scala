@@ -207,7 +207,47 @@ object TransformQueries extends QueryPack {
       FROM lineitem, q WHERE l_orderkey < 300
       ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Group-wise standardization: z-score of l_quantity WITHIN each
+    * l_returnflag group. Group moments come from a tiny groupBy
+    * aggregate broadcast-joined back (3 rows) — NOT a window partitioned
+    * by a 3-value key, which would funnel the whole table through 3
+    * sort partitions at scale. All moment terms are exact integer-cents
+    * sums; one division chain per row.
+    */
+  val groupwiseZ: GraftQuery = GraftQuery(
+    "groupwise_z_quantity",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          Q.cents("l_quantity").as("c"))
+      val stats = li.groupBy("l_returnflag")
+        .agg(sum("c").as("s1"), sum(col("c") * col("c")).as("s2"),
+          count(lit(1)).as("n"))
+      val mean = col("s1") * 1.0 / col("n")
+      li.join(broadcast(stats), Seq("l_returnflag"))
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          Q.r6((col("c") - mean) /
+            sqrt(col("s2") * 1.0 / col("n") - mean * mean)).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""
+      WITH x AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS c
+        FROM lineitem),
+      g AS (
+        SELECT l_returnflag, SUM(c) AS s1, SUM(c * c) AS s2,
+               COUNT(*) AS n
+        FROM x GROUP BY 1)
+      SELECT l_orderkey, l_linenumber, x.l_returnflag,
+             round((c - s1 * 1.0 / n) /
+               sqrt(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n)), 6) AS z
+      FROM x JOIN g ON g.l_returnflag = x.l_returnflag
+      WHERE l_orderkey < 300
+      ORDER BY l_orderkey, l_linenumber"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     labelEncode, labelEncodeUnseen, equalWidthBin, quantileBin,
-    derivedFeatures, standardize, scaling)
+    derivedFeatures, standardize, scaling, groupwiseZ)
 }
