@@ -101,6 +101,30 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Cross-group duplicate "leakage matrix": for every unordered pair of
+    * groups (corpus sources, train/eval shards), the number of duplicate
+    * DOC PAIRS sharing a fingerprint key — the shard-contamination
+    * report run before a training/eval split ships. Counting happens on
+    * the (key, group)->count frame, so the join is over dup-group
+    * cardinalities, never raw documents: within-group pairs are
+    * c*(c-1)/2, cross-group pairs c_a*c_b — all exact integers.
+    */
+  def dupLeakageMatrix(
+      df: DataFrame, key: Column, groupCol: String): DataFrame = {
+    val g = df.groupBy(key.as("fp"), col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("c"))
+    g.toDF("fp", "grp_a", "c_a")
+      .join(g.toDF("fp", "grp_b", "c_b"), Seq("fp"))
+      .filter(col("grp_a") <= col("grp_b"))
+      .select(col("grp_a"), col("grp_b"),
+        when(col("grp_a") === col("grp_b"),
+          expr("c_a * (c_a - 1) div 2")).otherwise(col("c_a") * col("c_b"))
+          .as("pairs"))
+      .groupBy("grp_a", "grp_b").agg(sum("pairs").as("dup_pairs"))
+      .filter(col("dup_pairs") > 0)
+      .orderBy("grp_a", "grp_b")
+  }
+
   /** EXACT all-pairs Jaccard >= t via prefix filtering (the AllPairs /
     * PPJoin candidate scheme, Bayardo et al. WWW'07 shape): order each
     * set's shingles by ascending global document frequency (rarest

@@ -220,6 +220,30 @@ object DocQueries extends QueryPack {
       FROM d JOIN n na ON na.id = id_a JOIN n nb ON nb.id = id_b
       ORDER BY cosine DESC, id_a, id_b LIMIT 15"""))
 
+  /** Cross-source duplicate leakage matrix keyed on the 40-char text
+    * prefix ([[Dedup.dupLeakageMatrix]]) — the contamination report
+    * between corpus sources (the full-text md5 key yields an empty
+    * matrix on this corpus; the prefix key is the same one
+    * `exact_dedup_prefix` gates).
+    */
+  val leakageMatrix: GraftQuery = GraftQuery(
+    "dup_leakage_matrix_sources",
+    (s, dir) => Dedup.dupLeakageMatrix(
+      Tables(s, dir, "documents"), substring(col("text"), 1, 40), "source"),
+    Some("""
+      WITH g AS (
+        SELECT substring(text, 1, 40) AS fp, source, COUNT(*) AS c
+        FROM documents GROUP BY 1, 2)
+      SELECT a.source AS grp_a, b.source AS grp_b,
+             CAST(SUM(CASE WHEN a.source = b.source
+                  THEN a.c * (a.c - 1) // 2
+                  ELSE a.c * b.c END) AS BIGINT) AS dup_pairs
+      FROM g a JOIN g b ON a.fp = b.fp AND a.source <= b.source
+      GROUP BY 1, 2 HAVING SUM(CASE WHEN a.source = b.source
+                  THEN a.c * (a.c - 1) // 2
+                  ELSE a.c * b.c END) > 0
+      ORDER BY grp_a, grp_b"""))
+
   /** Dedup-keep-first: rows surviving prefix dedup + survivor stats. */
   val dedupKept: GraftQuery = GraftQuery(
     "dedup_keep_first_counts",
@@ -824,7 +848,8 @@ object DocQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] = Seq(
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
-    jaccardAdjacent, allPairsJaccard, docCosine, minhashLsh, simhashDocs,
-    simhashPairs, dedupClusters, dedupDropList, packDocs, qualitySample,
-    dedupStream, contamination, bloomPrefilter, incrementalDedup, spanDedup)
+    jaccardAdjacent, allPairsJaccard, docCosine, leakageMatrix, minhashLsh,
+    simhashDocs, simhashPairs, dedupClusters, dedupDropList, packDocs,
+    qualitySample, dedupStream, contamination, bloomPrefilter,
+    incrementalDedup, spanDedup)
 }

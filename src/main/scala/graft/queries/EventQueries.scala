@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.{GraftQuery, QueryPack}
 import graft.streaming.EventOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Event-stream queries (net-new surface vs the reference — SURVEY §2.9).
   * All temporal math runs on int64 nanos (= DuckDB `epoch_ns`), so even
@@ -184,8 +186,36 @@ object EventQueries extends QueryPack {
              round(count(u3) * 1.0 / count(u1), 6) AS conversion
       FROM u"""))
 
+  /** Weekly retention cohorts: users grouped by their first-activity
+    * week (integer epoch-week buckets — pure int64 division, engine-
+    * exact), distinct active users per (cohort, weeks-since-cohort).
+    * One min-over-user window sharing the shuffle with the cohort
+    * aggregation.
+    */
+  val retention: GraftQuery = GraftQuery(
+    "retention_cohorts_weekly",
+    (s, dir) => {
+      val wk = expr("ts_us div 604800000000")
+      val w = Window.partitionBy("user_id")
+      EventOps.events(s, dir)
+        .select(col("user_id"), wk.as("week"))
+        .withColumn("cohort", min("week").over(w))
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort", "week_offset")
+    },
+    Some("""
+      WITH x AS (
+        SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+      c AS (SELECT user_id, week,
+                   min(week) OVER (PARTITION BY user_id) AS cohort
+            FROM x)
+      SELECT cohort, week - cohort AS week_offset,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM c GROUP BY 1, 2 ORDER BY cohort, week_offset"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
-      rollingFeatures, funnel)
+      rollingFeatures, funnel, retention)
 }

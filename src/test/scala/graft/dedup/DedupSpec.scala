@@ -116,6 +116,19 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got.values.forall(_ <= 3L))
   }
 
+  test("dup leakage matrix counts within- and cross-group dup pairs") {
+    // fp "k1": 2 docs in s1, 1 in s2 -> (s1,s1)=1, (s1,s2)=2
+    // fp "k2": 2 docs in s2 -> (s2,s2)=1 ; unique fps contribute nothing
+    val df = Seq(
+      ("k1", "s1"), ("k1", "s1"), ("k1", "s2"),
+      ("k2", "s2"), ("k2", "s2"), ("u1", "s1"), ("u2", "s2"))
+      .toDF("fp", "source")
+    val got = Dedup.dupLeakageMatrix(df, col("fp"), "source").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("s1", "s1") -> 1L, ("s1", "s2") -> 2L, ("s2", "s2") -> 1L))
+  }
+
   test("all-pairs jaccard: prefix filtering is lossless vs brute force") {
     // 40 docs: 10 planted near-dup pairs (high overlap), 20 random-ish
     val texts = (0 until 10).flatMap { i =>
