@@ -162,14 +162,7 @@ object EventQueries extends QueryPack {
                + coalesce(l3, 0) / 8.0 AS ew4_cents
       FROM w ORDER BY user_id, event_id"""))
 
-  /** Ordered conversion funnel signup -> click -> purchase: chained
-    * min-over-user windows, one shuffle, one summary row.
-    */
-  val funnel: GraftQuery = GraftQuery(
-    "funnel_signup_click_purchase",
-    (s, dir) => EventOps.funnel(
-      EventOps.events(s, dir), Seq("signup", "click", "purchase")),
-    Some("""
+  private val funnelSql = """
       WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
       a AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN tus END)
                         OVER (PARTITION BY user_id) AS s1 FROM x),
@@ -184,7 +177,26 @@ object EventQueries extends QueryPack {
       SELECT count(u1) AS n_stage1, count(u2) AS n_stage2,
              count(u3) AS n_stage3,
              round(count(u3) * 1.0 / count(u1), 6) AS conversion
-      FROM u"""))
+      FROM u"""
+
+  /** Ordered conversion funnel signup -> click -> purchase: chained
+    * min-over-user windows, one shuffle, one summary row.
+    */
+  val funnel: GraftQuery = GraftQuery(
+    "funnel_signup_click_purchase",
+    (s, dir) => EventOps.funnel(
+      EventOps.events(s, dir), Seq("signup", "click", "purchase")),
+    Some(funnelSql))
+
+  /** The same funnel through the stateful-streaming state machine
+    * (`flatMapGroupsWithState`, update-mode memory sink) — hash-checked
+    * against the identical batch oracle.
+    */
+  val funnelStream: GraftQuery = GraftQuery(
+    "funnel_stream",
+    (s, dir) => EventOps.streamingFunnelResult(
+      s, dir, "signup", "click", "purchase"),
+    Some(funnelSql))
 
   /** Weekly retention cohorts: users grouped by their first-activity
     * week (integer epoch-week buckets — pure int64 division, engine-
@@ -217,5 +229,5 @@ object EventQueries extends QueryPack {
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
-      rollingFeatures, funnel, retention)
+      rollingFeatures, funnel, funnelStream, retention)
 }

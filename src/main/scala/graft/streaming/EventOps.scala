@@ -9,6 +9,10 @@ import org.apache.spark.sql.types._
 final case class UserEvent(user_id: Long, ts_us: Long, event_id: Long)
 final case class SessionSummary(user_id: Long, n_events: Long, n_sessions: Long)
 final case class SessState(lastTs: Long, sessions: Long, events: Long)
+final case class FunnelEvent(
+    user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+final case class FunnelState(s1: Long, s2: Long, s3: Long)
+final case class FunnelUser(user_id: Long, s1: Long, s2: Long, s3: Long)
 
 /** Event-stream operators, written as batch-testable DataFrame transforms
   * (the same logic drives Structured Streaming via `readStream` — see
@@ -321,6 +325,67 @@ object EventOps {
         (col("cents") / 1.0 + coalesce(col("l1"), lit(0L)) / 2.0 +
           coalesce(col("l2"), lit(0L)) / 4.0 +
           coalesce(col("l3"), lit(0L)) / 8.0).as("ew4_cents"))
+  }
+
+  /** STREAMING funnel state machine: per-user (s1, s2, s3) first-stage
+    * timestamps maintained across micro-batches. In-batch events are
+    * sorted by event time, and a forward time-order pass computes the
+    * chained minima exactly (when a stage-2 event at t is processed,
+    * every earlier stage-1 event is already folded into s1, so the
+    * `ts >= s1` check uses s1's final value whenever it matters — the
+    * same argument chains to s3). Long.MaxValue marks "not reached".
+    */
+  def statefulFunnel(
+      ds: org.apache.spark.sql.Dataset[FunnelEvent],
+      st1: String, st2: String, st3: String)
+      : org.apache.spark.sql.Dataset[FunnelUser] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val unset = Long.MaxValue
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(unset, unset, unset))
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (e.event_type == st1 && e.ts_us < s.s1) s = s.copy(s1 = e.ts_us)
+            if (e.event_type == st2 && e.ts_us >= s.s1 && e.ts_us < s.s2)
+              s = s.copy(s2 = e.ts_us)
+            if (e.event_type == st3 && e.ts_us >= s.s2 && e.ts_us < s.s3)
+              s = s.copy(s3 = e.ts_us)
+          }
+          state.update(s)
+          Iterator(FunnelUser(user, s.s1, s.s2, s.s3))
+      }
+  }
+
+  /** Drives [[statefulFunnel]] over the streaming events read to
+    * completion and reduces the update-mode sink to the batch funnel's
+    * summary row (states improve monotonically, so min per user is the
+    * final state).
+    */
+  def streamingFunnelResult(
+      spark: SparkSession, sfDir: String,
+      st1: String, st2: String, st3: String): DataFrame = {
+    import spark.implicits._
+    val name = "graft_stream_funnel"
+    val evs = streamingEvents(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[FunnelEvent]
+    val sq = statefulFunnel(evs, st1, st2, st3)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try sq.processAllAvailable() finally sq.stop()
+    val unset = Long.MaxValue
+    spark.table(name).groupBy("user_id")
+      .agg(min("s1").as("s1"), min("s2").as("s2"), min("s3").as("s3"))
+      .agg(
+        sum(when(col("s1") =!= unset, 1L).otherwise(0L)).as("n_stage1"),
+        sum(when(col("s2") =!= unset, 1L).otherwise(0L)).as("n_stage2"),
+        sum(when(col("s3") =!= unset, 1L).otherwise(0L)).as("n_stage3"),
+        Q.r6(sum(when(col("s3") =!= unset, 1L).otherwise(0L)) * 1.0 /
+          sum(when(col("s1") =!= unset, 1L).otherwise(0L))).as("conversion"))
   }
 
   /** Ordered conversion funnel: the first `stages(0)` event per user,

@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "tree_train_confusion", "tree_train_binned_confusion",
     "tree_feature_importance", "tree_proba_auc", "tree_path_counts",
     "events_hourly_stream", "sessionize_stream", "interval_join_stream",
-    "dedup_distinct_stream", "cms_heavy_hitters_stream", "dedup_clusters_lsh")
+    "dedup_distinct_stream", "cms_heavy_hitters_stream", "dedup_clusters_lsh",
+    "funnel_stream")
 
   /** Queries that intentionally attach a bounded tiny broadcast side via
     * crossJoin — a <=1-row aggregate (share-of-total denominators, a

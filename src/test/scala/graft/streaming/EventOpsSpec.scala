@@ -181,6 +181,20 @@ class EventOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(0).getAs[Double]("ew4_cents") == 100.0)
   }
 
+  test("streaming funnel state machine matches the batch funnel") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = EventOps.funnel(
+      EventOps.events(spark, sfDir), Seq("signup", "click", "purchase"))
+      .head()
+    val streamed = EventOps.streamingFunnelResult(
+      spark, sfDir, "signup", "click", "purchase").head()
+    assert(streamed.getAs[Long]("n_stage1") == batch.getAs[Long]("n_stage1"))
+    assert(streamed.getAs[Long]("n_stage2") == batch.getAs[Long]("n_stage2"))
+    assert(streamed.getAs[Long]("n_stage3") == batch.getAs[Long]("n_stage3"))
+    assert(streamed.getAs[Double]("conversion") ==
+      batch.getAs[Double]("conversion"))
+  }
+
   test("funnel honors stage ordering, not mere presence") {
     val df = Seq(
       // user 1: signup -> click -> purchase (full conversion)
