@@ -226,8 +226,90 @@ object EventQueries extends QueryPack {
              COUNT(DISTINCT user_id) AS n_users
       FROM c GROUP BY 1, 2 ORDER BY cohort, week_offset"""))
 
+  /** Clickstream path mining: top-20 3-step event-type paths across all
+    * users (lead windows over the per-user ordered stream — one shuffle,
+    * no self-joins — then a TakeOrdered global top-k).
+    */
+  val pathTrigrams: GraftQuery = GraftQuery(
+    "event_path_trigrams",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      EventOps.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          lead("event_type", 1).over(w).as("e2"),
+          lead("event_type", 2).over(w).as("e3"))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path"))
+        .limit(20)
+    },
+    Some("""
+      WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+                 FROM events),
+      s AS (SELECT event_type,
+                   lead(event_type, 1) OVER uw AS e2,
+                   lead(event_type, 2) OVER uw AS e3
+            FROM x WINDOW uw AS (PARTITION BY user_id ORDER BY tus, event_id))
+      SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+      FROM s WHERE e3 IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, path LIMIT 20"""))
+
+  /** Inter-arrival latency profile: per event type, the exact DISCRETE
+    * p50/p95 of the per-user same-type arrival gaps. Quantiles are
+    * "value at rank ceil(p*n)" computed with an explicit row_number —
+    * identical integer semantics in any engine (no interpolated doubles
+    * at 1e12 magnitude). The rank window partitions by event type; at
+    * corpus scale, quantize gaps and rank the distinct-value frame as
+    * ksStatistic does.
+    */
+  val interarrival: GraftQuery = GraftQuery(
+    "interarrival_profile",
+    (s, dir) => {
+      val uw = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+      val gaps = EventOps.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"))
+        .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(uw))
+        .filter(col("gap").isNotNull)
+      val tw = Window.partitionBy("event_type").orderBy("gap")
+      gaps
+        .select(col("event_type"), col("gap"),
+          row_number().over(tw).as("rn"),
+          count(lit(1)).over(Window.partitionBy("event_type")).as("n"))
+        .groupBy("event_type")
+        .agg(
+          max("n").as("n_gaps"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("gap")))
+            .as("p50_gap_us"),
+          max(when(col("rn") === ceil(col("n") * 0.95), col("gap")))
+            .as("p95_gap_us"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+                 FROM events),
+      g AS (SELECT event_type,
+                   tus - lag(tus, 1) OVER (PARTITION BY user_id, event_type
+                                           ORDER BY tus, event_id) AS gap
+            FROM x),
+      r AS (SELECT event_type, gap,
+                   row_number() OVER (PARTITION BY event_type ORDER BY gap)
+                     AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM g WHERE gap IS NOT NULL)
+      SELECT event_type, MAX(n) AS n_gaps,
+             MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                 THEN gap END) AS p50_gap_us,
+             MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                 THEN gap END) AS p95_gap_us
+      FROM r GROUP BY event_type ORDER BY event_type"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
-      rollingFeatures, funnel, funnelStream, retention)
+      rollingFeatures, funnel, funnelStream, retention, pathTrigrams,
+      interarrival)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, Q, QueryPack, Tables}
 import graft.stats.Stats
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Oracle-checked queries for the profiling module (SURVEY §2.4). */
 object StatsQueries extends QueryPack {
@@ -302,7 +302,52 @@ object StatsQueries extends QueryPack {
              round(mi_raw / least(ha_raw, hb_raw), 6) AS nmi
       FROM agg"""))
 
+  /** Functional-dependency profiling ([[Stats.fdViolation]]): one FD
+    * that holds exactly (nationkey -> regionkey, violation 0) and one
+    * that shouldn't (custkey -> orderpriority), unioned into a tiny
+    * report — the key-discovery / denormalization-safety check.
+    */
+  val fdChecks: GraftQuery = GraftQuery(
+    "fd_violation_checks",
+    (s, dir) => {
+      val a = Stats
+        .fdViolation(Tables(s, dir, "nation"), "n_nationkey", "n_regionkey")
+        .select(lit("nationkey->regionkey").as("fd"), col("n_groups"),
+          col("n_rows"), col("n_violations"), col("violation_rate"))
+      val b = Stats
+        .fdViolation(Tables(s, dir, "orders"), "o_custkey", "o_orderpriority")
+        .select(lit("custkey->priority").as("fd"), col("n_groups"),
+          col("n_rows"), col("n_violations"), col("violation_rate"))
+      a.unionByName(b).orderBy("fd")
+    },
+    Some("""
+      WITH c1 AS (SELECT n_nationkey AS x, n_regionkey AS y, COUNT(*) AS o
+                  FROM nation GROUP BY 1, 2),
+      w1 AS (SELECT x, o, SUM(o) OVER (PARTITION BY x) AS tx,
+                    MAX(o) OVER (PARTITION BY x) AS mx FROM c1),
+      p1 AS (SELECT DISTINCT x, tx, mx FROM w1 WHERE o = mx),
+      c2 AS (SELECT o_custkey AS x, o_orderpriority AS y, COUNT(*) AS o
+             FROM orders GROUP BY 1, 2),
+      w2 AS (SELECT x, o, SUM(o) OVER (PARTITION BY x) AS tx,
+                    MAX(o) OVER (PARTITION BY x) AS mx FROM c2),
+      p2 AS (SELECT DISTINCT x, tx, mx FROM w2 WHERE o = mx),
+      u AS (
+        SELECT 'nationkey->regionkey' AS fd, COUNT(*) AS n_groups,
+               CAST(SUM(tx) AS BIGINT) AS n_rows,
+               CAST(SUM(tx) - SUM(mx) AS BIGINT) AS n_violations,
+               round((SUM(tx) - SUM(mx)) * 1.0 / SUM(tx), 6)
+                 AS violation_rate
+        FROM p1
+        UNION ALL
+        SELECT 'custkey->priority' AS fd, COUNT(*) AS n_groups,
+               CAST(SUM(tx) AS BIGINT) AS n_rows,
+               CAST(SUM(tx) - SUM(mx) AS BIGINT) AS n_violations,
+               round((SUM(tx) - SUM(mx)) * 1.0 / SUM(tx), 6)
+                 AS violation_rate
+        FROM p2)
+      SELECT * FROM u ORDER BY fd"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     profile, valueCounts, nullCounts, corrMatrix, crosstab, entropyGini,
-    skewKurt, corrVsLabel, histQuantile, chi2, ksDrift, mutualInfo)
+    skewKurt, corrVsLabel, histQuantile, chi2, ksDrift, mutualInfo, fdChecks)
 }

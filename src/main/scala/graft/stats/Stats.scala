@@ -227,6 +227,28 @@ object Stats {
         col("n_values"), col("ks"))
   }
 
+  /** Approximate functional-dependency check X -> Y (the data-profiling
+    * primitive behind key discovery / denormalization checks): for each
+    * determinant value x, every row outside x's majority y-class is a
+    * violation; rate = violations / rows. One shuffle builds (x, y)
+    * counts; per-x majorities come from a window over that cell frame.
+    * All counts exact integers, one final division.
+    */
+  def fdViolation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(xCol, yCol).agg(count(lit(1)).as("o"))
+    val perX = cells
+      .withColumn("tx", sum("o").over(Window.partitionBy(xCol)))
+      .withColumn("mx", max("o").over(Window.partitionBy(xCol)))
+      .filter(col("o") === col("mx"))
+      // one row per x: ties on the majority class collapse via distinct
+      .select(col(xCol), col("tx"), col("mx")).distinct()
+    perX.agg(
+      count(lit(1)).as("n_groups"),
+      sum("tx").as("n_rows"),
+      (sum("tx") - sum("mx")).as("n_violations"),
+      Q.r6((sum("tx") - sum("mx")) * 1.0 / sum("tx")).as("violation_rate"))
+  }
+
   /** Mutual information I(A;B) in nats between two categorical columns,
     * with the marginal entropies H(A), H(B) and the normalized variant
     * NMI = I / min(H(A), H(B)) — the feature-redundancy / label-leakage

@@ -65,6 +65,26 @@ class StatsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getAs[Double]("ks") == 0.666667)
   }
 
+  test("fdViolation: exact FD -> 0, counter-majority rows counted") {
+    // x=1 -> {a,a,b}: 1 violation; x=2 -> {c,c}: 0 -> rate 1/5
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), (2, "c"), (2, "c"))
+      .toDF("x", "y")
+    val r = Stats.fdViolation(df, "x", "y").head()
+    assert(r.getAs[Long]("n_groups") == 2)
+    assert(r.getAs[Long]("n_rows") == 5)
+    assert(r.getAs[Long]("n_violations") == 1)
+    assert(r.getAs[Double]("violation_rate") == 0.2)
+    // exact FD: every x maps to a single y
+    val ok = Seq((1, "a"), (2, "b"), (2, "b")).toDF("x", "y")
+    assert(Stats.fdViolation(ok, "x", "y").head()
+      .getAs[Long]("n_violations") == 0)
+    // majority ties must not double-count the group
+    val tie = Seq((1, "a"), (1, "b")).toDF("x", "y")
+    val rt = Stats.fdViolation(tie, "x", "y").head()
+    assert(rt.getAs[Long]("n_groups") == 1 && rt.getAs[Long]("n_rows") == 2)
+    assert(rt.getAs[Long]("n_violations") == 1)
+  }
+
   test("mutualInfo: identity gives MI = H and NMI = 1; independence gives 0") {
     // perfectly dependent: a == b uniform over {x,y} -> MI = H = ln 2
     val dep = (Seq.fill(2)(("x", "x")) ++ Seq.fill(2)(("y", "y")))
