@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, Q, QueryPack, Tables}
 import graft.transform.QuantileBinner
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational workload: the flagship binning-design query (SURVEY.md
@@ -172,6 +173,82 @@ object CoreQueries extends QueryPack {
       GROUP BY r_name, n_name
       ORDER BY r_name, revenue_e4 DESC, n_name"""))
 
+  /** TPC-H Q10-shaped returned-item reporting: top-20 customers by
+    * revenue lost to returns. lineitem filters R rows at the scan
+    * (pushed predicate), shuffles on the order key once; customer and
+    * nation are broadcast dims; exact e4 money math; TakeOrdered top-k.
+    */
+  val returnedRevenue: GraftQuery = GraftQuery(
+    "q10_returned_revenue",
+    (s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+      val n = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(Q.cents("l_extendedprice") * (lit(100L) - Q.cents("l_discount")))
+          .as("revenue_e4"))
+        .orderBy(desc("revenue_e4"), col("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT c_custkey, c_name, n_name,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS revenue_e4
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"""))
+
+  /** Revenue-concentration (Pareto) report: customers ranked by order
+    * revenue, grouped into rank deciles, each decile's share of total.
+    * The rank window runs over the per-customer AGGREGATE frame (one row
+    * per customer — the same bounded-grid argument as Stats.ksStatistic;
+    * at extreme scale, bucket revenues first). All shares are exact
+    * integer cents divided once.
+    */
+  val paretoRevenue: GraftQuery = GraftQuery(
+    "pareto_revenue_deciles",
+    (s, dir) => {
+      val rev = Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(Q.cents("o_totalprice")).as("rev"))
+      val w = Window.orderBy(desc("rev"), col("o_custkey"))
+      val n = Window.partitionBy()
+      rev
+        .select(col("rev"), row_number().over(w).as("rn"),
+          count(lit(1)).over(n).as("nc"), sum("rev").over(n).as("tot"))
+        .groupBy(expr("(rn - 1) * 10 div nc").as("decile"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          Q.r6(sum("rev") * 1.0 / max("tot")).as("revenue_share"))
+        .orderBy("decile")
+    },
+    Some("""
+      WITH r AS (
+        SELECT o_custkey,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1),
+      w AS (SELECT rev,
+                   row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+                   COUNT(*) OVER () AS nc,
+                   SUM(rev) OVER () AS tot
+            FROM r)
+      SELECT (rn - 1) * 10 // nc AS decile, COUNT(*) AS n_customers,
+             round(SUM(rev) * 1.0 / MAX(tot), 6) AS revenue_share
+      FROM w GROUP BY 1 ORDER BY decile"""))
+
   override def queries: Seq[GraftQuery] =
-    Seq(flagship, pricingSummary, topOrders, regionRevenue)
+    Seq(flagship, pricingSummary, topOrders, regionRevenue, returnedRevenue,
+      paretoRevenue)
 }
