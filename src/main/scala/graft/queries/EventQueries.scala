@@ -307,9 +307,35 @@ object EventQueries extends QueryPack {
                  THEN gap END) AS p95_gap_us
       FROM r GROUP BY event_type ORDER BY event_type"""))
 
+  /** Daily active / new users: DAU from a day-user distinct count, new
+    * users from each user's first-seen day — two aggregations joined on
+    * the (bounded) day frame, integer epoch-day buckets throughout.
+    */
+  val dauReport: GraftQuery = GraftQuery(
+    "events_dau_report",
+    (s, dir) => {
+      val e = EventOps.events(s, dir)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      val dau = e.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val firstSeen = e.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      dau.join(firstSeen, Seq("day"), "left")
+        .select(col("day"), col("dau"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH x AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+                 FROM events),
+      dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM x GROUP BY 1),
+      fs AS (SELECT min(day) AS day FROM x GROUP BY user_id),
+      nu AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY 1)
+      SELECT dau.day, dau.dau, coalesce(nu.new_users, 0) AS new_users
+      FROM dau LEFT JOIN nu ON nu.day = dau.day ORDER BY dau.day"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
       rollingFeatures, funnel, funnelStream, retention, pathTrigrams,
-      interarrival)
+      interarrival, dauReport)
 }

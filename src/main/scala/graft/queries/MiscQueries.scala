@@ -212,7 +212,40 @@ object MiscQueries extends QueryPack {
              CAST(MAX(day_idx) AS BIGINT) AS max_day
       FROM f GROUP BY file_id ORDER BY file_id"""))
 
+  /** Month-over-month revenue growth: lag window over the (bounded)
+    * monthly aggregate frame; growth is a single division of exact
+    * integer cents, r6-rounded.
+    */
+  val revenueGrowth: GraftQuery = GraftQuery(
+    "revenue_growth_monthly",
+    (s, dir) => {
+      val monthly = Tables(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(sum(Q.cents("o_totalprice")).as("rev_cents"))
+      val w = Window.orderBy("y", "m")
+      monthly
+        .withColumn("prev", lag("rev_cents", 1).over(w))
+        .select(col("y"), col("m"), col("rev_cents"),
+          Q.r6((col("rev_cents") - col("prev")) * 1.0 / col("prev"))
+            .as("growth"))
+        .orderBy("y", "m")
+    },
+    Some("""
+      WITH m AS (
+        SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS y,
+               CAST(date_part('month', o_orderdate) AS INTEGER) AS m,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        FROM orders GROUP BY 1, 2),
+      l AS (SELECT y, m, rev_cents,
+                   lag(rev_cents, 1) OVER (ORDER BY y, m) AS prev
+            FROM m)
+      SELECT y, m, CAST(rev_cents AS BIGINT) AS rev_cents,
+             round((rev_cents - prev) * 1.0 / prev, 6) AS growth
+      FROM l ORDER BY y, m"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(unionConcat, topkPerBrand, absRank, setOps, csvRoundtrip,
-      calibration, zorderLayout)
+      calibration, zorderLayout, revenueGrowth)
 }

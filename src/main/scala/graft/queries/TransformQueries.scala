@@ -247,7 +247,52 @@ object TransformQueries extends QueryPack {
       WHERE l_orderkey < 300
       ORDER BY l_orderkey, l_linenumber"""))
 
+  /** Group-mean null imputation gate: the test data carries no nulls,
+    * so the query first NULLs a deterministic doc-hash-selected ~10% of
+    * l_quantity (same expression both engines — the piiRedact pattern),
+    * then imputes each null with its l_returnflag group's non-null mean
+    * (exact integer-cents sum/count, one division). Group stats
+    * broadcast back; zero extra passes over the data.
+    */
+  val imputeGroupMean: GraftQuery = GraftQuery(
+    "impute_group_mean_quantity",
+    (s, dir) => {
+      val key = graft.dedup.Dedup.md5Hash60(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")), 3) % 10
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          when(key === 0, lit(null)).otherwise(Q.cents("l_quantity"))
+            .as("c"))
+      val stats = li.groupBy("l_returnflag")
+        .agg(sum("c").as("s1"), count("c").as("nn"))
+      li.join(broadcast(stats), Seq("l_returnflag"))
+        .filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("c").isNull.as("was_null"),
+          Q.r6(coalesce(col("c") * 1.0, col("s1") * 1.0 / col("nn")) / 100.0)
+            .as("quantity_imputed"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""
+      WITH x AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               CASE WHEN CAST(concat('0x', substring(md5(
+                      concat_ws('|', l_orderkey, l_linenumber) || '|3'),
+                      1, 15)) AS BIGINT) % 10 = 0
+                    THEN NULL
+                    ELSE CAST(round(l_quantity * 100) AS BIGINT) END AS c
+        FROM lineitem),
+      g AS (SELECT l_returnflag, SUM(c) AS s1, COUNT(c) AS nn
+            FROM x GROUP BY 1)
+      SELECT l_orderkey, l_linenumber, x.l_returnflag,
+             c IS NULL AS was_null,
+             round(coalesce(c * 1.0, s1 * 1.0 / nn) / 100.0, 6)
+               AS quantity_imputed
+      FROM x JOIN g ON g.l_returnflag = x.l_returnflag
+      WHERE l_orderkey < 300
+      ORDER BY l_orderkey, l_linenumber"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     labelEncode, labelEncodeUnseen, equalWidthBin, quantileBin,
-    derivedFeatures, standardize, scaling, groupwiseZ)
+    derivedFeatures, standardize, scaling, groupwiseZ, imputeGroupMean)
 }
