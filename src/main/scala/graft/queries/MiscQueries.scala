@@ -245,7 +245,37 @@ object MiscQueries extends QueryPack {
              round((rev_cents - prev) * 1.0 / prev, 6) AS growth
       FROM l ORDER BY y, m"""))
 
+  /** Hive-style partitioned write + partition-PRUNED read gate — the
+    * core 100-TB layout primitive: `partitionBy(lang)` on write, and a
+    * lang-filtered read that must touch only that partition's files
+    * (PartitionPruneSpec asserts the PartitionFilters plan property;
+    * this query hash-checks the surviving content against the source
+    * table). The partition column round-trips through directory names.
+    */
+  val partitionedRoundtrip: GraftQuery = GraftQuery(
+    "partitioned_roundtrip_docs",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val path = "/tmp/graft_part_roundtrip/" +
+        dir.replaceAll("[^A-Za-z0-9]+", "_")
+      docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .filter(col("lang") === "en")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"),
+          sum(graft.dedup.Dedup.md5Base(col("text"))).as("text_checksum"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang")
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+                      % 2147483647) AS BIGINT) AS text_checksum,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM documents WHERE lang = 'en' GROUP BY lang ORDER BY lang"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(unionConcat, topkPerBrand, absRank, setOps, csvRoundtrip,
-      calibration, zorderLayout, revenueGrowth)
+      calibration, zorderLayout, revenueGrowth, partitionedRoundtrip)
 }
