@@ -333,9 +333,37 @@ object EventQueries extends QueryPack {
       SELECT dau.day, dau.dau, coalesce(nu.new_users, 0) AS new_users
       FROM dau LEFT JOIN nu ON nu.day = dau.day ORDER BY dau.day"""))
 
+  /** Per-user journey export (the sequence-model training shape): each
+    * user's full event-type sequence in time order, collapsed to one row
+    * — ordered aggregation via sort_array over collected (ts, id, type)
+    * structs, so ordering is inside the aggregation (no separate sort
+    * pass), then md5'd for the hash check. One shuffle on user_id.
+    */
+  val userJourneys: GraftQuery = GraftQuery(
+    "user_journeys",
+    (s, dir) => {
+      EventOps.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          md5(concat_ws(">", expr(
+            "transform(sort_array(collect_list(struct(ts_us, event_id, event_type))), x -> x.event_type)")))
+            .as("journey_md5"),
+          min("ts_us").as("first_us"), max("ts_us").as("last_us"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+                 FROM events)
+      SELECT user_id, COUNT(*) AS n_events,
+             md5(string_agg(event_type, '>' ORDER BY tus, event_id))
+               AS journey_md5,
+             MIN(tus) AS first_us, MAX(tus) AS last_us
+      FROM x GROUP BY user_id ORDER BY user_id"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
       rollingFeatures, funnel, funnelStream, retention, pathTrigrams,
-      interarrival, dauReport)
+      interarrival, dauReport, userJourneys)
 }

@@ -149,4 +149,27 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got.size == 10) // exactly the planted pairs
     assert(got.keys.forall { case (a, b) => b == a + 1 && a % 2 == 0 })
   }
+
+  test("all-pairs jaccard: lossless on randomized corpora at several thresholds") {
+    val rnd = new scala.util.Random(42)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    // 30 docs of 5-12 words; seeded -> deterministic spec
+    val texts = (0 until 30).map { i =>
+      val n = 5 + rnd.nextInt(8)
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(df, "doc_id", "text", 3)
+    val ids = texts.map(_._1)
+    val all = (for { a <- ids; b <- ids if a < b } yield (a, b))
+      .toDF("id_a", "id_b")
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val got = Dedup.allPairsJaccard(sh, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val brute = Dedup.jaccardForPairs(sh, all)
+        .filter(col("jaccard") >= t).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == brute, s"prefix filtering lost pairs at t=$t")
+    }
+  }
 }
