@@ -361,9 +361,21 @@ object EventQueries extends QueryPack {
              MIN(tus) AS first_us, MAX(tus) AS last_us
       FROM x GROUP BY user_id ORDER BY user_id"""))
 
+  /** DAU through streaming-exact-distinct (stateful dropDuplicates on
+    * (user, day) feeding a running count) — hash-checked against the
+    * batch COUNT(DISTINCT) oracle.
+    */
+  val dauStream: GraftQuery = GraftQuery(
+    "events_dau_stream",
+    (s, dir) => EventOps.streamingDauResult(s, dir),
+    Some("""
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1 ORDER BY day"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
       rollingFeatures, funnel, funnelStream, retention, pathTrigrams,
-      interarrival, dauReport, userJourneys)
+      interarrival, dauReport, userJourneys, dauStream)
 }

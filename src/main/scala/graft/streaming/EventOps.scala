@@ -294,6 +294,23 @@ object EventOps {
         col("event_type"), col("n"), col("sum_value_cents"))
   }
 
+  /** STREAMING daily-active-users: exact distinct counting as stateful
+    * dedup (`dropDuplicates` on (user, day) keeps one state row per
+    * first sighting) feeding a running count per day — the
+    * streaming-exact-distinct pattern; complete-mode memory sink.
+    */
+  def streamingDauResult(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_dau"
+    val evs = streamingEvents(spark, sfDir)
+      .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
+    val sq = evs.dropDuplicates("user_id", "day")
+      .groupBy("day").agg(count(lit(1)).as("dau"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try sq.processAllAvailable() finally sq.stop()
+    spark.table(name).orderBy("day")
+  }
+
   /** Per-user trailing time-series features over the ordered event
     * stream: rolling count/sum/min/max/mean of value over the last 5
     * events, delta to the previous event, and an exponentially-weighted
