@@ -118,6 +118,16 @@ object EventQueries extends QueryPack {
     (s, dir) => EventOps.streamingClickErrorPairs(s, dir, 30L * 60 * 1000000L),
     Some(pairsSql))
 
+  /** The same interval join rewritten as a bucketed pure equi-join
+    * (range-to-equi rewrite; see EventOps.clickErrorPairsBucketed) —
+    * third engine path, one oracle.
+    */
+  val intervalJoinBucketed: GraftQuery = GraftQuery(
+    "interval_join_bucketed",
+    (s, dir) => EventOps.clickErrorPairsBucketed(
+      EventOps.events(s, dir), 30L * 60 * 1000000L),
+    Some(pairsSql))
+
   val asofClick: GraftQuery = GraftQuery(
     "asof_last_click_before_error",
     (s, dir) => EventOps.lastClickBeforeError(EventOps.events(s, dir)),
@@ -376,6 +386,6 @@ object EventQueries extends QueryPack {
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
-      rollingFeatures, funnel, funnelStream, retention, pathTrigrams,
-      interarrival, dauReport, userJourneys, dauStream)
+      intervalJoinBucketed, rollingFeatures, funnel, funnelStream, retention,
+      pathTrigrams, interarrival, dauReport, userJourneys, dauStream)
 }

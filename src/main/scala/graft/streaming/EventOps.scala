@@ -113,6 +113,36 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** The same interval join rewritten as a pure EQUI-join via time
+    * bucketing — the standard rewrite when a range join would otherwise
+    * sort-merge on a low-selectivity key (or, with no equi key at all,
+    * degenerate to a nested-loop): quantize time into gap-sized buckets,
+    * register each probe-side row in its own bucket AND the previous one
+    * (a [t-gap, t] window spans at most two buckets), equi-join on
+    * (user, bucket), and re-apply the exact range predicate. Each click
+    * is duplicated at most once, every join is hash-partitionable, and
+    * the (click, error) pair dedup is free because the two bucket
+    * registrations of a click can match the same error only once after
+    * the range filter — DISTINCT on the pair guarantees it structurally.
+    */
+  def clickErrorPairsBucketed(df: DataFrame, gapUs: Long): DataFrame = {
+    val c = df.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("click_us"),
+        col("event_id").as("click_id"))
+      .withColumn("bucket", explode(array(
+        expr(s"click_us div $gapUs"), expr(s"click_us div $gapUs + 1"))))
+    val e = df.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us").as("err_us"),
+        col("event_id").as("err_id"))
+      .withColumn("bucket", expr(s"err_us div $gapUs"))
+    e.join(c, Seq("user_id", "bucket"))
+      .filter(col("click_us") >= col("err_us") - gapUs &&
+        col("click_us") <= col("err_us"))
+      .select("user_id", "err_id", "click_id").distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   /** The same interval join as a STREAM-STREAM join: two watermarked
     * streaming reads of the events, inner-joined on user + time range
     * (Spark buffers each side's state only up to the watermark bound),

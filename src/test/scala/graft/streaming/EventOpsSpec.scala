@@ -45,6 +45,25 @@ class EventOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Map(7L -> 2L))
   }
 
+  test("bucketed interval join equals the direct range join") {
+    val sfDir = "/root/testdata/sf0.001"
+    val gap = 30L * 60 * 1000000L
+    val ev = EventOps.events(spark, sfDir)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toMap(EventOps.clickErrorPairsBucketed(ev, gap)) ==
+      toMap(EventOps.clickErrorPairs(ev, gap)))
+    // boundary case: click exactly gap before error, and exactly at it
+    import spark.implicits._
+    val edge = Seq(
+      (1L, us(0), 7L, "click"), (2L, us(30), 7L, "error"),
+      (3L, us(30), 7L, "click"), (4L, us(31), 9L, "click"),
+      (5L, us(30), 9L, "error"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+    val got = toMap(EventOps.clickErrorPairsBucketed(edge, us(30)))
+    assert(got == Map(7L -> 2L)) // both boundary clicks; user 9's later click no
+  }
+
   test("stateful streaming sessionization matches the batch operator") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = EventOps.sessionize(
