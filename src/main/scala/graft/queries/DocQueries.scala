@@ -236,6 +236,38 @@ object DocQueries extends QueryPack {
       FROM d JOIN n na ON na.id = id_a JOIN n nb ON nb.id = id_b
       ORDER BY cosine DESC, id_a, id_b LIMIT 15"""))
 
+  /** Edit-distance fuzzy dedup over adjacent-id candidate pairs: raw
+    * Levenshtein distance plus the normalized edit similarity
+    * 1 - d/max(|a|,|b|) — the character-level fuzzy-match companion to
+    * the shingle Jaccard (catches small in-place edits that shift every
+    * shingle). Candidate generation stays linear (adjacent ids here; any
+    * blocking scheme — LSH, SimHash bands — composes); the DP cost is
+    * per-pair and embarrassingly parallel.
+    */
+  val fuzzyDedup: GraftQuery = GraftQuery(
+    "fuzzy_dedup_adjacent",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents").select(
+        col("doc_id"), col("text"))
+      val a = d.toDF("id_a", "text_a")
+      val b = d.toDF("id_b", "text_b")
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("text_a"), col("text_b")).cast("long")
+            .as("edit_dist"),
+          Q.r6(lit(1.0) - levenshtein(col("text_a"), col("text_b")) * 1.0 /
+            greatest(length(col("text_a")), length(col("text_b"))))
+            .as("edit_sim"))
+        .orderBy("id_a")
+    },
+    Some("""
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             levenshtein(a.text, b.text) AS edit_dist,
+             round(1.0 - levenshtein(a.text, b.text) * 1.0 /
+               greatest(length(a.text), length(b.text)), 6) AS edit_sim
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      ORDER BY id_a"""))
+
   /** Cross-source duplicate leakage matrix keyed on the 40-char text
     * prefix ([[Dedup.dupLeakageMatrix]]) — the contamination report
     * between corpus sources (the full-text md5 key yields an empty
@@ -864,8 +896,8 @@ object DocQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] = Seq(
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
-    jaccardAdjacent, allPairsJaccard, docCosine, leakageMatrix, minhashLsh,
-    simhashDocs, simhashPairs, dedupClusters, dedupDropList, packDocs,
-    qualitySample, dedupStream, contamination, bloomPrefilter,
+    jaccardAdjacent, allPairsJaccard, docCosine, fuzzyDedup, leakageMatrix,
+    minhashLsh, simhashDocs, simhashPairs, dedupClusters, dedupDropList,
+    packDocs, qualitySample, dedupStream, contamination, bloomPrefilter,
     incrementalDedup, spanDedup)
 }
