@@ -522,9 +522,49 @@ object TextExtraQueries extends QueryPack {
       SELECT w1, w2, nb, pmi FROM j
       ORDER BY pmi DESC, w1, w2 LIMIT 20"""))
 
+  /** Boilerplate detection: the most frequent SIX-word n-grams with
+    * their document frequency — long repeated word sequences are the
+    * signature of templated/boilerplate web text (headers, footers,
+    * cookie banners), which short-bigram counts can't separate from
+    * natural collocations. Same explode-aggregate shape as the bigram
+    * query, no self-joins; doc frequency comes from a per-(doc, gram)
+    * dedup inside the same pass.
+    */
+  val boilerplate: GraftQuery = GraftQuery(
+    "boilerplate_ngrams",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val nt = size(toks)
+      Tables(s, dir, "documents")
+        .filter(nt >= 6)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(split(text, ' ')) - 5)," +
+            " i -> array_join(slice(split(text, ' '), i, 6), ' '))"))
+          .as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("doc_id").as("n_docs"))
+        .filter(col("n") >= 2)
+        .orderBy(desc("n"), col("gram"))
+        .limit(10)
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE len(string_split(text, ' ')) >= 6),
+      i AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 5)) AS i
+            FROM t),
+      g AS (SELECT doc_id,
+                   array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER) + 5],
+                                   ' ') AS gram
+            FROM i)
+      SELECT gram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+      FROM g GROUP BY gram HAVING COUNT(*) >= 2
+      ORDER BY n DESC, gram LIMIT 10"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(wordCount, cmsHeavyHitters, cmsStream, distinctEstimate,
       describeStrings, monthly, chunkDocs, tfidfTop, topBigrams,
       repetitionScores, qualityGate, repetitionStream, lmScore,
-      lmPplHoldout, vocabOov, pmiCollocations)
+      lmPplHoldout, vocabOov, pmiCollocations, boilerplate)
 }
