@@ -287,6 +287,10 @@ object Stats {
       .select(
         col("n"), Q.r6(col("mi_raw")).as("mi"),
         Q.r6(col("ha_raw")).as("h_a"), Q.r6(col("hb_raw")).as("h_b"),
-        Q.r6(col("mi_raw") / least(col("ha_raw"), col("hb_raw"))).as("nmi"))
+        // a constant column has zero entropy: NMI is undefined -> NULL
+        // (not an ANSI divide-by-zero error)
+        when(least(col("ha_raw"), col("hb_raw")) > 0,
+          Q.r6(col("mi_raw") / least(col("ha_raw"), col("hb_raw"))))
+          .as("nmi"))
   }
 }

@@ -431,8 +431,10 @@ object EventOps {
         sum(when(col("s1") =!= unset, 1L).otherwise(0L)).as("n_stage1"),
         sum(when(col("s2") =!= unset, 1L).otherwise(0L)).as("n_stage2"),
         sum(when(col("s3") =!= unset, 1L).otherwise(0L)).as("n_stage3"),
-        Q.r6(sum(when(col("s3") =!= unset, 1L).otherwise(0L)) * 1.0 /
-          sum(when(col("s1") =!= unset, 1L).otherwise(0L))).as("conversion"))
+        when(sum(when(col("s1") =!= unset, 1L).otherwise(0L)) > 0,
+          Q.r6(sum(when(col("s3") =!= unset, 1L).otherwise(0L)) * 1.0 /
+            sum(when(col("s1") =!= unset, 1L).otherwise(0L))))
+          .as("conversion"))
   }
 
   /** Ordered conversion funnel: the first `stages(0)` event per user,
@@ -459,6 +461,10 @@ object EventOps {
         count(col("u1")).as("n_stage1"),
         count(col("u2")).as("n_stage2"),
         count(col("u3")).as("n_stage3"),
-        Q.r6(count(col("u3")) * 1.0 / count(col("u1"))).as("conversion"))
+        // guard: zero stage-1 users must yield NULL, not an ANSI
+        // divide-by-zero error
+        when(count(col("u1")) > 0,
+          Q.r6(count(col("u3")) * 1.0 / count(col("u1"))))
+          .as("conversion"))
   }
 }

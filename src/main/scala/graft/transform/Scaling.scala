@@ -41,6 +41,8 @@ object Scaling {
         min(col(column)).cast("double").as("mn"),
         max(col(column)).cast("double").as("mx"))
       .head()
+    require(!r.isNullAt(0),
+      s"Scaling.fit: column '$column' has no non-null rows")
     val qs = r.getSeq[Double](0)
     ScaleStats(column, r.getDouble(1), r.getDouble(2),
       qs(0), qs(1), qs(2), qs(3), qs(4))
