@@ -304,7 +304,73 @@ object CurationQueries extends QueryPack {
       SELECT lang, COUNT(*) AS n_kept, MIN(q) AS min_quality
       FROM r WHERE pr >= 0.75 GROUP BY lang ORDER BY lang"""))
 
+  /** END-TO-END curation pipeline gate — the flagship composition a
+    * reference user runs as one call: normalize text
+    * ([[TextOps.cleanText]]) -> quality filter (r6 score >= 0.5) ->
+    * exact dedup keep-first on the 40-char prefix (lowest doc_id
+    * survives) -> deterministic 16-way shard assignment -> per-shard
+    * manifest (docs, chars, content checksum). Every stage is one of
+    * the already-gated operators; this query proves they COMPOSE —
+    * plan-wise: projections -> one dedup window -> one shard shuffle,
+    * no extra passes.
+    */
+  val curationPipeline: GraftQuery = GraftQuery(
+    "curation_pipeline_gate",
+    (s, dir) => {
+      val q = Q.r6(TextOps.qualityScore(col("text"), stop))
+      val cleaned = Tables(s, dir, "documents")
+        .withColumn("text", TextOps.cleanText(col("text")))
+        .filter(q >= 0.5)
+      val deduped = graft.dedup.Dedup.dedupKeepFirst(
+        cleaned, "doc_id", substring(col("text"), 1, 40))
+      Splits.shardAssign(deduped.select("doc_id", "text"), "doc_id", 16)
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(graft.dedup.Dedup.md5Base(col("text"))).as("text_checksum"))
+        .orderBy("shard")
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(regexp_replace(
+                 text, '<[^>]*>', ' ', 'g'),
+                 '[\x00-\x1f\x7f]', ' ', 'g'),
+                 '  +', ' ', 'g')) AS text
+        FROM documents),
+      m AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS nt,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a'))) AS nstop
+        FROM c),
+      q AS (
+        SELECT doc_id, text
+        FROM m
+        WHERE round(0.4 * least(length(text) / 500.0, 1.0)
+            + 0.3 * (1.0 - nstop * 1.0 / nt)
+            + 0.3 * least(((length(text) - (nt - 1)) * 1.0 / nt) / 8.0, 1.0),
+            6) >= 0.5),
+      d AS (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY substring(text, 1, 40)
+                                  ORDER BY doc_id) AS rn
+        FROM q),
+      k AS (SELECT doc_id, text FROM d WHERE rn = 1),
+      sh AS (
+        SELECT text,
+               CAST(concat('0x', substring(
+                 md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 15)) AS BIGINT)
+                 % 16 AS shard
+        FROM k)
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+             CAST(SUM(CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+                      % 2147483647) AS BIGINT) AS text_checksum
+      FROM sh GROUP BY shard ORDER BY shard"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(piiRedact, shardAssign, samplePerGroup, weightedSample, mixingPlan,
-      cleanNormalize, qualityQuartileGate)
+      cleanNormalize, qualityQuartileGate, curationPipeline)
 }
