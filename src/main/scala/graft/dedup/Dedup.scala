@@ -142,7 +142,11 @@ object Dedup {
     */
   def allPairsJaccard(
       shingles: DataFrame, threshold: Double): DataFrame = {
-    val df = shingles.toDF("id", "sh")
+    // Four consumers read the shingle frame (frequency agg, prefix rank,
+    // and both sides of the verification join): localCheckpoint
+    // materializes the explode once and frees its lineage — blocks are
+    // released with the RDD, no caller-managed unpersist needed.
+    val df = shingles.toDF("id", "sh").localCheckpoint()
     val freq = df.groupBy("sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("id").orderBy("df", "sh")
     val ranked = df.join(freq, Seq("sh"))
