@@ -362,7 +362,62 @@ object SimQueries extends QueryPack {
                AS max_abs_err
       FROM q ORDER BY vec_id"""))
 
+  /** MMR diversity selection oracle: the greedy argmax chain is replayed
+    * as k chained CTEs — each step picks the best-scoring remaining
+    * vector given the union of all previous picks (correlated MAX over
+    * the pairwise-cosine CTE), with the same literal 0.7/0.3 weights
+    * and (score desc, vec_id) tiebreak as the Spark loop.
+    */
+  private def mmrSql(k: Int): String = {
+    val base = """
+      WITH qv AS (SELECT generate_subscripts(embedding, 1) AS pos,
+                         CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings WHERE vec_id = 0),
+      dv AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                    CAST(unnest(embedding) AS DOUBLE) AS v
+             FROM embeddings WHERE vec_id <> 0),
+      nq AS (SELECT SUM(v * v) AS n2 FROM qv),
+      agg AS (SELECT dv.vec_id, SUM(dv.v * qv.v) AS dot,
+                     SUM(dv.v * dv.v) AS nd
+              FROM dv JOIN qv USING (pos) GROUP BY dv.vec_id),
+      rel AS (SELECT vec_id, round(dot / (sqrt(nd) * sqrt(nq.n2)), 6) AS rel
+              FROM agg, nq),
+      nrm AS (SELECT vec_id, SUM(v * v) AS n2 FROM dv GROUP BY 1),
+      pag AS (SELECT a.vec_id AS ia, b.vec_id AS ib, SUM(a.v * b.v) AS dot
+              FROM dv a JOIN dv b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+              GROUP BY a.vec_id, b.vec_id),
+      pcm AS (SELECT ia, ib,
+                     round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+              FROM pag JOIN nrm na ON na.vec_id = ia
+                       JOIN nrm nb ON nb.vec_id = ib),
+      sel1 AS (SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel
+               FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
+      selu1 AS (SELECT * FROM sel1)"""
+    val steps = (2 to k).map { i =>
+      s"""
+      sel$i AS (
+        SELECT CAST($i AS BIGINT) AS rank, r.vec_id, r.rel FROM rel r
+        WHERE r.vec_id NOT IN (SELECT vec_id FROM selu${i - 1})
+        ORDER BY 0.7 * r.rel - 0.3 *
+            (SELECT MAX(p.cos) FROM pcm p
+             WHERE p.ia = r.vec_id
+               AND p.ib IN (SELECT vec_id FROM selu${i - 1})) DESC,
+          r.vec_id
+        LIMIT 1),
+      selu$i AS (SELECT * FROM selu${i - 1} UNION ALL SELECT * FROM sel$i)"""
+    }.mkString(",", ",", "")
+    s"$base$steps SELECT rank, vec_id, rel FROM selu$k ORDER BY rank"
+  }
+
+  /** Diversity-aware top-5 (MMR) against the vec0 query. */
+  val mmrDiverse: GraftQuery = GraftQuery(
+    "mmr_diverse_top5",
+    (s, dir) => Similarity.mmrSelect(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", 0L, 5),
+    Some(mmrSql(5)))
+
   override def queries: Seq[GraftQuery] =
     Seq(cosineTopK, knnVote, nearDup, nearDupLsh, annTopK, annTopKSign,
-      centroids, assignCentroid, randomProjection, ivfTopK, quantizeInt8)
+      centroids, assignCentroid, randomProjection, ivfTopK, quantizeInt8,
+      mmrDiverse)
 }

@@ -47,6 +47,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal Marginal Relevance selection: greedily pick k vectors
+    * maximizing `0.7 * relevance - 0.3 * max-similarity-to-selected`
+    * (relevance = rounded cosine to the query vector) — the
+    * diversity-aware retrieval / diverse-exemplar sampling primitive.
+    * Driver-orchestrated k-step loop, but each step is ONE distributed
+    * scan scoring every candidate against the (tiny, literal) selected
+    * set — no candidate collection. At corpus scale, pre-filter to the
+    * top-N by relevance first; the loop shape is unchanged. Both
+    * weights are LITERALS in both engines (0.3 is never computed as
+    * 1 - 0.7, which is 0.30000000000000004 in binary and would break
+    * cross-engine score equality).
+    */
+  def mmrSelect(
+      emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__qv"))
+    val rel = emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+        Q.r6(cosine(col(vecCol), col("__qv"))).as("rel"))
+      .localCheckpoint() // k consumers; frees the per-step recompute
+    var selected = List.empty[(Long, Seq[Float], Double)]
+    for (_ <- 1 to k) {
+      val remaining = rel.filter(!col("vec_id").isin(selected.map(_._1): _*))
+      val scored =
+        if (selected.isEmpty) remaining.withColumn("score", col("rel"))
+        else {
+          val sims = selected.map { case (_, v, _) =>
+            Q.r6(cosine(col("vec"), typedLit(v)))
+          }
+          remaining.withColumn("score",
+            lit(0.7) * col("rel") -
+              lit(0.3) * sims.reduceLeft((a, b) => greatest(a, b)))
+        }
+      val next = scored.orderBy(desc("score"), col("vec_id"))
+        .select("vec_id", "vec", "rel").head()
+      selected = selected :+
+        ((next.getLong(0), next.getSeq[Float](1), next.getDouble(2)))
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, r), i) => (i + 1L, id, r) }
+      .toDF("rank", "vec_id", "rel")
+  }
+
   /** Embedding-cosine near-duplicate pairs, brute force all-pairs — the
     * exactness baseline for dedup (the LSH bucket path is the 100-TB
     * variant: identical rerank inside `annTopK`-style buckets). The

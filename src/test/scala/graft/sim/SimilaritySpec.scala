@@ -102,6 +102,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(assigned == Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
   }
 
+  test("MMR: diversity penalty demotes the near-duplicate of the first pick") {
+    // 1 and 2 are both highly relevant but nearly identical; 3 is less
+    // relevant but diverse. Pure relevance would pick (1, 2); MMR must
+    // pick 1 then 3.
+    // scores: step1 -> 1 (rel .9, id tiebreak over its twin 2);
+    // step2: vec2 = .7*.9 - .3*1.0 = .33 (penalty 1.0 — identical to
+    // pick 1), vec3 = .7*.8 - .3*.458 = .42 -> 3 wins despite lower rel
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),             // query
+      (1L, Array(0.9f, 0.436f, 0.0f)),           // most relevant
+      (2L, Array(0.9f, 0.436f, 0.0f)),           // exact dup of 1
+      (3L, Array(0.8f, -0.6f, 0.0f))             // diverse, rel 0.8
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(vecs, "vec_id", "embedding", 0L, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L)
+    assert(got(2L) == 3L) // NOT vec 2, despite higher raw relevance
+  }
+
   test("centroid assignment ties break toward the smaller label") {
     val labeled = Seq(
       (0L, Array(1.0f, 0.0f), 5), (1L, Array(-1.0f, 0.0f), 3)
