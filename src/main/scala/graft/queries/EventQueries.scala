@@ -208,6 +208,34 @@ object EventQueries extends QueryPack {
       s, dir, "signup", "click", "purchase"),
     Some(funnelSql))
 
+  /** Time-BOUNDED funnel: each stage must follow the previous within
+    * 24 hours — the realistic conversion-window semantics (an unbounded
+    * funnel overcounts users who "converted" weeks later).
+    */
+  val funnelWindowed: GraftQuery = GraftQuery(
+    "funnel_windowed_24h",
+    (s, dir) => EventOps.funnel(
+      EventOps.events(s, dir), Seq("signup", "click", "purchase"),
+      maxLagUs = 24L * 3600 * 1000000L),
+    Some("""
+      WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      a AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN tus END)
+                        OVER (PARTITION BY user_id) AS s1 FROM x),
+      b AS (SELECT *, min(CASE WHEN event_type = 'click' AND tus >= s1
+                               AND tus <= s1 + 86400000000 THEN tus END)
+                        OVER (PARTITION BY user_id) AS s2 FROM a),
+      c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tus >= s2
+                               AND tus <= s2 + 86400000000 THEN tus END)
+                        OVER (PARTITION BY user_id) AS s3 FROM b),
+      u AS (SELECT user_id, max(s1) AS u1, max(s2) AS u2, max(s3) AS u3
+            FROM c GROUP BY user_id)
+      SELECT count(u1) AS n_stage1, count(u2) AS n_stage2,
+             count(u3) AS n_stage3,
+             CASE WHEN count(u1) > 0
+                  THEN round(count(u3) * 1.0 / count(u1), 6) END
+               AS conversion
+      FROM u"""))
+
   /** Weekly retention cohorts: users grouped by their first-activity
     * week (integer epoch-week buckets — pure int64 division, engine-
     * exact), distinct active users per (cohort, weeks-since-cohort).
@@ -386,6 +414,7 @@ object EventQueries extends QueryPack {
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
-      intervalJoinBucketed, rollingFeatures, funnel, funnelStream, retention,
-      pathTrigrams, interarrival, dauReport, userJourneys, dauStream)
+      intervalJoinBucketed, rollingFeatures, funnel, funnelStream,
+      funnelWindowed, retention, pathTrigrams, interarrival, dauReport,
+      userJourneys, dauStream)
 }

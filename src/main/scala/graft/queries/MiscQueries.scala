@@ -275,7 +275,53 @@ object MiscQueries extends QueryPack {
              MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       FROM documents WHERE lang = 'en' GROUP BY lang ORDER BY lang"""))
 
+  /** Lag-1 autocorrelation of daily order revenue — the time-series
+    * seasonality probe. Daily revenues reduce to exact integer dollars
+    * (cents div 100 keeps every product inside exact-long range over the
+    * 30-day frame); Pearson r on the (x, lag(x)) pairs comes from one
+    * aggregation of integer sums with a single double expression at the
+    * end.
+    */
+  val revenueAutocorr: GraftQuery = GraftQuery(
+    "revenue_autocorr_daily",
+    (s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(expr("CAST(o_orderdate AS DATE)").as("d"))
+        .agg((sum(Q.cents("o_totalprice")) / lit(100L)).cast("long")
+          .as("x"))
+      val w = Window.orderBy("d")
+      val pairs = daily
+        .withColumn("y", lag("x", 1).over(w))
+        .filter(col("y").isNotNull)
+      pairs.agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("n"),
+          Q.r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) * 1.0 *
+              (col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("autocorr"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+                 AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+      p AS (SELECT x, lag(x, 1) OVER (ORDER BY d) AS y FROM daily),
+      f AS (SELECT * FROM p WHERE y IS NOT NULL),
+      s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+            FROM f)
+      SELECT n, round((n * sxy - sx * sy) /
+               sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6)
+               AS autocorr
+      FROM s"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(unionConcat, topkPerBrand, absRank, setOps, csvRoundtrip,
-      calibration, zorderLayout, revenueGrowth, partitionedRoundtrip)
+      calibration, zorderLayout, revenueGrowth, partitionedRoundtrip,
+      revenueAutocorr)
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Q
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -444,17 +444,22 @@ object EventOps {
     * global count row. No self-joins, so the funnel holds at any event
     * volume.
     */
-  def funnel(df: DataFrame, stages: Seq[String]): DataFrame = {
+  def funnel(
+      df: DataFrame, stages: Seq[String],
+      maxLagUs: Long = Long.MaxValue): DataFrame = {
     require(stages.length == 3, "funnel expects exactly 3 stages")
     val w = Window.partitionBy("user_id")
+    def within(prev: Column): Column =
+      if (maxLagUs == Long.MaxValue) col("ts_us") >= prev
+      else col("ts_us") >= prev && col("ts_us") <= prev + maxLagUs
     val s1 = df.withColumn(
       "s1", min(when(col("event_type") === stages(0), col("ts_us"))).over(w))
     val s2 = s1.withColumn(
       "s2", min(when(col("event_type") === stages(1) &&
-        col("ts_us") >= col("s1"), col("ts_us"))).over(w))
+        within(col("s1")), col("ts_us"))).over(w))
     val s3 = s2.withColumn(
       "s3", min(when(col("event_type") === stages(2) &&
-        col("ts_us") >= col("s2"), col("ts_us"))).over(w))
+        within(col("s2")), col("ts_us"))).over(w))
     s3.groupBy("user_id")
       .agg(max("s1").as("u1"), max("s2").as("u2"), max("s3").as("u3"))
       .agg(
