@@ -276,9 +276,12 @@ object MiscQueries extends QueryPack {
       FROM documents WHERE lang = 'en' GROUP BY lang ORDER BY lang"""))
 
   /** Lag-1 autocorrelation of daily order revenue — the time-series
-    * seasonality probe. Daily revenues reduce to exact integer dollars
-    * (cents div 100 keeps every product inside exact-long range over the
-    * 30-day frame); Pearson r on the (x, lag(x)) pairs comes from one
+    * seasonality probe. Daily revenues reduce to exact integer
+    * THOUSANDS of dollars (cents div 100000 — at daily totals around
+    * 1e6 dollars the n*sum-of-products moments of a dollar grid sit
+    * within a factor of 2 of Long.MaxValue, observed overflowing under
+    * ANSI mode; the k$ grid buys 1e6x headroom and the correlation is
+    * scale-invariant); Pearson r on the (x, lag(x)) pairs comes from one
     * aggregation of integer sums with a single double expression at the
     * end.
     */
@@ -287,8 +290,8 @@ object MiscQueries extends QueryPack {
     (s, dir) => {
       val daily = Tables(s, dir, "orders")
         .groupBy(expr("CAST(o_orderdate AS DATE)").as("d"))
-        .agg((sum(Q.cents("o_totalprice")) / lit(100L)).cast("long")
-          .as("x"))
+        .agg(expr("CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))"
+          + " div 100000 AS LONG)").as("x"))
       val w = Window.orderBy("d")
       val pairs = daily
         .withColumn("y", lag("x", 1).over(w))
@@ -307,7 +310,7 @@ object MiscQueries extends QueryPack {
     Some("""
       WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS d,
-               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000
                  AS BIGINT) AS x
         FROM orders GROUP BY 1),
       p AS (SELECT x, lag(x, 1) OVER (ORDER BY d) AS y FROM daily),
