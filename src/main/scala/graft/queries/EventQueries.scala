@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{GraftQuery, QueryPack}
+import graft.{GraftQuery, Q, QueryPack}
 import graft.streaming.EventOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -411,10 +411,54 @@ object EventQueries extends QueryPack {
              COUNT(DISTINCT user_id) AS dau
       FROM events GROUP BY 1 ORDER BY day"""))
 
+  /** Semi-structured surface: parse the `props` JSON payload with a
+    * TYPED from_json schema (codegen'd Jackson parse, no UDF) and
+    * aggregate the extracted field per event type — the
+    * schema-on-read pattern for event payloads.
+    */
+  val jsonProps: GraftQuery = GraftQuery(
+    "props_json_stats",
+    (s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "k", org.apache.spark.sql.types.LongType)))
+      EventOps.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), schema).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count("k").as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          Q.r6(sum("k") * 1.0 / count("k")).as("avg_k"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH x AS (SELECT event_type,
+                        CAST(props ->> 'k' AS BIGINT) AS k FROM events)
+      SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+             MIN(k) AS min_k, MAX(k) AS max_k,
+             round(SUM(k) * 1.0 / COUNT(k), 6) AS avg_k
+      FROM x GROUP BY event_type ORDER BY event_type"""))
+
+  /** STREAM-STATIC enrichment join — the dimension-lookup pattern every
+    * event pipeline runs: the streaming events read inner-joins the
+    * static customer table on the user key (the static side is planned
+    * per micro-batch; Spark broadcasts it under AQE), then aggregates
+    * per market segment in complete mode.
+    */
+  val enrichedStream: GraftQuery = GraftQuery(
+    "events_enriched_stream",
+    (s, dir) => EventOps.streamingEnrichedResult(s, dir),
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+      FROM events JOIN customer ON c_custkey = user_id
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
       intervalJoinBucketed, rollingFeatures, funnel, funnelStream,
       funnelWindowed, retention, pathTrigrams, interarrival, dauReport,
-      userJourneys, dauStream)
+      userJourneys, dauStream, jsonProps, enrichedStream)
 }

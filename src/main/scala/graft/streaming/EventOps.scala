@@ -280,6 +280,25 @@ object EventOps {
       .parquet(sfDir)
   }
 
+  /** STREAM-STATIC enrichment: the streaming events read inner-joined to
+    * the static customer dimension on the user key (re-planned per
+    * micro-batch; broadcastable), aggregated per market segment in
+    * complete mode — the dimension-lookup pattern for event pipelines.
+    */
+  def streamingEnrichedResult(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_enriched"
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val sq = streamingEvents(spark, sfDir)
+      .join(dim, col("c_custkey") === col("user_id"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(Q.cents("value")).as("sum_value_cents"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try sq.processAllAvailable() finally sq.stop()
+    spark.table(name).orderBy("c_mktsegment")
+  }
+
   /** The 2h/1h sliding-window aggregation as a Structured Streaming
     * query — the same multi-assign `window(len, slide)` operator as the
     * batch [[sliding]], running against the watermarked stream. Each
