@@ -409,6 +409,41 @@ object SimQueries extends QueryPack {
     s"$base$steps SELECT rank, vec_id, rel FROM selu$k ORDER BY rank"
   }
 
+  /** Per-dimension embedding distribution diagnostics — mean, population
+    * std, min, max for every coordinate: the collapsed-dimension /
+    * scale-drift check run before an ANN index build. One posexplode +
+    * one aggregation, keyed by dimension (64 groups here; dimension-
+    * parallel at any corpus size). Same cross-engine float-sum envelope
+    * as the (green) centroid query: double sums of float inputs,
+    * r6-rounded.
+    */
+  val dimStats: GraftQuery = GraftQuery(
+    "embedding_dim_stats",
+    (s, dir) => Tables(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos").cast("long").as("pos"),
+        col("x").cast("double").as("x"))
+      .groupBy("pos")
+      .agg(
+        count(lit(1)).as("n"),
+        Q.r6(sum("x") / count(lit(1))).as("mean"),
+        Q.r6(sqrt(sum(col("x") * col("x")) / count(lit(1)) -
+          (sum("x") / count(lit(1))) * (sum("x") / count(lit(1)))))
+          .as("std"),
+        Q.r6(min("x")).as("min_x"), Q.r6(max("x")).as("max_x"))
+      .orderBy("pos"),
+    Some("""
+      WITH d AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings)
+      SELECT pos, COUNT(*) AS n,
+             round(SUM(x) / COUNT(*), 6) AS mean,
+             round(sqrt(SUM(x * x) / COUNT(*)
+               - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*))), 6) AS std,
+             round(MIN(x), 6) AS min_x, round(MAX(x), 6) AS max_x
+      FROM d GROUP BY pos ORDER BY pos"""))
+
   /** Diversity-aware top-5 (MMR) against the vec0 query. */
   val mmrDiverse: GraftQuery = GraftQuery(
     "mmr_diverse_top5",
@@ -419,5 +454,5 @@ object SimQueries extends QueryPack {
   override def queries: Seq[GraftQuery] =
     Seq(cosineTopK, knnVote, nearDup, nearDupLsh, annTopK, annTopKSign,
       centroids, assignCentroid, randomProjection, ivfTopK, quantizeInt8,
-      mmrDiverse)
+      mmrDiverse, dimStats)
 }
