@@ -236,6 +236,53 @@ object EventQueries extends QueryPack {
                AS conversion
       FROM u"""))
 
+  /** Rolling anomaly flags: events whose value deviates > 1.5 trailing
+    * standard deviations from their user's previous-10-event window
+    * (window EXCLUDES the current row — an anomaly must not dilute its
+    * own baseline). All window terms are exact integer-cents sums; the
+    * z-score is one division on identical doubles; the flag compares the
+    * r6-rounded z so the cut is cross-engine stable. Only flagged events
+    * are returned — the monitoring-alert shape.
+    */
+  val rollingAnomalies: GraftQuery = GraftQuery(
+    "rolling_anomaly_flags",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-10, -1)
+      val c = Q.cents("value")
+      EventOps.events(s, dir)
+        .select(col("user_id"), col("event_id"), c.as("cents"),
+          count(lit(1)).over(w).as("n"),
+          sum(c).over(w).as("s1"),
+          sum(c * c).over(w).as("s2"))
+        .filter(col("n") >= 5)
+        .select(col("user_id"), col("event_id"), col("cents"),
+          Q.r6((col("cents") - col("s1") * 1.0 / col("n")) /
+            sqrt(col("s2") * 1.0 / col("n") -
+              (col("s1") * 1.0 / col("n")) * (col("s1") * 1.0 / col("n"))))
+            .as("z"))
+        .filter(abs(col("z")) > 1.5)
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      w AS (SELECT user_id, event_id, cents,
+                   COUNT(*) OVER tw AS n,
+                   SUM(cents) OVER tw AS s1,
+                   SUM(cents * cents) OVER tw AS s2
+            FROM x WINDOW tw AS (PARTITION BY user_id
+                                 ORDER BY tus, event_id
+                                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+      z AS (SELECT user_id, event_id, cents,
+                   round((cents - s1 * 1.0 / n) /
+                     sqrt(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n)), 6)
+                     AS z
+            FROM w WHERE n >= 5)
+      SELECT user_id, event_id, cents, z FROM z WHERE abs(z) > 1.5
+      ORDER BY user_id, event_id"""))
+
   /** Weekly retention cohorts: users grouped by their first-activity
     * week (integer epoch-week buckets — pure int64 division, engine-
     * exact), distinct active users per (cohort, weeks-since-cohort).
@@ -460,5 +507,5 @@ object EventQueries extends QueryPack {
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
       intervalJoinBucketed, rollingFeatures, funnel, funnelStream,
       funnelWindowed, retention, pathTrigrams, interarrival, dauReport,
-      userJourneys, dauStream, jsonProps, enrichedStream)
+      userJourneys, dauStream, jsonProps, enrichedStream, rollingAnomalies)
 }
