@@ -502,10 +502,44 @@ object EventQueries extends QueryPack {
       FROM events JOIN customer ON c_custkey = user_id
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: P(next | current) from lead-window bigram counts
+    * normalized by the from-state total — the sequence-statistics
+    * companion to the raw path mining. Exact integer counts; one
+    * division per cell.
+    */
+  lazy val markovMatrix: GraftQuery = GraftQuery(
+    "event_markov_matrix",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      EventOps.events(s, dir)
+        .select(col("event_type").as("from_type"),
+          lead("event_type", 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .withColumn("p", Q.r6(col("n") * 1.0 /
+          sum("n").over(Window.partitionBy("from_type"))))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+                 FROM events),
+      b AS (SELECT event_type AS from_type,
+                   lead(event_type, 1) OVER (PARTITION BY user_id
+                                             ORDER BY tus, event_id)
+                     AS to_type
+            FROM x),
+      c AS (SELECT from_type, to_type, COUNT(*) AS n FROM b
+            WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             round(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+      FROM c ORDER BY from_type, to_type"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
       intervalJoinBucketed, rollingFeatures, funnel, funnelStream,
       funnelWindowed, retention, pathTrigrams, interarrival, dauReport,
-      userJourneys, dauStream, jsonProps, enrichedStream, rollingAnomalies)
+      userJourneys, dauStream, jsonProps, enrichedStream, rollingAnomalies,
+      markovMatrix)
 }
