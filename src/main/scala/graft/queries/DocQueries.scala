@@ -268,6 +268,63 @@ object DocQueries extends QueryPack {
       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       ORDER BY id_a"""))
 
+  /** Dedup threshold tuning curve: for a grid of Jaccard thresholds,
+    * how many candidate pairs and how many distinct docs a near-dup
+    * pass at that threshold would drop — the report a curation run
+    * consults BEFORE committing a cutoff. One pass over the exact pair
+    * frame (same 500-doc slice as `allpairs_jaccard_pairs`, candidate
+    * threshold 0.5), conditional aggregates per grid point; dropped-doc
+    * counts use the keep-lowest-id convention (a doc is dropped if it
+    * is the HIGHER id of any surviving pair).
+    */
+  val dedupThresholdSweep: GraftQuery = GraftQuery(
+    "dedup_threshold_sweep",
+    (s, dir) => {
+      val sh = Dedup.shingleSet(
+        Tables(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", 3)
+      val pairs = Dedup.allPairsJaccard(sh, 0.5)
+      val grid = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      val aggs = grid.flatMap { t =>
+        val tag = (t * 10).toInt
+        Seq(
+          sum(when(col("jaccard") >= t, 1L).otherwise(0L))
+            .as(s"n_pairs_$tag"),
+          count_distinct(when(col("jaccard") >= t, col("id_b")))
+            .as(s"n_dropped_$tag"))
+      }
+      pairs.agg(aggs.head, aggs.tail: _*)
+    },
+    Some {
+      val grid = Seq("0.5" -> 5, "0.6" -> 6, "0.7" -> 7, "0.8" -> 8,
+        "0.9" -> 9)
+      val cols = grid.map { case (t, tag) =>
+        s"""CAST(SUM(CASE WHEN j >= $t THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pairs_$tag,
+            COUNT(DISTINCT CASE WHEN j >= $t THEN id_b END)
+              AS n_dropped_$tag"""
+      }.mkString(",\n            ")
+      s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INTEGER), 3) AS sh
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 2)) AS i
+              FROM documents WHERE doc_id < 500)),
+      sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+      inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY 1, 2),
+      p AS (
+        SELECT id_a, id_b,
+               round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS j
+        FROM inter
+        JOIN sz sa ON sa.id = id_a
+        JOIN sz sb ON sb.id = id_b
+        WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.5)
+      SELECT $cols FROM p"""
+    })
+
   /** Cross-source duplicate leakage matrix keyed on the 40-char text
     * prefix ([[Dedup.dupLeakageMatrix]]) — the contamination report
     * between corpus sources (the full-text md5 key yields an empty
@@ -896,7 +953,8 @@ object DocQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] = Seq(
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
-    jaccardAdjacent, allPairsJaccard, docCosine, fuzzyDedup, leakageMatrix,
+    jaccardAdjacent, allPairsJaccard, dedupThresholdSweep, docCosine,
+    fuzzyDedup, leakageMatrix,
     minhashLsh, simhashDocs, simhashPairs, dedupClusters, dedupDropList,
     packDocs, qualitySample, dedupStream, contamination, bloomPrefilter,
     incrementalDedup, spanDedup)

@@ -502,6 +502,31 @@ object EventQueries extends QueryPack {
       FROM events JOIN customer ON c_custkey = user_id
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** Daily trending event types: top-2 types per epoch-day by count
+    * (count desc, type tiebreak) — the per-period trending leaderboard;
+    * day-partitioned rank windows over the aggregate frame.
+    */
+  val trendingDaily: GraftQuery = GraftQuery(
+    "trending_types_daily",
+    (s, dir) => {
+      val w = Window.partitionBy("day").orderBy(desc("n"), col("event_type"))
+      EventOps.events(s, dir)
+        .select(expr("ts_us div 86400000000").as("day"), col("event_type"))
+        .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 2)
+        .orderBy("day", "rk")
+    },
+    Some("""
+      WITH x AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type
+                 FROM events),
+      c AS (SELECT day, event_type, COUNT(*) AS n FROM x GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY day ORDER BY n DESC, event_type) AS rk
+            FROM c)
+      SELECT day, event_type, n, rk FROM r WHERE rk <= 2
+      ORDER BY day, rk"""))
+
   /** First-order Markov transition matrix over per-user event-type
     * sequences: P(next | current) from lead-window bigram counts
     * normalized by the from-state total — the sequence-statistics
@@ -541,5 +566,5 @@ object EventQueries extends QueryPack {
       intervalJoinBucketed, rollingFeatures, funnel, funnelStream,
       funnelWindowed, retention, pathTrigrams, interarrival, dauReport,
       userJourneys, dauStream, jsonProps, enrichedStream, rollingAnomalies,
-      markovMatrix)
+      markovMatrix, trendingDaily)
 }
