@@ -370,7 +370,66 @@ object CurationQueries extends QueryPack {
                       % 2147483647) AS BIGINT) AS text_checksum
       FROM sh GROUP BY shard ORDER BY shard"""))
 
+  /** Data-budget curve: rank documents by (rounded) quality descending
+    * and report the cumulative token cost of keeping the top 25/50/75/
+    * 100% — the "how many tokens does a quality cutoff buy" planning
+    * table. The rank window runs over the per-doc (quality, tokens)
+    * frame — one row per document, the bounded-aggregate-frame pattern;
+    * all sums are exact integers. Quartile positions are the ranks at
+    * ceil(q * n).
+    */
+  val budgetCurve: GraftQuery = GraftQuery(
+    "token_budget_curve",
+    (s, dir) => {
+      val q = Q.r6(TextOps.qualityScore(col("text"), stop))
+      val perDoc = Tables(s, dir, "documents")
+        .select(col("doc_id"), q.as("q"),
+          TextOps.tokenCount(col("text")).cast("long").as("toks"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("q"), col("doc_id"))
+      perDoc
+        .select(col("q"), col("toks"),
+          row_number().over(w).cast("long").as("rn"),
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()).as("n"),
+          sum("toks").over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .as("cum_toks"))
+        .filter(col("rn") === ceil(col("n") * 0.25) ||
+          col("rn") === ceil(col("n") * 0.5) ||
+          col("rn") === ceil(col("n") * 0.75) || col("rn") === col("n"))
+        .select(col("rn").as("n_docs_kept"), col("q").as("quality_floor"),
+          col("cum_toks"))
+        .orderBy("n_docs_kept")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               round(0.4 * least(length(text) / 500.0, 1.0)
+                 + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the', 'a'))) * 1.0
+                     / len(string_split(text, ' ')))
+                 + 0.3 * least(((length(text)
+                     - (len(string_split(text, ' ')) - 1)) * 1.0
+                     / len(string_split(text, ' '))) / 8.0, 1.0), 6) AS q,
+               len(string_split(text, ' ')) AS toks
+        FROM documents),
+      r AS (SELECT q, toks,
+                   row_number() OVER (ORDER BY q DESC, doc_id) AS rn,
+                   COUNT(*) OVER () AS n,
+                   SUM(toks) OVER (ORDER BY q DESC, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_toks
+            FROM b)
+      SELECT rn AS n_docs_kept, q AS quality_floor,
+             CAST(cum_toks AS BIGINT) AS cum_toks
+      FROM r
+      WHERE rn = CAST(ceil(n * 0.25) AS BIGINT)
+         OR rn = CAST(ceil(n * 0.5) AS BIGINT)
+         OR rn = CAST(ceil(n * 0.75) AS BIGINT) OR rn = n
+      ORDER BY n_docs_kept"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(piiRedact, shardAssign, samplePerGroup, weightedSample, mixingPlan,
-      cleanNormalize, qualityQuartileGate, curationPipeline)
+      cleanNormalize, qualityQuartileGate, curationPipeline, budgetCurve)
 }
