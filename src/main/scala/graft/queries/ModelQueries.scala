@@ -40,6 +40,34 @@ object ModelQueries extends QueryPack {
              octet_length(encode(text)) * 3 AS duration_ms
       FROM documents ORDER BY media_id"""))
 
+  /** Multimodal frame-sampling plumbing, CONTENT-hash-checked: the
+    * row-expanding stub decode (every 4th 32-byte chunk of the blob
+    * stands in for a keyframe) with each frame's md5 compared against a
+    * DuckDB replay on text substrings — byte-identical because the
+    * corpus is ASCII. This pins the 1->many decode shape AND the exact
+    * frame boundaries, not just row counts.
+    */
+  val mediaFrames: GraftQuery = GraftQuery(
+    "media_frames_hashed",
+    (s, dir) => MediaOps.sampleFrames(
+        Tables(s, dir, "documents").select(
+          col("doc_id"), col("text").cast("binary").as("media")),
+        "doc_id", "media", everyN = 4, frameSize = 32)
+      .toDF()
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_id"),
+        md5(col("frame_bytes")).as("frame_md5"))
+      .orderBy("media_id", "frame_id"),
+    Some("""
+      WITH g AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0,
+                 CAST(ceil(length(text) / 32.0) AS BIGINT) - 1)) AS i
+        FROM documents)
+      SELECT doc_id AS media_id, i AS frame_id,
+             md5(substring(text, CAST(i * 32 + 1 AS INTEGER), 32))
+               AS frame_md5
+      FROM g WHERE i % 4 = 0 ORDER BY media_id, frame_id"""))
+
   /** M10: balanced random forest, hash-split 80/20, evaluated with
     * accuracy + macro-F1 + AUC (rows-only).
     */
@@ -98,5 +126,5 @@ object ModelQueries extends QueryPack {
     None)
 
   override def queries: Seq[GraftQuery] = Seq(
-    mediaMeta, rfEval, l1Select, comparison)
+    mediaMeta, mediaFrames, rfEval, l1Select, comparison)
 }
