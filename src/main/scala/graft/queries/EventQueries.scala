@@ -527,6 +527,62 @@ object EventQueries extends QueryPack {
       SELECT day, event_type, n, rk FROM r WHERE rk <= 2
       ORDER BY day, rk"""))
 
+  /** Session DURATION profile: discrete p50/p95/max of (last event -
+    * first event) per session, sessions built by the NATIVE
+    * session_window aggregation (window end = last + gap, so duration =
+    * end - start - gap). The oracle reconstructs sessions with the
+    * cumulative new-session-flag technique — two different session
+    * constructions, one duration distribution. Ranks use the explicit
+    * value-at-ceil(p*n) discrete quantile (integer-exact, as in
+    * interarrival_profile).
+    */
+  val sessionDurations: GraftQuery = GraftQuery(
+    "session_duration_profile",
+    (s, dir) => {
+      val gapUs = 30L * 60 * 1000000L
+      val sess = EventOps.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("event_ts"), s"$gapUs microseconds"))
+        .agg(count(lit(1)).as("n_events"))
+        .select((unix_micros(col("session_window.end")) -
+          unix_micros(col("session_window.start")) - gapUs).as("dur_us"))
+      val w = Window.orderBy("dur_us")
+      sess
+        .select(col("dur_us"), row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy()).as("n"))
+        .agg(
+          max("n").as("n_sessions"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("dur_us")))
+            .as("p50_dur_us"),
+          max(when(col("rn") === ceil(col("n") * 0.95), col("dur_us")))
+            .as("p95_dur_us"),
+          max("dur_us").as("max_dur_us"))
+    },
+    Some("""
+      WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+      l AS (SELECT user_id, tus,
+                   CASE WHEN lag(tus) OVER uw IS NULL
+                          OR tus - lag(tus) OVER uw > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM x WINDOW uw AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      sid AS (SELECT user_id, tus,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+              FROM l),
+      d AS (SELECT MAX(tus) - MIN(tus) AS dur_us
+            FROM sid GROUP BY user_id, session_id),
+      r AS (SELECT dur_us, row_number() OVER (ORDER BY dur_us) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM d)
+      SELECT MAX(n) AS n_sessions,
+             MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                 THEN dur_us END) AS p50_dur_us,
+             MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                 THEN dur_us END) AS p95_dur_us,
+             MAX(dur_us) AS max_dur_us
+      FROM r"""))
+
   /** First-order Markov transition matrix over per-user event-type
     * sequences: P(next | current) from lead-window bigram counts
     * normalized by the from-state total — the sequence-statistics
@@ -566,5 +622,5 @@ object EventQueries extends QueryPack {
       intervalJoinBucketed, rollingFeatures, funnel, funnelStream,
       funnelWindowed, retention, pathTrigrams, interarrival, dauReport,
       userJourneys, dauStream, jsonProps, enrichedStream, rollingAnomalies,
-      markovMatrix, trendingDaily)
+      markovMatrix, trendingDaily, sessionDurations)
 }
