@@ -323,8 +323,38 @@ object MiscQueries extends QueryPack {
                AS autocorr
       FROM s"""))
 
+  /** Salted-join gate ([[graft.joins.SkewJoin.saltedJoin]]): lineitem's
+    * 3-value returnflag key is the hot-key regime — a plain shuffle join
+    * funnels a third of the table through one reducer; salting spreads
+    * each hot key over 8. The salt values are seeded-random but the
+    * join MULTISET is provably the plain join's, so the aggregated
+    * output is deterministic and the oracle is the unsalted SQL join.
+    */
+  val skewSalted: GraftQuery = GraftQuery(
+    "skew_salted_join",
+    (s, dir) => {
+      import s.implicits._
+      val dim = Seq(("R", "returned"), ("A", "accepted"), ("N", "none"))
+        .toDF("l_returnflag", "flag_label")
+      graft.joins.SkewJoin.saltedJoin(
+          Tables(s, dir, "lineitem").select(col("l_returnflag"),
+            Q.cents("l_extendedprice").as("c")),
+          dim, "l_returnflag", salt = 8)
+        .groupBy("flag_label")
+        .agg(count(lit(1)).as("n"), sum("c").as("sum_cents"))
+        .orderBy("flag_label")
+    },
+    Some("""
+      SELECT CASE l_returnflag WHEN 'R' THEN 'returned'
+                               WHEN 'A' THEN 'accepted'
+                               ELSE 'none' END AS flag_label,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS sum_cents
+      FROM lineitem GROUP BY 1 ORDER BY flag_label"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(unionConcat, topkPerBrand, absRank, setOps, csvRoundtrip,
       calibration, zorderLayout, revenueGrowth, partitionedRoundtrip,
-      revenueAutocorr)
+      revenueAutocorr, skewSalted)
 }
