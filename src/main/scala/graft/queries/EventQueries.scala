@@ -144,6 +144,26 @@ object EventQueries extends QueryPack {
       SELECT event_id, user_id, tus AS ts_us, last_click_us
       FROM w WHERE event_type = 'error' ORDER BY event_id"""))
 
+  /** Forward as-of: first click at-or-after each error, with the
+    * time-to-recovery delta — the mirror of the backward as-of lookup.
+    */
+  val asofForward: GraftQuery = GraftQuery(
+    "asof_first_click_after_error",
+    (s, dir) => EventOps.firstClickAfterError(EventOps.events(s, dir)),
+    Some("""
+      WITH x AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+                 FROM events),
+      w AS (SELECT event_id, user_id, event_type, tus,
+                   first_value(CASE WHEN event_type = 'click' THEN tus END
+                               IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS next_click_us
+            FROM x)
+      SELECT event_id, user_id, tus AS ts_us, next_click_us,
+             next_click_us - tus AS recovery_us
+      FROM w WHERE event_type = 'error' ORDER BY event_id"""))
+
   /** Per-user trailing rolling features (count/sum/min/max/mean over the
     * last 5 events, previous-event delta, alpha=1/2 EW score over the
     * last 4). Single exchange + sort; all terms exact across engines.
@@ -619,7 +639,8 @@ object EventQueries extends QueryPack {
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
-      intervalJoinBucketed, rollingFeatures, funnel, funnelStream,
+      intervalJoinBucketed, asofForward, rollingFeatures, funnel,
+      funnelStream,
       funnelWindowed, retention, pathTrigrams, interarrival, dauReport,
       userJourneys, dauStream, jsonProps, enrichedStream, rollingAnomalies,
       markovMatrix, trendingDaily, sessionDurations)

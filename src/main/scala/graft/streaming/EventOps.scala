@@ -201,6 +201,25 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of: the first click at-or-after each error (the
+    * time-to-recovery lookup — the mirror of [[lastClickBeforeError]]):
+    * a first-value window over the unbounded FOLLOWING frame, same
+    * single exchange + sort.
+    */
+  def firstClickAfterError(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(0, Window.unboundedFollowing)
+    df.withColumn(
+        "next_click_us",
+        first(when(col("event_type") === "click", col("ts_us")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("next_click_us"),
+        (col("next_click_us") - col("ts_us")).as("recovery_us"))
+      .orderBy("event_id")
+  }
+
   /** Custom-state streaming sessionization via `flatMapGroupsWithState`:
     * per-user session counts maintained incrementally across micro-batches
     * (the KeyValueGroupedDataset stateful-op surface). Events inside a
