@@ -429,7 +429,64 @@ object CurationQueries extends QueryPack {
          OR rn = CAST(ceil(n * 0.75) AS BIGINT) OR rn = n
       ORDER BY n_docs_kept"""))
 
+  /** One-call corpus health report: docs, languages, sources, token
+    * volume, exact-dup rate (full-text md5), prefix-dup rate (the
+    * 40-char key the dedup gates use), and mean quality — the single
+    * row a curation run prints before and after each pass. One scan
+    * plus two tiny distinct-count aggregations.
+    */
+  val corpusSummary: GraftQuery = GraftQuery(
+    "corpus_summary_report",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val q = Q.r6(TextOps.qualityScore(col("text"), stop))
+      d.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct("lang").as("n_langs"),
+          countDistinct("source").as("n_sources"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          countDistinct(md5(col("text"))).as("n_unique_texts"),
+          countDistinct(substring(col("text"), 1, 40)).as("n_unique_prefixes"),
+          Q.r6(sum(q) / count(lit(1))).as("mean_quality"))
+        .select(col("n_docs"), col("n_langs"), col("n_sources"),
+          col("n_tokens"),
+          (col("n_docs") - col("n_unique_texts")).as("n_exact_dups"),
+          (col("n_docs") - col("n_unique_prefixes")).as("n_prefix_dups"),
+          Q.r6((col("n_docs") - col("n_unique_prefixes")) * 1.0 /
+            col("n_docs")).as("prefix_dup_rate"),
+          col("mean_quality"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, lang, source, text,
+               len(string_split(text, ' ')) AS nt,
+               round(0.4 * least(length(text) / 500.0, 1.0)
+                 + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the', 'a'))) * 1.0
+                     / len(string_split(text, ' ')))
+                 + 0.3 * least(((length(text)
+                     - (len(string_split(text, ' ')) - 1)) * 1.0
+                     / len(string_split(text, ' '))) / 8.0, 1.0), 6) AS q
+        FROM documents),
+      a AS (
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT source) AS n_sources,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               COUNT(DISTINCT md5(text)) AS n_unique_texts,
+               COUNT(DISTINCT substring(text, 1, 40)) AS n_unique_prefixes,
+               round(SUM(q) / COUNT(*), 6) AS mean_quality
+        FROM b)
+      SELECT n_docs, n_langs, n_sources, n_tokens,
+             n_docs - n_unique_texts AS n_exact_dups,
+             n_docs - n_unique_prefixes AS n_prefix_dups,
+             round((n_docs - n_unique_prefixes) * 1.0 / n_docs, 6)
+               AS prefix_dup_rate,
+             mean_quality
+      FROM a"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(piiRedact, shardAssign, samplePerGroup, weightedSample, mixingPlan,
-      cleanNormalize, qualityQuartileGate, curationPipeline, budgetCurve)
+      cleanNormalize, qualityQuartileGate, curationPipeline, budgetCurve,
+      corpusSummary)
 }
