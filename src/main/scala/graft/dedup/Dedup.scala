@@ -235,15 +235,12 @@ object Dedup {
       sqlBuckets: Boolean = false): DataFrame = {
     // The signature frame is consumed 3x (banding + two joins back); its
     // upstream — shingle explode + md5 + 32-perm min-agg — is the most
-    // expensive stage of the pipeline, so persist it rather than
-    // recompute per reference. Signatures are tiny next to the text
-    // (id + numHashes ints), so this holds at scale.
-    // CONTRACT: persist() marks the CALLER's frame (Dataset.persist
-    // returns this), so after the result is materialized the caller
-    // releases the blocks with `sigsIn.unpersist()` — the registered
-    // queries do; long-lived sessions that skip it pin signature blocks.
-    val sigs = sigsIn.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // expensive stage of the pipeline, so materialize it once instead of
+    // recomputing per reference. Signatures are tiny next to the text
+    // (id + numHashes ints), so this holds at scale. localCheckpoint
+    // (not persist): blocks are released when the checkpointed RDD is
+    // GC'd, so long-lived sessions need no caller-side unpersist.
+    val sigs = sigsIn.localCheckpoint()
     val bk = banded(sigs, bands, sqlBuckets)
     // dedupe bare id pairs first (cheap shuffle), then join signatures
     // back — never shuffle signature arrays through the pair distinct
@@ -264,16 +261,14 @@ object Dedup {
     * against itself. Same banding, pair-dedup-before-signature-join, and
     * estimate as `lshCandidates`; at scale the old side's banded buckets
     * are a precomputed index the daily shard joins against.
-    * Both signature frames are persisted (consumed twice each) — callers
-    * unpersist after materializing, as with `lshCandidates`.
+    * Both signature frames are materialized once via localCheckpoint
+    * (consumed twice each) — blocks free with RDD GC, no caller contract.
     */
   def lshCandidatesAcross(
       newSigs: DataFrame, oldSigs: DataFrame, bands: Int,
       sqlBuckets: Boolean = false): DataFrame = {
-    val ns = newSigs.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val os = oldSigs.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ns = newSigs.localCheckpoint()
+    val os = oldSigs.localCheckpoint()
     val a = banded(ns, bands, sqlBuckets)
       .select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded(os, bands, sqlBuckets)

@@ -391,15 +391,11 @@ object DocQueries extends QueryPack {
     (s, dir) => {
       val sh = Dedup.shingleSet(Tables(s, dir, "documents"), "doc_id", "text", 3)
       val sigs = Dedup.minhashSignaturesPerm(sh, 32)
-      // lshCandidates persists sigs (consumed 3x); the pair frame is tiny
-      // next to the signatures, so checkpoint it eagerly and release the
-      // signature blocks before handing the result to the caller
-      val out = Dedup.lshCandidates(sigs, 4, sqlBuckets = true)
+      // lshCandidates checkpoints the signature frame internally
+      // (consumed 3x); its blocks free with RDD GC — no cleanup here
+      Dedup.lshCandidates(sigs, 4, sqlBuckets = true)
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
-        .localCheckpoint()
-      sigs.unpersist(blocking = false)
-      out
     },
     Some(s"""
       WITH sh AS (
@@ -449,11 +445,7 @@ object DocQueries extends QueryPack {
       val sigs = Dedup.minhashSignaturesPerm(sh, 32)
       val edges = Dedup.lshCandidates(sigs, 4, sqlBuckets = true)
         .filter(col("est_jaccard") >= 0.5)
-      // connectedComponents checkpoints the edge list eagerly up front,
-      // after which the persisted signature blocks are dead weight
-      val labels = Dedup.connectedComponents(edges)
-      sigs.unpersist(blocking = false)
-      labels
+      Dedup.connectedComponents(edges)
         .select(col("id"), col("comp").as("component"))
         .orderBy("id")
     },
@@ -762,13 +754,12 @@ object DocQueries extends QueryPack {
         Dedup.shingleSet(newDocs, "doc_id", "text", 3), 32)
       val sigsOld = Dedup.minhashSignaturesPerm(
         Dedup.shingleSet(corpus, "doc_id", "text", 3), 32)
+      // consumed twice below (own count + union) — materialize once
       val near = Dedup.lshCandidatesAcross(sigsNew, sigsOld, 4,
           sqlBuckets = true)
         .filter(col("est_jaccard") >= 0.5)
         .select(col("id_a").as("doc_id")).distinct()
-        .localCheckpoint() // materialize, then release the signature blocks
-      sigsNew.unpersist(blocking = false)
-      sigsOld.unpersist(blocking = false)
+        .localCheckpoint()
       val dup = exactIds.unionByName(near).distinct()
       newDocs.agg(count(lit(1)).as("n_new"))
         .crossJoin(exactIds.agg(count(lit(1)).as("n_exact_dup")))
