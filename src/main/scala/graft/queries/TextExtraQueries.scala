@@ -114,6 +114,69 @@ object TextExtraQueries extends QueryPack {
              COUNT(DISTINCT tok) AS exact_distinct
       FROM b GROUP BY lang ORDER BY lang"""))
 
+  /** HyperLogLog distinct 3-gram estimate per source plus the max-merged
+    * global sketch — the mergeable scale path past `LinearCount`'s
+    * bitmap: one row per (source, occupied register) shuffles, and the
+    * `__all__` row is produced by merging the per-source registers with
+    * a plain max, exactly how a 1000-shard pre-aggregation would. The
+    * oracle replays the md5 register/rank split and the estimator
+    * (incl. the small-range linear-counting branch) verbatim.
+    */
+  val hllDistinct: GraftQuery = GraftQuery(
+    "hll_distinct_shingles",
+    (s, dir) => {
+      val sh = Tables(s, dir, "documents").select(
+        col("source"),
+        explode(expr("transform(sequence(1, greatest(length(text) - 2, 0))," +
+          " i -> substring(text, i, 3))")).as("sh"))
+      val regsSrc = graft.sketch.Hll.registers(sh, col("sh"), Seq(col("source")))
+      val regsAll = regsSrc.groupBy("reg").agg(max("rho").as("rho"))
+        .select(lit("__all__").as("source"), col("reg"), col("rho"))
+      val est = graft.sketch.Hll.estimate(
+        regsSrc.unionByName(regsAll), Seq("source"))
+      val exact = sh.groupBy("source")
+        .agg(countDistinct("sh").as("exact_distinct"))
+        .unionByName(sh.agg(countDistinct("sh").as("exact_distinct"))
+          .select(lit("__all__").as("source"), col("exact_distinct")))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("zero_registers"),
+          Q.r6(col("est_hll")).as("est_hll"), col("exact_distinct"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH b AS MATERIALIZED (
+        SELECT source,
+               CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT) AS h,
+               sh
+        FROM (SELECT source, substr(text, CAST(i AS INTEGER), 3) AS sh
+              FROM (SELECT source, text,
+                           unnest(generate_series(1, length(text) - 2)) AS i
+                    FROM documents))),
+      r AS MATERIALIZED (
+        SELECT source, h % 256 AS reg,
+               MAX(CASE WHEN h // 256 = 0 THEN 53
+                        ELSE 53 - length(bin(h // 256)) END) AS rho
+        FROM b GROUP BY source, h % 256),
+      ru AS (SELECT * FROM r
+             UNION ALL
+             SELECT '__all__' AS source, reg, MAX(rho) AS rho
+             FROM r GROUP BY reg),
+      agg AS (SELECT source,
+                     SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << rho))
+                       AS s_occ,
+                     COUNT(*) AS n_occ
+              FROM ru GROUP BY source),
+      ex AS (SELECT source, COUNT(DISTINCT sh) AS exact_distinct
+             FROM b GROUP BY source
+             UNION ALL
+             SELECT '__all__', COUNT(DISTINCT sh) FROM b)
+      SELECT a.source, CAST(256 - n_occ AS BIGINT) AS zero_registers,
+             round(${graft.sketch.Hll.estimateSql("s_occ", "n_occ")}, 6)
+               AS est_hll,
+             ex.exact_distinct
+      FROM agg a JOIN ex ON ex.source = a.source
+      ORDER BY a.source"""))
+
   /** describe(include='all') for string columns: count, distinct, top
     * value, top frequency (pandas semantics; ties -> lexicographically
     * smallest top).
@@ -563,7 +626,7 @@ object TextExtraQueries extends QueryPack {
       ORDER BY n DESC, gram LIMIT 10"""))
 
   override def queries: Seq[GraftQuery] =
-    Seq(wordCount, cmsHeavyHitters, cmsStream, distinctEstimate,
+    Seq(wordCount, cmsHeavyHitters, cmsStream, distinctEstimate, hllDistinct,
       describeStrings, monthly, chunkDocs, tfidfTop, topBigrams,
       repetitionScores, qualityGate, repetitionStream, lmScore,
       lmPplHoldout, vocabOov, pmiCollocations, boilerplate)
