@@ -292,7 +292,52 @@ object TransformQueries extends QueryPack {
       WHERE l_orderkey < 300
       ORDER BY l_orderkey, l_linenumber"""))
 
+  /** SCD2 history compaction over each customer's order-status stream:
+    * consecutive equal statuses (ordered by date, orderkey as tiebreak)
+    * collapse into validity ranges with an open current version — the
+    * warehouse dimension-history shape. Shuffles on custkey only.
+    */
+  val scd2History: GraftQuery = GraftQuery(
+    "scd2_customer_status_history",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+      Scd.scd2Compact(o, "o_custkey", "o_orderstatus",
+          Seq("o_orderdate", "o_orderkey"))
+        .select(col("o_custkey").as("custkey"), col("version"),
+          col("o_orderstatus").as("status"), col("valid_from"),
+          col("valid_to"), col("n_rows").as("n_orders"), col("is_current"))
+        .orderBy("custkey", "version")
+    },
+    Some("""
+      WITH s AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               CASE WHEN lag(o_orderstatus) OVER w IS NOT DISTINCT FROM
+                         o_orderstatus THEN 0 ELSE 1 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)),
+      v AS (
+        SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        FROM s),
+      g AS (
+        SELECT o_custkey AS custkey, version,
+               MIN(o_orderstatus) AS status,
+               MIN(o_orderdate) AS valid_from,
+               COUNT(*) AS n_orders
+        FROM v GROUP BY o_custkey, version)
+      SELECT custkey, version, status, valid_from,
+             lead(valid_from) OVER wv AS valid_to,
+             n_orders,
+             lead(valid_from) OVER wv IS NULL AS is_current
+      FROM g
+      WINDOW wv AS (PARTITION BY custkey ORDER BY version)
+      ORDER BY custkey, version"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     labelEncode, labelEncodeUnseen, equalWidthBin, quantileBin,
-    derivedFeatures, standardize, scaling, groupwiseZ, imputeGroupMean)
+    derivedFeatures, standardize, scaling, groupwiseZ, imputeGroupMean,
+    scd2History)
 }
