@@ -177,6 +177,73 @@ object TextExtraQueries extends QueryPack {
       FROM agg a JOIN ex ON ex.source = a.source
       ORDER BY a.source"""))
 
+  /** Gopher-rule corpus gate: per-rule pass counts over the five
+    * document-quality rules plus the all-rules conjunction — the report
+    * a curation run reads before deciding thresholds. The per-doc flags
+    * come from `TextOps.gopherRules`; the oracle recomputes every rule
+    * from the same integer counts and double ratios.
+    */
+  val gopherRules: GraftQuery = GraftQuery(
+    "gopher_quality_rules",
+    (s, dir) => {
+      val flags = graft.text.TextOps.gopherRules(
+        Tables(s, dir, "documents"), "doc_id", "text", Seq("the", "a"))
+      val rules = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_stopword", "r_repetition")
+      val unpivoted = flags.select(
+        col("doc_id"),
+        expr(("stack(6, " +
+          rules.map(r => s"'$r', $r").mkString(", ") +
+          s", 'all_rules', ${rules.mkString(" AND ")})"))
+          .as(Seq("rule", "pass")))
+      unpivoted.groupBy("rule")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+        .withColumn("pass_rate",
+          Q.r6(col("n_pass").cast("double") / col("n_docs")))
+        .orderBy("rule")
+    },
+    Some("""
+      WITH b AS MATERIALIZED (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS nt,
+               CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                    AS DOUBLE) / len(string_split(text, ' ')) AS awl,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a'))) AS nstop,
+               length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS nsym,
+               length(text) AS len
+        FROM documents),
+      tc AS (
+        SELECT doc_id, MAX(c) AS maxc
+        FROM (SELECT doc_id, tok, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY doc_id, tok)
+        GROUP BY doc_id),
+      f AS (
+        SELECT b.doc_id,
+               nt BETWEEN 5 AND 10000 AS r_word_count,
+               awl BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+               CAST(nsym AS DOUBLE) / len < 0.1 AS r_symbol_ratio,
+               CAST(nstop AS DOUBLE) / nt > 0.01 AS r_stopword,
+               CAST(maxc AS DOUBLE) / nt < 0.2 AS r_repetition
+        FROM b JOIN tc ON tc.doc_id = b.doc_id),
+      u AS (
+        SELECT 'r_word_count' AS rule, r_word_count AS pass FROM f
+        UNION ALL SELECT 'r_mean_word_len', r_mean_word_len FROM f
+        UNION ALL SELECT 'r_symbol_ratio', r_symbol_ratio FROM f
+        UNION ALL SELECT 'r_stopword', r_stopword FROM f
+        UNION ALL SELECT 'r_repetition', r_repetition FROM f
+        UNION ALL SELECT 'all_rules',
+          r_word_count AND r_mean_word_len AND r_symbol_ratio
+          AND r_stopword AND r_repetition FROM f)
+      SELECT rule, COUNT(*) AS n_docs,
+             SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pass,
+             round(CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 6) AS pass_rate
+      FROM u GROUP BY rule ORDER BY rule"""))
+
   /** describe(include='all') for string columns: count, distinct, top
     * value, top frequency (pandas semantics; ties -> lexicographically
     * smallest top).
@@ -627,6 +694,7 @@ object TextExtraQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] =
     Seq(wordCount, cmsHeavyHitters, cmsStream, distinctEstimate, hllDistinct,
+      gopherRules,
       describeStrings, monthly, chunkDocs, tfidfTop, topBigrams,
       repetitionScores, qualityGate, repetitionStream, lmScore,
       lmPplHoldout, vocabOov, pmiCollocations, boilerplate)

@@ -42,6 +42,42 @@ object TextOps {
       lit(0.3) * (lit(1.0) - stopwordRatio(c, stopwords)) +
       lit(0.3) * least(avgTokenLen(c) / 8.0, lit(1.0))
 
+  /** Gopher-style document quality rules (Rae et al. 2021, adapted to
+    * this corpus): five boolean per-doc gates — token-count bounds, mean
+    * token length bounds, symbol-character ratio, stopword presence, and
+    * top-token repetition share. One narrow projection plus a per-doc
+    * token aggregation; every ratio is a double over exact integer
+    * counts, so the rules replay verbatim in SQL.
+    *
+    * @return (idCol, r_word_count, r_mean_word_len, r_symbol_ratio,
+    *         r_stopword, r_repetition)
+    */
+  def gopherRules(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val base = df.select(
+      col(idCol),
+      tokenCount(t).as("__nt"),
+      avgTokenLen(t).as("__awl"),
+      stopwordRatio(t, stopwords).as("__stopr"),
+      length(regexp_replace(t, "[a-zA-Z0-9 ]", "")).as("__nsym"),
+      length(t).as("__len"))
+    val top = df
+      .select(col(idCol), explode(tokens(t)).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max("__c").as("__maxc"))
+    base.join(top, idCol).select(
+      col(idCol),
+      col("__nt").between(5, 10000).as("r_word_count"),
+      col("__awl").between(3.0, 10.0).as("r_mean_word_len"),
+      (col("__nsym").cast("double") / col("__len") < 0.1)
+        .as("r_symbol_ratio"),
+      (col("__stopr") > 0.01).as("r_stopword"),
+      (col("__maxc").cast("double") / col("__nt") < 0.2)
+        .as("r_repetition"))
+  }
+
   /** Marker-token language scores; argmax with alphabetical tie-break.
     * A deterministic n-gram-style heuristic (real marker lists would come
     * from per-language frequency profiles).
