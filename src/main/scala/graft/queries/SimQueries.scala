@@ -92,6 +92,40 @@ object SimQueries extends QueryPack {
       SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4
       ORDER BY id_a, id_b"""))
 
+  /** SemDeDup gate: the keep-list after dropping every vector with a
+    * lower-id near-duplicate among its sign-LSH candidates — the
+    * embedding-space twin of the MinHash drop-list. Oracle replays
+    * blocking, rerank, and the min-id-wins anti-join.
+    */
+  val semanticDedup: GraftQuery = GraftQuery(
+    "semantic_dedup_keep",
+    (s, dir) => Similarity.semanticDedupKeep(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
+        nBands = ndBands, planesPerBand = ndPlanes)
+      .select("vec_id", "label")
+      .orderBy("vec_id"),
+    Some(s"""
+      WITH bk AS ($bandBucketSql),
+      cand AS (SELECT DISTINCT a.vec_id AS ia, b2.vec_id AS ib
+               FROM bk a JOIN bk b2
+                 ON a.band = b2.band AND a.bucket = b2.bucket
+                    AND a.vec_id < b2.vec_id),
+      v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings),
+      n AS (SELECT vec_id, SUM(x * x) AS nr FROM v GROUP BY vec_id),
+      d AS (SELECT ia, ib, SUM(va.x * vb.x) AS dot
+            FROM cand JOIN v va ON va.vec_id = ia
+                      JOIN v vb ON vb.vec_id = ib AND va.pos = vb.pos
+            GROUP BY ia, ib),
+      dropped AS (SELECT DISTINCT ib AS vec_id
+                  FROM d JOIN n na ON na.vec_id = ia
+                         JOIN n nb ON nb.vec_id = ib
+                  WHERE round(dot / (sqrt(na.nr) * sqrt(nb.nr)), 6) >= 0.4)
+      SELECT e.vec_id, e.label
+      FROM embeddings e ANTI JOIN dropped USING (vec_id)
+      ORDER BY e.vec_id"""))
+
   // --------------------------------------------------------------------
   // Seeded random-hyperplane LSH, fully oracle-checked: the hyperplanes
   // are generated driver-side from the seed, so the SAME coefficients are
@@ -452,7 +486,8 @@ object SimQueries extends QueryPack {
     Some(mmrSql(5)))
 
   override def queries: Seq[GraftQuery] =
-    Seq(cosineTopK, knnVote, nearDup, nearDupLsh, annTopK, annTopKSign,
+    Seq(cosineTopK, knnVote, nearDup, semanticDedup, nearDupLsh, annTopK,
+      annTopKSign,
       centroids, assignCentroid, randomProjection, ivfTopK, quantizeInt8,
       mmrDiverse, dimStats)
 }

@@ -326,4 +326,21 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): drop
+    * every vector that has a LOWER-id near-duplicate (cosine >=
+    * threshold) among its sign-LSH candidates; keep the rest. The
+    * min-id-wins greedy is the standard one-pass rule — no connected
+    * components, so a chain a~b~c keeps a and drops b and c (c has the
+    * smaller neighbor b regardless of b's own fate). Cost is the banded
+    * candidate join plus one anti-join; nothing is all-pairs.
+    */
+  def semanticDedupKeep(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nBands: Int = 8, planesPerBand: Int = 4): DataFrame = {
+    val pairs = nearDupPairsSignLsh(
+      emb, idCol, vecCol, threshold, nBands, planesPerBand)
+    val drop = pairs.select(col("id_b").as(idCol)).distinct()
+    emb.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -55,6 +55,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("semantic dedup keeps exactly the ids with no lower-id near-dup") {
+    val emb2 = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Similarity
+      .nearDupPairsSignLsh(emb2, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectedDropped = pairs.map(_._2).toSet
+    val all = emb2.select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = Similarity
+      .semanticDedupKeep(emb2, "vec_id", "embedding", 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all -- expectedDropped)
+    assert(expectedDropped.nonEmpty) // the corpus has planted near-dups
+  }
+
   test("sign-bucket ANN: results share the query bucket; cosines are exact") {
     import org.apache.spark.sql.functions.col
     val emb2 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
