@@ -210,6 +210,89 @@ object CoreQueries extends QueryPack {
       GROUP BY c_custkey, c_name, n_name
       ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"""))
 
+  /** TPC-H Q14-shaped promo revenue: per ship month, the share of
+    * discounted revenue coming from PROMO-type parts. part is a
+    * broadcast dim onto the lineitem scan (2-column ReadSchema), one
+    * shuffle on the month grain; money stays exact e4 integers with one
+    * rounded division per group.
+    */
+  val promoRevenue: GraftQuery = GraftQuery(
+    "q14_promo_revenue_monthly",
+    (s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      val p = Tables(s, dir, "part").select("p_partkey", "p_type")
+      val rev = Q.cents("l_extendedprice") * (lit(100L) - Q.cents("l_discount"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(
+          year(col("l_shipdate")).as("y"),
+          month(col("l_shipdate")).as("m"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+            .as("promo_revenue_e4"),
+          sum(rev).as("revenue_e4"))
+        .withColumn("promo_share",
+          Q.r6(col("promo_revenue_e4") * 1.0 / col("revenue_e4")))
+        .orderBy("y", "m")
+    },
+    Some("""
+      SELECT CAST(date_part('year', l_shipdate) AS INTEGER) AS y,
+             CAST(date_part('month', l_shipdate) AS INTEGER) AS m,
+             CAST(SUM(CASE WHEN p_type = 'PROMO'
+               THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               ELSE 0 END) AS BIGINT) AS promo_revenue_e4,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS revenue_e4,
+             round(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 ELSE 0 END) AS DOUBLE)
+               / SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))), 6)
+               AS promo_share
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY y, m ORDER BY y, m"""))
+
+  /** TPC-H Q18-shaped large-volume customers: orders whose total line
+    * quantity clears a threshold, reported with their customer. The
+    * HAVING runs on the lineitem-only aggregate (one shuffle on
+    * orderkey) and only the few qualifying orders join back to orders
+    * and the broadcast customer dim.
+    */
+  val largeVolume: GraftQuery = GraftQuery(
+    "q18_large_volume_customers",
+    (s, dir) => {
+      val big = Tables(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(Q.cents("l_quantity")).as("qty_cents"))
+        .filter(col("qty_cents") > 250L * 100L)
+      val o = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = Tables(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), Q.cents("o_totalprice").as("totalprice_cents"),
+          col("qty_cents"))
+        .orderBy(desc("qty_cents"), col("o_orderkey"))
+    },
+    Some("""
+      WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                 AS qty_cents
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 25000)
+      SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+             qty_cents
+      FROM big
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY qty_cents DESC, o_orderkey"""))
+
   /** Revenue-concentration (Pareto) report: customers ranked by order
     * revenue, grouped into rank deciles, each decile's share of total.
     * The rank window runs over the per-customer AGGREGATE frame (one row
@@ -250,5 +333,5 @@ object CoreQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] =
     Seq(flagship, pricingSummary, topOrders, regionRevenue, returnedRevenue,
-      paretoRevenue)
+      promoRevenue, largeVolume, paretoRevenue)
 }
