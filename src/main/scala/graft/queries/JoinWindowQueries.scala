@@ -177,6 +177,40 @@ object JoinWindowQueries extends QueryPack {
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY cents, c_custkey)
       ORDER BY c_nationkey, c_custkey"""))
 
+  /** Bloom-pruned big-big semi join gate: lineitem rows of URGENT orders
+    * via `BloomJoin.bloomSemiJoin` — the probe scan drops non-matching
+    * rows with the codegen'd bit test BEFORE the exact semi join, so the
+    * shuffle carries ~1/5th of lineitem. Output is row-identical to the
+    * plain semi join, which is exactly what the oracle asserts (the
+    * Bloom stage must be invisible in results).
+    */
+  val bloomSemi: GraftQuery = GraftQuery(
+    "bloom_semi_urgent_revenue",
+    (s, dir) => {
+      val urgent = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val li = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      graft.joins.BloomJoin
+        .bloomSemiJoin(li, "l_orderkey", urgent, "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(Q.cents("l_extendedprice") * (lit(100L) - Q.cents("l_discount")))
+            .as("revenue_e4"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_lines,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS revenue_e4
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                           WHERE o_orderpriority = '1-URGENT')
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   override def queries: Seq[GraftQuery] =
-    Seq(semi, anti, rollup, runningTotal, pivot, cubeQ, analytic)
+    Seq(semi, anti, rollup, runningTotal, pivot, cubeQ, analytic, bloomSemi)
 }
