@@ -485,8 +485,42 @@ object CurationQueries extends QueryPack {
              mean_quality
       FROM a"""))
 
+  /** Class-balancing downsample: every label keeps exactly the minority
+    * class's count, members chosen by seeded-hash rank (deterministic,
+    * partition-independent — the same reservoir-free trick as the other
+    * hash samplers). One count aggregation + one label-partitioned rank
+    * window; no collect, no RNG state.
+    */
+  val classBalance: GraftQuery = GraftQuery(
+    "class_balance_downsample",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "embeddings").select("vec_id", "label")
+      val minCnt = e.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(min("n").as("m"))
+      val w = Window.partitionBy("label").orderBy(
+        graft.dedup.Dedup.md5Hash60(col("vec_id").cast("string"), 0),
+        col("vec_id"))
+      e.withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(minCnt))
+        .filter(col("rk") <= col("m"))
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+      m AS (SELECT MIN(n) AS m FROM c),
+      r AS (SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY label ORDER BY
+                     CAST(concat('0x', substring(
+                       md5(CAST(vec_id AS VARCHAR) || '|0'), 1, 15))
+                       AS BIGINT), vec_id) AS rk
+            FROM embeddings)
+      SELECT vec_id, label FROM r, m WHERE rk <= m.m
+      ORDER BY vec_id"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(piiRedact, shardAssign, samplePerGroup, weightedSample, mixingPlan,
       cleanNormalize, qualityQuartileGate, curationPipeline, budgetCurve,
-      corpusSummary)
+      corpusSummary, classBalance)
 }

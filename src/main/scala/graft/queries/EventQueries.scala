@@ -636,8 +636,63 @@ object EventQueries extends QueryPack {
              round(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
       FROM c ORDER BY from_type, to_type"""))
 
+  /** Watermark calibration profile: per event type, how far events
+    * arrive behind the running event-time high-water mark in arrival
+    * (event_id) order — the number a streaming job needs to pick its
+    * `withWatermark` delay. Lateness is exact integer micros; p95 uses
+    * the same explicit-rank discrete quantile as `interarrival_profile`;
+    * share_late is one rounded division per group.
+    */
+  val watermarkLateness: GraftQuery = GraftQuery(
+    "watermark_lateness_profile",
+    (s, dir) => {
+      val aw = Window.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val late = EventOps.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts_us"))
+        .withColumn("late_us",
+          max("ts_us").over(aw) - col("ts_us"))
+      val rw = Window.partitionBy("event_type").orderBy("late_us")
+      late
+        .select(col("event_type"), col("late_us"),
+          row_number().over(rw).as("rn"),
+          count(lit(1)).over(Window.partitionBy("event_type")).as("n"))
+        .groupBy("event_type")
+        .agg(
+          max("n").as("n_events"),
+          sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+          Q.r6(sum(when(col("late_us") > 0L, 1L).otherwise(0L)) * 1.0
+            / max("n")).as("share_late"),
+          max(when(col("rn") === ceil(col("n") * 0.95), col("late_us")))
+            .as("p95_late_us"),
+          max("late_us").as("max_late_us"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH x AS (SELECT event_type, event_id, epoch_us(ts) AS tus
+                 FROM events),
+      l AS (SELECT event_type,
+                   MAX(tus) OVER (PARTITION BY event_type ORDER BY event_id
+                                  ROWS UNBOUNDED PRECEDING) - tus AS late_us
+            FROM x),
+      r AS (SELECT event_type, late_us,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY late_us) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM l)
+      SELECT event_type, MAX(n) AS n_events,
+             CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+             round(CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                   AS DOUBLE) / MAX(n), 6) AS share_late,
+             MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+                 THEN late_us END) AS p95_late_us,
+             MAX(late_us) AS max_late_us
+      FROM r GROUP BY event_type ORDER BY event_type"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
+      watermarkLateness,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
       intervalJoinBucketed, asofForward, rollingFeatures, funnel,
       funnelStream,

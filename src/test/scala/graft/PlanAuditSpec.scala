@@ -43,7 +43,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "priority_abs_deviation", "quality_sample_docs", "lm_score_docs",
     "hist_quantile_totalprice", "bloom_contamination_prefilter",
     "incremental_dedup_shard", "mixing_plan_langs",
-    "embedding_assign_centroid", "lm_ppl_holdout", "pmi_collocations")
+    "embedding_assign_centroid", "lm_ppl_holdout", "pmi_collocations",
+    "class_balance_downsample")
 
   test("no CartesianProduct / unexpected BroadcastNestedLoopJoin in any registered plan") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()
