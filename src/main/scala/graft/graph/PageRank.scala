@@ -70,6 +70,70 @@ object PageRank {
     rank.select(col("id"), col("r").as("rank_micro"))
   }
 
+  /** Weighted PageRank, same integer micro-unit contract: each source
+    * splits its rank over out-edges proportionally to integer edge
+    * weights, `contrib = (r * w) div W_src` with `W_src` the source's
+    * total out-weight. Parallel edges are first collapsed by summing
+    * weights. `r * w` stays far under Long range for any realistic
+    * graph (r <= nodes * 1e6; weights bounded by the caller).
+    */
+  def pageRankMicroWeighted(
+      edges: DataFrame, src: String, dst: String, weight: String,
+      iters: Int, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"),
+        col(weight).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst") && col("w") > 0)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val eDeg = e
+      .join(e.groupBy("src").agg(sum("w").as("tw")), "src")
+      .localCheckpoint()
+    val base = (100L - dampingPct) * Micro / 100L
+    var rank = nodes.select(col("id"), lit(Micro).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = eDeg
+        .join(rank, eDeg("src") === rank("id"))
+        .select(col("dst"), expr("(r * w) div tw").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      rank = nodes
+        .join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          expr(s"$base + ($dampingPct * coalesce(s, cast(0 as bigint))) div 100")
+            .cast("long").as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("id"), col("r").as("rank_micro"))
+  }
+
+  /** The weighted twin of `oracleCtes`: expects `e(src, dst, w)` already
+    * weight-collapsed (one row per directed pair, w > 0).
+    */
+  def oracleCtesWeighted(iters: Int, dampingPct: Int = 85): String = {
+    val base = (100L - dampingPct) * Micro / 100L
+    val head =
+      s"""nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      deg AS MATERIALIZED (SELECT src, SUM(w) AS tw FROM e GROUP BY src),
+      r0 AS (SELECT id, CAST($Micro AS BIGINT) AS r FROM nodes)"""
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.id,
+            CAST($base + ($dampingPct * COALESCE(SUM((r${i - 1}.r * e.w) // d.tw), 0)) // 100
+                 AS BIGINT) AS r
+          FROM nodes n
+          LEFT JOIN e ON e.dst = n.id
+          LEFT JOIN deg d ON d.src = e.src
+          LEFT JOIN r${i - 1} ON r${i - 1}.id = e.src
+          GROUP BY n.id)"""
+    }
+    (head +: steps).mkString(",\n      ")
+  }
+
   /** The DuckDB-replayable CTE chain for `pageRankMicro`, given CTEs
     * `e(src, dst)` (deduped, no self-loops) already in scope. Appends
     * `nodes`, `deg`, and `r0..r{iters}`; the caller selects from

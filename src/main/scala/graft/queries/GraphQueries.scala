@@ -100,5 +100,47 @@ object GraphQueries extends QueryPack {
       FROM pvt JOIN nation nn ON nn.n_nationkey = pvt.id
       ORDER BY nation"""))
 
-  override def queries: Seq[GraftQuery] = Seq(nationPageRank, nationTriangles)
+  /** Weighted PageRank over the same trade graph, edge weight = order
+    * line count: rank mass splits proportionally to trade volume. Same
+    * integer micro-unit replay, with `(r * w) div W_src` contributions.
+    */
+  val nationPageRankWeighted: GraftQuery = GraftQuery(
+    "pagerank_nation_weighted",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val edges = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val ranks = PageRank.pageRankMicroWeighted(
+        edges, "src", "dst", "w", iters = 5)
+      val nation = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+      ranks
+        .join(broadcast(nation), ranks("id") === nation("n_nationkey"))
+        .select(col("n_name").as("nation"), col("rank_micro"))
+        .orderBy(desc("rank_micro"), col("nation"))
+    },
+    Some(s"""
+      WITH e AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY c.c_nationkey, s.s_nationkey),
+      ${PageRank.oracleCtesWeighted(iters = 5)}
+      SELECT nn.n_name AS nation, r5.r AS rank_micro
+      FROM r5 JOIN nation nn ON nn.n_nationkey = r5.id
+      ORDER BY rank_micro DESC, nation"""))
+
+  override def queries: Seq[GraftQuery] =
+    Seq(nationPageRank, nationPageRankWeighted, nationTriangles)
 }

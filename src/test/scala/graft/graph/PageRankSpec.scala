@@ -34,6 +34,31 @@ class PageRankSpec extends AnyFunSuite with SparkTestSession {
     assert(r1(1L) === r1(2L))
   }
 
+  test("weighted: all mass to one edge matches the unweighted 2-chain") {
+    import org.apache.spark.sql.functions.col
+    // node 1 sends 99% of its weight to 2, 1% to 3
+    val e = Seq((1L, 2L, 99L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = PageRank.pageRankMicroWeighted(e, "src", "dst", "w", 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // contrib to 2: (1e6 * 99) div 100 = 990000; r2 = 150000 + 85%*990000
+    assert(r(2L) === 150000L + 85L * 990000L / 100L)
+    assert(r(3L) === 150000L + 85L * 10000L / 100L)
+    // equal weights reduce to the unweighted split
+    val eq = Seq((1L, 2L, 7L), (1L, 3L, 7L)).toDF("src", "dst", "w")
+    val rw = PageRank.pageRankMicroWeighted(eq, "src", "dst", "w", 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val ru = PageRank.pageRankMicro(
+      Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"), "src", "dst", 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rw === ru)
+    // parallel edges collapse by weight sum
+    val par = Seq((1L, 2L, 50L), (1L, 2L, 49L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val rp = PageRank.pageRankMicroWeighted(par, "src", "dst", "w", 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rp === r)
+  }
+
   test("deterministic across repartitionings") {
     val edges = for (i <- 1L to 40L) yield (i, i % 7 + 1L)
     val df = edges.toDF("src", "dst")
