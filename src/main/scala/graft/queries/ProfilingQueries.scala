@@ -75,5 +75,73 @@ object ProfilingQueries extends QueryPack {
          FROM ${statsSql(c, scale)}"""
     }.mkString("", " UNION ALL ", " ORDER BY \"column\"")))
 
-  override def queries: Seq[GraftQuery] = Seq(riskFlags, binDesign)
+  /** Shard-vs-corpus distribution drift: the `doc_id % 10` "new drop"
+    * against the standing corpus (same split as the incremental dedup
+    * gate), per column — integer micro-share total variation, so the
+    * gate is exact at any scale. See `graft.stats.Drift`.
+    */
+  val schemaDrift: GraftQuery = {
+    val cols = Seq("lang", "source", "n_chars")
+    GraftQuery(
+      "schema_drift_report",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val isNew = col("doc_id") % 10 === 0
+        graft.stats.Drift
+          .report(d.filter(!isNew), d.filter(isNew), cols)
+          .orderBy("col_name")
+      },
+      Some(s"""
+        WITH o AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+        n AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 10 = 0)
+        ${cols.map(graft.stats.Drift.columnDriftSql).mkString(" UNION ALL ")}
+        ORDER BY col_name"""))
+  }
+
+  /** Join-cardinality profile for lineitem x orders on the order key —
+    * the pre-flight a planner runs before a big-big join: exact output
+    * size Σ c_l * c_r from the two per-key count aggregations (never the
+    * join itself), the heaviest key's contribution, and a skew ratio
+    * (max key's share of output x matched key count; 1.0 = uniform).
+    */
+  val joinSizeProfile: GraftQuery = GraftQuery(
+    "join_size_profile",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val lc = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cl"))
+      val oc = Tables(s, dir, "orders")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cr"))
+      lc.join(oc, Seq("k"))
+        .select((col("cl") * col("cr")).as("rows_k"))
+        .agg(
+          count(lit(1)).as("n_matched_keys"),
+          sum("rows_k").as("join_rows"),
+          max("rows_k").as("max_key_rows"))
+        .crossJoin(broadcast(
+          lc.agg(count(lit(1)).as("n_keys_left"))
+            .crossJoin(oc.agg(count(lit(1)).as("n_keys_right")))))
+        .select(
+          col("n_keys_left"), col("n_keys_right"), col("n_matched_keys"),
+          col("join_rows"), col("max_key_rows"),
+          graft.Q.r6(col("max_key_rows") * 1.0 * col("n_matched_keys")
+            / col("join_rows")).as("skew_ratio"))
+    },
+    Some("""
+      WITH lc AS (SELECT l_orderkey AS k, COUNT(*) AS cl
+                  FROM lineitem GROUP BY 1),
+      oc AS (SELECT o_orderkey AS k, COUNT(*) AS cr FROM orders GROUP BY 1),
+      j AS (SELECT CAST(lc.cl * oc.cr AS BIGINT) AS rows_k
+            FROM lc JOIN oc USING (k))
+      SELECT (SELECT COUNT(*) FROM lc) AS n_keys_left,
+             (SELECT COUNT(*) FROM oc) AS n_keys_right,
+             COUNT(*) AS n_matched_keys,
+             CAST(SUM(rows_k) AS BIGINT) AS join_rows,
+             MAX(rows_k) AS max_key_rows,
+             round(CAST(MAX(rows_k) AS DOUBLE) * COUNT(*)
+                   / CAST(SUM(rows_k) AS BIGINT), 6) AS skew_ratio
+      FROM j"""))
+
+  override def queries: Seq[GraftQuery] =
+    Seq(riskFlags, binDesign, schemaDrift, joinSizeProfile)
 }
