@@ -293,6 +293,61 @@ object CoreQueries extends QueryPack {
       JOIN customer ON c_custkey = o_custkey
       ORDER BY qty_cents DESC, o_orderkey"""))
 
+  /** Hierarchical share rollup: nation revenue with its share of the
+    * region subtotal and of the grand total — percent-of-parent, the
+    * report shape above every drill-down UI. Revenue stays exact e4
+    * integers; the two subtotals are window sums over the (bounded)
+    * nation-level aggregate frame, divided once.
+    */
+  val rollupShares: GraftQuery = GraftQuery(
+    "rollup_share_report",
+    (s, dir) => {
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      val dims = n.join(r, col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+      val c = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val byNation = l
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(Q.cents("l_extendedprice") * (lit(100L) - Q.cents("l_discount")))
+          .as("revenue_e4"))
+      val wr = Window.partitionBy("r_name")
+      val wt = Window.partitionBy()
+      byNation
+        .select(col("r_name"), col("n_name"), col("revenue_e4"),
+          Q.r6(col("revenue_e4") * 1.0 / sum("revenue_e4").over(wr))
+            .as("share_of_region"),
+          Q.r6(col("revenue_e4") * 1.0 / sum("revenue_e4").over(wt))
+            .as("share_of_total"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""
+      WITH bn AS (
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS BIGINT) AS revenue_e4
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name)
+      SELECT r_name, n_name, revenue_e4,
+             round(revenue_e4 * 1.0
+               / CAST(SUM(revenue_e4) OVER (PARTITION BY r_name) AS BIGINT), 6)
+               AS share_of_region,
+             round(revenue_e4 * 1.0
+               / CAST(SUM(revenue_e4) OVER () AS BIGINT), 6)
+               AS share_of_total
+      FROM bn ORDER BY r_name, n_name"""))
+
   /** Revenue-concentration (Pareto) report: customers ranked by order
     * revenue, grouped into rank deciles, each decile's share of total.
     * The rank window runs over the per-customer AGGREGATE frame (one row
@@ -333,5 +388,5 @@ object CoreQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] =
     Seq(flagship, pricingSummary, topOrders, regionRevenue, returnedRevenue,
-      promoRevenue, largeVolume, paretoRevenue)
+      promoRevenue, largeVolume, paretoRevenue, rollupShares)
 }

@@ -636,6 +636,72 @@ object EventQueries extends QueryPack {
              round(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
       FROM c ORDER BY from_type, to_type"""))
 
+  /** Sliding 6-hour distinct users via HyperLogLog register merge:
+    * registers build once per hour (one row per hour x occupied
+    * register), then each hour's trailing window is a max-merge of 6
+    * hourly register sets — the explode-to-equi-join form of the range
+    * join, and the way a streaming job would keep sliding cardinalities
+    * without re-scanning raw events. Exact distinct per window rides
+    * along for calibration; the oracle replays registers, merge, and
+    * estimator.
+    */
+  val hllSlidingUsers: GraftQuery = GraftQuery(
+    "hll_sliding_users_6h",
+    (s, dir) => {
+      val ev = EventOps.events(s, dir)
+        .select(expr("ts_us div 3600000000").as("h"),
+          col("user_id").cast("string").as("u"))
+      val hours = ev.select("h").distinct()
+      val regs = graft.sketch.Hll.registers(ev, col("u"), Seq(col("h")))
+      val offsets = array((0 to 5).map(lit): _*)
+      val merged = regs
+        .select(explode(offsets).as("off"), col("h"), col("reg"), col("rho"))
+        .select((col("h") + col("off")).as("th"), col("reg"), col("rho"))
+        .join(hours.select(col("h").as("th")), Seq("th"), "left_semi")
+        .groupBy("th", "reg").agg(max("rho").as("rho"))
+      val est = graft.sketch.Hll.estimate(merged, Seq("th"))
+      val exact = ev.distinct()
+        .select(explode(offsets).as("off"), col("h"), col("u"))
+        .select((col("h") + col("off")).as("th"), col("u"))
+        .join(hours.select(col("h").as("th")), Seq("th"), "left_semi")
+        .groupBy("th").agg(countDistinct("u").as("exact_users"))
+      est.join(exact, Seq("th"))
+        .select(col("th").as("hour"), col("zero_registers"),
+          Q.r6(col("est_hll")).as("est_users"), col("exact_users"))
+        .orderBy("hour")
+    },
+    Some(s"""
+      WITH ev AS MATERIALIZED (
+        SELECT epoch_us(ts) // 3600000000 AS h,
+               CAST(user_id AS VARCHAR) AS u
+        FROM events),
+      tg AS (SELECT DISTINCT h FROM ev),
+      b AS (SELECT h,
+                   CAST(concat('0x', substring(md5(u), 1, 15)) AS BIGINT) AS hs
+            FROM ev),
+      r AS MATERIALIZED (
+        SELECT h, hs % 256 AS reg,
+               MAX(CASE WHEN hs // 256 = 0 THEN 53
+                        ELSE 53 - length(bin(hs // 256)) END) AS rho
+        FROM b GROUP BY h, hs % 256),
+      sl AS (SELECT t.h AS th, r.reg, MAX(r.rho) AS rho
+             FROM tg t JOIN r ON r.h BETWEEN t.h - 5 AND t.h
+             GROUP BY t.h, r.reg),
+      agg AS (SELECT th,
+                     SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << rho))
+                       AS s_occ,
+                     COUNT(*) AS n_occ
+              FROM sl GROUP BY th),
+      ex AS (SELECT t.h AS th, COUNT(DISTINCT e.u) AS exact_users
+             FROM tg t JOIN ev e ON e.h BETWEEN t.h - 5 AND t.h
+             GROUP BY t.h)
+      SELECT a.th AS hour, CAST(256 - n_occ AS BIGINT) AS zero_registers,
+             round(${graft.sketch.Hll.estimateSql("s_occ", "n_occ")}, 6)
+               AS est_users,
+             ex.exact_users
+      FROM agg a JOIN ex ON ex.th = a.th
+      ORDER BY hour"""))
+
   /** Watermark calibration profile: per event type, how far events
     * arrive behind the running event-time high-water mark in arrival
     * (event_id) order — the number a streaming job needs to pick its
@@ -692,7 +758,7 @@ object EventQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
-      watermarkLateness,
+      watermarkLateness, hllSlidingUsers,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
       intervalJoinBucketed, asofForward, rollingFeatures, funnel,
       funnelStream,
