@@ -702,6 +702,45 @@ object EventQueries extends QueryPack {
       FROM agg a JOIN ex ON ex.th = a.th
       ORDER BY hour"""))
 
+  /** Streaming HLL cardinality: registers maintained by a streaming
+    * complete-mode `groupBy(reg).max(rho)` over the event stream — at
+    * most 256 rows of state for any event volume — then estimated after
+    * the drain and checked against the oracle's batch replay of the
+    * identical register math (plus the exact distinct for calibration).
+    */
+  val hllUsersStream: GraftQuery = GraftQuery(
+    "hll_users_stream",
+    (s, dir) => {
+      val regs = graft.sketch.Hll.streamingRegisters(
+        EventOps.streamingEvents(s, dir)
+          .select(col("user_id").cast("string").as("u")),
+        col("u"), "graft_hll_users_stream")
+      val est = graft.sketch.Hll.estimate(regs, Seq.empty)
+      val exact = EventOps.events(s, dir)
+        .agg(countDistinct("user_id").as("exact_users"))
+      est.crossJoin(exact)
+        .select(col("zero_registers"), Q.r6(col("est_hll")).as("est_users"),
+          col("exact_users"))
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT CAST(concat('0x', substring(
+                 md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hs
+        FROM events),
+      r AS (SELECT hs % 256 AS reg,
+                   MAX(CASE WHEN hs // 256 = 0 THEN 53
+                            ELSE 53 - length(bin(hs // 256)) END) AS rho
+            FROM b GROUP BY hs % 256),
+      agg AS (SELECT SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << rho))
+                       AS s_occ,
+                     COUNT(*) AS n_occ
+              FROM r)
+      SELECT CAST(256 - n_occ AS BIGINT) AS zero_registers,
+             round(${graft.sketch.Hll.estimateSql("s_occ", "n_occ")}, 6)
+               AS est_users,
+             (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users
+      FROM agg"""))
+
   /** Watermark calibration profile: per event type, how far events
     * arrive behind the running event-time high-water mark in arrival
     * (event_id) order — the number a streaming job needs to pick its
@@ -758,7 +797,7 @@ object EventQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] =
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
-      watermarkLateness, hllSlidingUsers,
+      watermarkLateness, hllSlidingUsers, hllUsersStream,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
       intervalJoinBucketed, asofForward, rollingFeatures, funnel,
       funnelStream,

@@ -72,6 +72,31 @@ object Hll {
           .otherwise(raw).as("est_hll")): _*)
   }
 
+  /** Streaming register build: HLL registers maintained by a streaming
+    * `groupBy(reg).max(rho)` in complete mode — at most m rows of state
+    * no matter how many events arrive, the canonical bounded-state
+    * cardinality pattern. Returns the drained register table (columns
+    * reg, rho) ready for `estimate`.
+    */
+  def streamingRegisters(
+      stream: DataFrame, value: Column, queryName: String): DataFrame = {
+    val spark = stream.sparkSession
+    val h = conv(substring(md5(value), 1, 15), 16, 10).cast("long")
+    val sq = stream
+      .select(h.as("__h"))
+      .select(
+        (col("__h") % M).cast("int").as("reg"),
+        when(shiftrightunsigned(col("__h"), 8) === 0L, lit(MaxRho))
+          .otherwise(lit(MaxRho) -
+            length(bin(shiftrightunsigned(col("__h"), 8)))).cast("int")
+          .as("rho0"))
+      .groupBy("reg").agg(max("rho0").as("rho"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("complete").start()
+    try sq.processAllAvailable() finally sq.stop()
+    spark.table(queryName)
+  }
+
   /** The same estimate as a SQL expression over an aggregated
     * (s_occ, n_occ) pair — for the DuckDB oracle. `alphaLit` embeds the
     * exact Scala double so both engines blend identical operands.
