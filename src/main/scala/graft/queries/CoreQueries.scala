@@ -386,7 +386,45 @@ object CoreQueries extends QueryPack {
              round(SUM(rev) * 1.0 / MAX(tot), 6) AS revenue_share
       FROM w GROUP BY 1 ORDER BY decile"""))
 
+  /** The Q5 workload through the `spark.sql` entry point over temp
+    * views — pins that the library's SQL surface (views + ANSI SQL text)
+    * produces the identical plan family and bytes as the DataFrame
+    * form: same oracle, same money math, dims still broadcast by the
+    * optimizer without hints.
+    */
+  val sqlApiTwin: GraftQuery = GraftQuery(
+    "sql_api_region_revenue",
+    (s, dir) => {
+      Seq("lineitem", "orders", "customer", "nation", "region").foreach { t =>
+        Tables(s, dir, t).createOrReplaceTempView(s"g_$t")
+      }
+      s.sql("""
+        SELECT r_name, n_name,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS revenue_e4
+        FROM g_lineitem
+        JOIN g_orders   ON l_orderkey = o_orderkey
+        JOIN g_customer ON o_custkey = c_custkey
+        JOIN g_nation   ON c_nationkey = n_nationkey
+        JOIN g_region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, revenue_e4 DESC, n_name""")
+    },
+    Some("""
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS revenue_e4
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, revenue_e4 DESC, n_name"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(flagship, pricingSummary, topOrders, regionRevenue, returnedRevenue,
-      promoRevenue, largeVolume, paretoRevenue, rollupShares)
+      promoRevenue, largeVolume, paretoRevenue, rollupShares, sqlApiTwin)
 }
