@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, QueryPack, Tables}
-import graft.graph.{PageRank, Triangles}
+import graft.graph.{KCore, PageRank, Triangles}
 
 /** Graph analytics over the harness tables. The connected-components
   * dedup clusters live in `DocQueries`; this pack holds the rank-style
@@ -141,6 +141,52 @@ object GraphQueries extends QueryPack {
       FROM r5 JOIN nation nn ON nn.n_nationkey = r5.id
       ORDER BY rank_micro DESC, nation"""))
 
+  /** 8-core of the strong trade graph: the dense trading club that
+    * survives iterative peeling of low-degree nations. Same sparsified
+    * edge set as the triangle gate; 12 unrolled peels (fixpoint reached
+    * much earlier — KCoreSpec pins convergence; converged extra rounds
+    * are no-ops in both engines).
+    */
+  val nationKCore: GraftQuery = GraftQuery(
+    "kcore_nation_trade",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val pairW = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val tot = pairW.agg(sum("w").as("tw"), count(lit(1)).as("np"))
+      val strong = pairW.crossJoin(broadcast(tot))
+        .filter(col("w") * col("np") > col("tw"))
+        .select("src", "dst")
+      val core = KCore.kCoreVertices(strong, "src", "dst", k = 8)
+      val nation = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+      core.join(broadcast(nation), core("id") === nation("n_nationkey"))
+        .select(col("n_name").as("nation"), col("deg"))
+        .orderBy("nation")
+    },
+    Some(s"""
+      WITH pw AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY c.c_nationkey, s.s_nationkey),
+      tot AS (SELECT SUM(w) AS tw, COUNT(*) AS np FROM pw),
+      raw AS (SELECT src, dst FROM pw, tot WHERE w * np > tw),
+      ${KCore.oracleCtes(k = 8)}
+      SELECT nn.n_name AS nation, core.deg
+      FROM core JOIN nation nn ON nn.n_nationkey = core.id
+      ORDER BY nation"""))
+
   override def queries: Seq[GraftQuery] =
-    Seq(nationPageRank, nationPageRankWeighted, nationTriangles)
+    Seq(nationPageRank, nationPageRankWeighted, nationTriangles, nationKCore)
 }
