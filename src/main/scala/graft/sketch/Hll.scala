@@ -62,7 +62,9 @@ object Hll {
           .as("__s_occ"),
         count(lit(1)).as("__n_occ"))
     val zeros = (lit(M) - col("__n_occ")).cast("long")
-    val sInv = col("__s_occ") + zeros.cast("double")
+    // coalesce: a global (no-group) aggregate over zero rows yields a
+    // null sum; an empty sketch must estimate 0, not null
+    val sInv = coalesce(col("__s_occ"), lit(0.0)) + zeros.cast("double")
     val raw = lit(Alpha) * lit(M.toDouble * M) / sInv
     agged.select(
       groups.map(col) ++ Seq(

@@ -30,6 +30,14 @@ class HllSpec extends AnyFunSuite with SparkTestSession {
     assert(once === thrice)
   }
 
+  test("empty input estimates zero (global no-group aggregate)") {
+    val df = Seq.empty[String].toDF("v")
+    val regs = Hll.registers(df, col("v"), Seq.empty)
+    val row = Hll.estimate(regs, Seq.empty).collect()(0)
+    assert(row.getAs[Long]("zero_registers") === 256L)
+    assert(row.getAs[Double]("est_hll") === 0.0)
+  }
+
   test("max-merging shard registers equals sketching the union") {
     val a = (1 to 2000).map(i => s"k$i")
     val b = (1500 to 3500).map(i => s"k$i")
