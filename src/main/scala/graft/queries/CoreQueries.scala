@@ -386,6 +386,82 @@ object CoreQueries extends QueryPack {
              round(SUM(rev) * 1.0 / MAX(tot), 6) AS revenue_share
       FROM w GROUP BY 1 ORDER BY decile"""))
 
+  /** 2-D equi-depth grid histogram: price octiles x quantity quartiles,
+    * cell counts and exact revenue — the heatmap aggregation behind
+    * density/drill-down views. Both bin fits run in the flagship's
+    * batched one-scan form (`fitMany`); the oracle replays every edge
+    * with `quantile_cont` CASE chains (edges distinct on this data, as
+    * the flagship assumes).
+    */
+  val gridHistogram: GraftQuery = {
+    val (np, nq) = (8, 4)
+    def edges(c: String, pfx: String, n: Int) =
+      (1 until n).map(i =>
+        s"quantile_cont($c, ${i.toDouble / n}) AS $pfx$i").mkString(", ")
+    def chain(c: String, pfx: String, n: Int) =
+      "CASE " + (1 until n).map(i =>
+        s"WHEN $c <= e.$pfx$i THEN ${i - 1} ").mkString + s"ELSE ${n - 1} END"
+    GraftQuery(
+      "grid_bin_price_quantity",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val models = QuantileBinner.fitMany(
+          li, Seq("l_extendedprice" -> np, "l_quantity" -> nq))
+        models("l_extendedprice").transform(
+            models("l_quantity").transform(li, "qb"), "pb")
+          .groupBy("pb", "qb")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(Q.cents("l_extendedprice")).as("sum_price_cents"))
+          .orderBy("pb", "qb")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT ${edges("l_extendedprice", "p", np)},
+                 ${edges("l_quantity", "q", nq)}
+          FROM lineitem)
+        SELECT ${chain("l_extendedprice", "p", np)} AS pb,
+               ${chain("l_quantity", "q", nq)} AS qb,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS sum_price_cents
+        FROM lineitem, e
+        GROUP BY pb, qb ORDER BY pb, qb"""))
+  }
+
+  /** Correlated-subquery shape through the optimizer: orders strictly
+    * above their own customer's average order value — the scalar
+    * correlated subquery decorrelates into an aggregate + join, which is
+    * exactly what a warehouse migration exercises. Money in exact cents;
+    * the average comparison multiplies through by the count so the
+    * predicate is integer-exact (no division).
+    */
+  val aboveAvgOrders: GraftQuery = GraftQuery(
+    "correlated_above_avg_orders",
+    (s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("g_orders_cs")
+      s.sql("""
+        SELECT o_custkey, COUNT(*) AS n_above
+        FROM g_orders_cs o
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+              * (SELECT COUNT(*) FROM g_orders_cs i
+                 WHERE i.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FROM g_orders_cs i WHERE i.o_custkey = o.o_custkey)
+        GROUP BY o_custkey
+        ORDER BY o_custkey""")
+    },
+    Some("""
+      SELECT o_custkey, COUNT(*) AS n_above
+      FROM orders o
+      WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+            * (SELECT COUNT(*) FROM orders i
+               WHERE i.o_custkey = o.o_custkey)
+            > (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               FROM orders i WHERE i.o_custkey = o.o_custkey)
+      GROUP BY o_custkey
+      ORDER BY o_custkey"""))
+
   /** The Q5 workload through the `spark.sql` entry point over temp
     * views — pins that the library's SQL surface (views + ANSI SQL text)
     * produces the identical plan family and bytes as the DataFrame
@@ -426,5 +502,6 @@ object CoreQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] =
     Seq(flagship, pricingSummary, topOrders, regionRevenue, returnedRevenue,
-      promoRevenue, largeVolume, paretoRevenue, rollupShares, sqlApiTwin)
+      promoRevenue, largeVolume, paretoRevenue, rollupShares, sqlApiTwin,
+      gridHistogram, aboveAvgOrders)
 }
