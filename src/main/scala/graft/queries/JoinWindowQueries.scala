@@ -211,6 +211,43 @@ object JoinWindowQueries extends QueryPack {
                            WHERE o_orderpriority = '1-URGENT')
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Explicit GROUPING SETS (the construct rollup/cube sugar over):
+    * detail, per-priority subtotal, and grand total in one pass, with a
+    * value-derived level tag instead of grouping_id so the label is
+    * engine-neutral. Dataset.groupingSets is the Spark 4 API form.
+    */
+  val groupingSets: GraftQuery = GraftQuery(
+    "grouping_sets_report",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(Q.cents("o_totalprice")).as("sum_cents"))
+        .withColumn("level",
+          when(col("o_orderpriority").isNull && col("o_orderstatus").isNull,
+            "total")
+            .when(col("o_orderstatus").isNull, "priority")
+            .otherwise("detail"))
+        .orderBy(asc_nulls_first("o_orderpriority"),
+          asc_nulls_first("o_orderstatus"))
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             CASE WHEN o_orderpriority IS NULL AND o_orderstatus IS NULL
+                    THEN 'total'
+                  WHEN o_orderstatus IS NULL THEN 'priority'
+                  ELSE 'detail' END AS level
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                              (o_orderpriority), ())
+      ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""))
+
   override def queries: Seq[GraftQuery] =
-    Seq(semi, anti, rollup, runningTotal, pivot, cubeQ, analytic, bloomSemi)
+    Seq(semi, anti, rollup, runningTotal, pivot, cubeQ, analytic, bloomSemi,
+      groupingSets)
 }

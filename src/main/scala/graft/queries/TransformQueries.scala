@@ -336,8 +336,63 @@ object TransformQueries extends QueryPack {
       WINDOW wv AS (PARTITION BY custkey ORDER BY version)
       ORDER BY custkey, version"""))
 
+  /** Temporal (point-in-time) join against the SCD2 history: every
+    * order looks up the status version active at its own order date —
+    * the AS OF dimension lookup every warehouse fact load performs.
+    * Orders on a multi-change day resolve to that day's LAST version
+    * (highest version with valid_from <= date), so self-mismatches
+    * count exactly the intra-day change stacks.
+    */
+  val scd2PointInTime: GraftQuery = GraftQuery(
+    "scd2_point_in_time_join",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+      val hist = Scd.scd2Compact(o, "o_custkey", "o_orderstatus",
+        Seq("o_orderdate", "o_orderkey"))
+      Scd.pointInTime(hist, o, "o_custkey", "o_orderdate", "o_orderkey",
+          "o_orderstatus")
+        .select(col("o_orderstatus_at_ts").as("status_at_ts"),
+          col("o_orderstatus"))
+        .groupBy("status_at_ts")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("status_at_ts") === col("o_orderstatus"), 1L)
+            .otherwise(0L)).as("n_self_match"))
+        .orderBy("status_at_ts")
+    },
+    Some("""
+      WITH s AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               CASE WHEN lag(o_orderstatus) OVER w IS NOT DISTINCT FROM
+                         o_orderstatus THEN 0 ELSE 1 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)),
+      v AS (
+        SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        FROM s),
+      g AS MATERIALIZED (
+        SELECT o_custkey AS custkey, version,
+               MIN(o_orderstatus) AS status,
+               MIN(o_orderdate) AS valid_from
+        FROM v GROUP BY o_custkey, version),
+      j AS (
+        SELECT o.o_orderkey, o.o_orderstatus, g.status AS sat,
+               row_number() OVER (PARTITION BY o.o_orderkey
+                                  ORDER BY g.version DESC) AS rk
+        FROM orders o
+        JOIN g ON g.custkey = o.o_custkey
+              AND g.valid_from <= o.o_orderdate)
+      SELECT sat AS status_at_ts, COUNT(*) AS n_orders,
+             CAST(SUM(CASE WHEN sat = o_orderstatus THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_self_match
+      FROM j WHERE rk = 1
+      GROUP BY sat ORDER BY sat"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     labelEncode, labelEncodeUnseen, equalWidthBin, quantileBin,
     derivedFeatures, standardize, scaling, groupwiseZ, imputeGroupMean,
-    scd2History)
+    scd2History, scd2PointInTime)
 }

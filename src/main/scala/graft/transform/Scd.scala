@@ -49,4 +49,28 @@ object Scd {
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Point-in-time (temporal as-of) lookup against an SCD2 history: for
+    * each probe row, the version whose validity range covers the probe
+    * timestamp — resolved as the highest version with
+    * `valid_from <= ts` (equivalent to the range test when ranges
+    * chain, and well-defined under same-timestamp version stacks).
+    * One equi-join on the key plus a per-probe argmax window; history
+    * rows per key are few, so the join fans out modestly and the window
+    * partitions by probe row id.
+    */
+  def pointInTime(
+      history: DataFrame, probes: DataFrame, key: String, ts: String,
+      probeId: String, attr: String): DataFrame = {
+    val h = history.select(
+      col(key).as("__k"), col("version").as("__v"),
+      col(attr).as(s"${attr}_at_ts"), col("valid_from").as("__vf"))
+    val w = Window.partitionBy(probeId).orderBy(desc("__v"))
+    probes
+      .join(h, probes(key) === h("__k") && col("__vf") <= probes(ts))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .withColumn("version_at_ts", col("__v"))
+      .drop("__k", "__v", "__vf", "__rk")
+  }
 }
