@@ -144,6 +144,39 @@ object EventQueries extends QueryPack {
       SELECT event_id, user_id, tus AS ts_us, last_click_us
       FROM w WHERE event_type = 'error' ORDER BY event_id"""))
 
+  /** The SAME backward as-of lookup through the native sort-merge
+    * operator (`graft.plans.AsofJoinExec` — custom LogicalPlan +
+    * Strategy + SparkPlan registered via SparkSessionExtensions /
+    * experimental strategies): clicks stream through the merge ONCE per
+    * partition instead of riding a union through a window, so the build
+    * side prunes to (key, time) and the plan is two exchanges + two
+    * sorts. Oracle is the pure AS OF definition (max click time at or
+    * before each error).
+    */
+  val asofNative: GraftQuery = GraftQuery(
+    "asof_native_exec",
+    (s, dir) => {
+      val ev = EventOps.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_us").as("click_us"))
+      graft.plans.AsofJoin
+        .asof(errors, clicks, "user_id", "c_user", "ts_us", "click_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("click_us").as("last_click_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH x AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+                 FROM events),
+      e AS (SELECT event_id, user_id, tus FROM x WHERE event_type = 'error'),
+      c AS (SELECT user_id, tus AS cus FROM x WHERE event_type = 'click')
+      SELECT e.event_id, e.user_id, e.tus AS ts_us, MAX(c.cus) AS last_click_us
+      FROM e LEFT JOIN c ON c.user_id = e.user_id AND c.cus <= e.tus
+      GROUP BY e.event_id, e.user_id, e.tus
+      ORDER BY e.event_id"""))
+
   /** Forward as-of: first click at-or-after each error, with the
     * time-to-recovery delta — the mirror of the backward as-of lookup.
     */
@@ -799,6 +832,7 @@ object EventQueries extends QueryPack {
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
       watermarkLateness, hllSlidingUsers, hllUsersStream,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
+      asofNative,
       intervalJoinBucketed, asofForward, rollingFeatures, funnel,
       funnelStream,
       funnelWindowed, retention, pathTrigrams, interarrival, dauReport,
