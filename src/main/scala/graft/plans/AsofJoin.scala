@@ -135,19 +135,55 @@ case class AsofJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Filter pushdown through the custom operator — the optimization a
+  * custom LogicalPlan silently loses: Catalyst cannot know that
+  * predicates over the PROBE side commute with an as-of join, so a
+  * `filter` applied above one would otherwise run after the shuffle
+  * and merge. Left-only conjuncts are semantics-preserving to push
+  * (each left row's match is unaffected by dropping other left rows);
+  * right-side predicates are NOT (they would change which row is
+  * "last at-or-before", like pushing into the null-producing side of
+  * an outer join) and stay put.
+  */
+object AsofJoinFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsofJoinPlan) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(_.references.subsetOf(aj.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(leftOnly.reduce(And), aj.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** `spark.sql.extensions=graft.plans.GraftSparkExtensions` registration. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
+    e.injectOptimizerRule(_ => AsofJoinFilterPushdown)
+  }
 }
 
 object AsofJoin {
 
-  /** Install the strategy into a live session (idempotent). */
+  /** Install the strategy + pushdown rule into a live session
+    * (idempotent).
+    */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsofJoinStrategy)) {
       spark.experimental.extraStrategies = cur :+ AsofJoinStrategy
+    }
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(AsofJoinFilterPushdown)) {
+      spark.experimental.extraOptimizations = opts :+ AsofJoinFilterPushdown
     }
   }
 

@@ -48,6 +48,26 @@ class AsofJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(custom.nonEmpty && custom.values.exists(_.isDefined))
   }
 
+  test("left-only filters push below the as-of node; right-side stay put") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val l = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+    val r = Seq((1L, 5L, "x")).toDF("k2", "t2", "v")
+    val filtered = AsofJoin.asof(l, r, "k", "k2", "t", "t2")
+      .filter(col("k") > 1L && col("v") === "x")
+    val opt = filtered.queryExecution.optimizedPlan
+    val aj = opt.collectFirst { case a: AsofJoinPlan => a }.get
+    // the k > 1 conjunct moved below the join (into/through its left)
+    assert(aj.left.collectFirst { case f: LFilter => f }.isDefined ||
+      aj.left.toString.contains("PushedFilters"),
+      s"left side of:\n$opt")
+    // the right-side conjunct stayed above (semantics would change below)
+    assert(opt.collectFirst { case f: LFilter
+        if f.child.isInstanceOf[AsofJoinPlan] => f }.isDefined,
+      s"expected a residual filter above the as-of node:\n$opt")
+    // and the result is still correct
+    assert(filtered.count() === 0) // k=2 has no right match -> v is null
+  }
+
   test("deterministic across partitionings; plan contains the custom exec") {
     val l = (1L to 500L).map(i => (i % 7, i)).toDF("k", "t")
     val r = (1L to 300L).map(i => (i % 7, i * 2 % 400)).toDF("k2", "t2")
