@@ -177,6 +177,36 @@ object EventQueries extends QueryPack {
       GROUP BY e.event_id, e.user_id, e.tus
       ORDER BY e.event_id"""))
 
+  /** FORWARD as-of through the same native operator, by time negation:
+    * "last right with -t_r <= -t_l" IS "first right at-or-after t_l",
+    * so the one merge exec serves both directions — no second operator.
+    */
+  val asofNativeForward: GraftQuery = GraftQuery(
+    "asof_native_forward",
+    (s, dir) => {
+      val ev = EventOps.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          (-col("ts_us")).as("neg_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_us").as("click_us"),
+          (-col("ts_us")).as("neg_click"))
+      graft.plans.AsofJoin
+        .asof(errors, clicks, "user_id", "c_user", "neg_ts", "neg_click")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("click_us").as("next_click_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH x AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+                 FROM events),
+      e AS (SELECT event_id, user_id, tus FROM x WHERE event_type = 'error'),
+      c AS (SELECT user_id, tus AS cus FROM x WHERE event_type = 'click')
+      SELECT e.event_id, e.user_id, e.tus AS ts_us, MIN(c.cus) AS next_click_us
+      FROM e LEFT JOIN c ON c.user_id = e.user_id AND c.cus >= e.tus
+      GROUP BY e.event_id, e.user_id, e.tus
+      ORDER BY e.event_id"""))
+
   /** Forward as-of: first click at-or-after each error, with the
     * time-to-recovery delta — the mirror of the backward as-of lookup.
     */
@@ -832,7 +862,7 @@ object EventQueries extends QueryPack {
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
       watermarkLateness, hllSlidingUsers, hllUsersStream,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
-      asofNative,
+      asofNative, asofNativeForward,
       intervalJoinBucketed, asofForward, rollingFeatures, funnel,
       funnelStream,
       funnelWindowed, retention, pathTrigrams, interarrival, dauReport,
