@@ -36,8 +36,13 @@ object Drift {
         col("n_old"), col("n_new"),
         col("co").isNotNull.cast("long").as("has_o"),
         col("cn").isNotNull.cast("long").as("has_n"),
-        abs(expr("coalesce(co, 0L) * 1000000L div n_old") -
-          expr("coalesce(cn, 0L) * 1000000L div n_new")).as("d"))
+        // an empty side holds zero share of every value (guards the
+        // ANSI integer-div-by-zero on a fully missing shard)
+        abs(expr("""case when n_old = 0 then 0L
+                    else coalesce(co, 0L) * 1000000L div n_old end""") -
+          expr("""case when n_new = 0 then 0L
+                  else coalesce(cn, 0L) * 1000000L div n_new end"""))
+          .as("d"))
       .agg(
         max("n_old").as("n_old"), max("n_new").as("n_new"),
         sum("has_o").as("values_old"), sum("has_n").as("values_new"),
@@ -62,11 +67,17 @@ object Drift {
             AS values_old,
           CAST(SUM(CASE WHEN nc.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
             AS values_new,
-          CAST(SUM(ABS(COALESCE(oc.c, 0) * 1000000 // t.n_old
-                       - COALESCE(nc.c, 0) * 1000000 // t.n_new)) AS BIGINT)
-            AS tv_micro,
-          round(CAST(SUM(ABS(COALESCE(oc.c, 0) * 1000000 // t.n_old
-                             - COALESCE(nc.c, 0) * 1000000 // t.n_new))
+          CAST(SUM(ABS(
+            CASE WHEN t.n_old = 0 THEN 0
+                 ELSE COALESCE(oc.c, 0) * 1000000 // t.n_old END
+            - CASE WHEN t.n_new = 0 THEN 0
+                   ELSE COALESCE(nc.c, 0) * 1000000 // t.n_new END))
+            AS BIGINT) AS tv_micro,
+          round(CAST(SUM(ABS(
+            CASE WHEN t.n_old = 0 THEN 0
+                 ELSE COALESCE(oc.c, 0) * 1000000 // t.n_old END
+            - CASE WHEN t.n_new = 0 THEN 0
+                   ELSE COALESCE(nc.c, 0) * 1000000 // t.n_new END))
                 AS DOUBLE) / 2000000.0, 6) AS tv
        FROM (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS c
              FROM o GROUP BY 1) oc

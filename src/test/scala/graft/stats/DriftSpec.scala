@@ -1,5 +1,6 @@
 package graft.stats
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -30,6 +31,18 @@ class DriftSpec extends AnyFunSuite with SparkTestSession {
     val b = Seq[Option[String]](Some("x"), None).toDF("c")
     val r = Drift.columnDrift(a, b, "c").collect()(0)
     // shares: x 1e6 -> 5e5 (d=5e5), null 0 -> 5e5 (d=5e5) -> tv 0.5
+    assert(r.getAs[Long]("tv_micro") === 1000000L)
+    assert(r.getAs[Double]("tv") === 0.5)
+  }
+
+  test("an empty shard yields full drift, not an ANSI divide error") {
+    val a = Seq("x", "y").toDF("c")
+    val b = a.filter(col("c") === "nope")
+    val r = Drift.columnDrift(a, b, "c").collect()(0)
+    assert(r.getAs[Long]("n_new") === 0L)
+    // the empty side carries zero mass for every value, so the absolute
+    // differences sum to the old side's whole 1e6 share mass (tv 0.5 —
+    // TV against a zero measure, not against another distribution)
     assert(r.getAs[Long]("tv_micro") === 1000000L)
     assert(r.getAs[Double]("tv") === 0.5)
   }
