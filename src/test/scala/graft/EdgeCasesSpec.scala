@@ -57,4 +57,28 @@ class EdgeCasesSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(ex.getMessage.contains("no non-null rows"))
   }
+
+  test("graph operators on empty edge frames return empty, not errors") {
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.graph.PageRank.pageRankMicro(e, "src", "dst", 3).count() == 0)
+    assert(graft.graph.Triangles
+      .perVertexTriangles(e, "src", "dst").count() == 0)
+    assert(graft.graph.KCore
+      .kCoreVertices(e, "src", "dst", 2, peels = 3).count() == 0)
+  }
+
+  test("bloom semi join with an empty build side prunes everything") {
+    val probe = (1L to 100L).toDF("k")
+    val build = Seq.empty[Long].toDF("bk")
+    assert(graft.joins.BloomJoin
+      .bloomSemiJoin(probe, "k", build, "bk").count() == 0)
+  }
+
+  test("SCD2 compaction and point-in-time on empty input are empty") {
+    val obs = Seq.empty[(Long, String, Int)].toDF("k", "st", "seq")
+    val hist = graft.transform.Scd.scd2Compact(obs, "k", "st", Seq("seq"))
+    assert(hist.count() == 0)
+    assert(graft.transform.Scd
+      .pointInTime(hist, obs, "k", "seq", "seq", "st").count() == 0)
+  }
 }
