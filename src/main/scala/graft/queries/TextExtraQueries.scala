@@ -125,10 +125,16 @@ object TextExtraQueries extends QueryPack {
   val hllDistinct: GraftQuery = GraftQuery(
     "hll_distinct_shingles",
     (s, dir) => {
+      // per-doc array_distinct before the explode: HLL registers and the
+      // distinct counts are duplicate-insensitive, and this corpus
+      // repeats shingles heavily within a doc, so it cuts the md5-hash
+      // volume several-fold with bit-identical output (the oracle keeps
+      // hashing duplicates and lands on the same registers)
       val sh = Tables(s, dir, "documents").select(
         col("source"),
-        explode(expr("transform(sequence(1, greatest(length(text) - 2, 0))," +
-          " i -> substring(text, i, 3))")).as("sh"))
+        explode(array_distinct(
+          expr("transform(sequence(1, greatest(length(text) - 2, 0))," +
+            " i -> substring(text, i, 3))"))).as("sh"))
       val regsSrc = graft.sketch.Hll.registers(sh, col("sh"), Seq(col("source")))
       val regsAll = regsSrc.groupBy("reg").agg(max("rho").as("rho"))
         .select(lit("__all__").as("source"), col("reg"), col("rho"))
