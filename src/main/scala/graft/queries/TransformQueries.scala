@@ -391,8 +391,47 @@ object TransformQueries extends QueryPack {
       FROM j WHERE rk = 1
       GROUP BY sat ORDER BY sat"""))
 
+  /** Streaming latest-wins upsert view — the CDC current-state pattern:
+    * a complete-mode `max(struct(ts, tiebreak, value))` keeps exactly
+    * one state row per key while change rows stream in; the drained
+    * table is each customer's current order status and must equal the
+    * batch window argmax. State is one struct per key, the upsert twin
+    * of the SCD2 history (which keeps every version).
+    */
+  val latestStatusStream: GraftQuery = GraftQuery(
+    "latest_status_stream",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType), // timestamp[ms] parquet
+        StructField("o_orderpriority", StringType)))
+      val name = "graft_latest_status_stream"
+      val sq = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(dir)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"))).as("m"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try sq.processAllAvailable() finally sq.stop()
+      s.table(name)
+        .select(col("custkey"), col("m.o_orderstatus").as("status"))
+        .orderBy("custkey")
+    },
+    Some("""
+      SELECT o_custkey AS custkey, o_orderstatus AS status
+      FROM (SELECT o_custkey, o_orderstatus,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+            FROM orders)
+      WHERE rk = 1 ORDER BY custkey"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     labelEncode, labelEncodeUnseen, equalWidthBin, quantileBin,
     derivedFeatures, standardize, scaling, groupwiseZ, imputeGroupMean,
-    scd2History, scd2PointInTime)
+    scd2History, scd2PointInTime, latestStatusStream)
 }
