@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, QueryPack, Tables}
-import graft.graph.{KCore, PageRank, Triangles}
+import graft.graph.{Bfs, KCore, PageRank, Triangles}
 
 /** Graph analytics over the harness tables. The connected-components
   * dedup clusters live in `DocQueries`; this pack holds the rank-style
@@ -187,6 +187,53 @@ object GraphQueries extends QueryPack {
       FROM core JOIN nation nn ON nn.n_nationkey = core.id
       ORDER BY nation"""))
 
+  /** BFS hop distances over the strong trade graph (undirected) from
+    * its minimum nation key — reachability + eccentricity in one gate;
+    * 6 unrolled relaxation rounds (diameter is far smaller; converged
+    * rounds are no-ops in both engines).
+    */
+  val nationBfs: GraftQuery = GraftQuery(
+    "bfs_hops_nation_trade",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val pairW = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val tot = pairW.agg(sum("w").as("tw"), count(lit(1)).as("np"))
+      val strong = pairW.crossJoin(broadcast(tot))
+        .filter(col("w") * col("np") > col("tw"))
+        .select("src", "dst")
+      val hops = Bfs.hopsFromMin(strong, "src", "dst")
+      val nation = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+      hops.join(broadcast(nation), hops("id") === nation("n_nationkey"))
+        .select(col("n_name").as("nation"), col("hop"))
+        .orderBy("hop", "nation")
+    },
+    Some(s"""
+      WITH pw AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY c.c_nationkey, s.s_nationkey),
+      tot AS (SELECT SUM(w) AS tw, COUNT(*) AS np FROM pw),
+      e AS MATERIALIZED (SELECT src, dst FROM pw, tot WHERE w * np > tw),
+      ${Bfs.oracleCtes()}
+      SELECT nn.n_name AS nation, b.hop
+      FROM b${Bfs.DefaultRounds} b
+      JOIN nation nn ON nn.n_nationkey = b.id
+      ORDER BY b.hop, nation"""))
+
   override def queries: Seq[GraftQuery] =
-    Seq(nationPageRank, nationPageRankWeighted, nationTriangles, nationKCore)
+    Seq(nationPageRank, nationPageRankWeighted, nationTriangles, nationKCore,
+      nationBfs)
 }
