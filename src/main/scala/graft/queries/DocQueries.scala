@@ -489,6 +489,87 @@ object DocQueries extends QueryPack {
         SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id)
       SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id"""))
 
+  /** Keep-BEST dedup policy over the LSH near-dup clusters: each
+    * component keeps its longest member (doc id as tiebreak) instead of
+    * the smallest id — the policy real curation runs use (longest /
+    * highest-quality survivor). Same cluster pipeline as
+    * `dedup_clusters_lsh` plus one argmax window over the (tiny)
+    * clustered-doc set; the oracle extends the recursive
+    * transitive-closure CTE with the same argmax.
+    */
+  val dedupKeepBest: GraftQuery = GraftQuery(
+    "dedup_keep_best",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
+      val sigs = Dedup.minhashSignaturesPerm(sh, 32)
+      val edges = Dedup.lshCandidates(sigs, 4, sqlBuckets = true)
+        .filter(col("est_jaccard") >= 0.5)
+      val labels = Dedup.connectedComponents(edges)
+      val m = labels.join(
+        docs.select(col("doc_id").as("id"), length(col("text")).as("len")),
+        Seq("id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("comp").orderBy(desc("len"), col("id"))
+      m.withColumn("rk", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("comp")))
+        .filter(col("rk") === 1)
+        .select(col("comp").as("component"), col("id").as("kept_doc_id"),
+          col("n_members"), col("len").as("kept_len"))
+        .orderBy("component")
+    },
+    Some(s"""
+      WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INTEGER), 3) AS sh
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 2)) AS i
+              FROM documents)),
+      base AS (
+        SELECT id,
+               CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT)
+                 % 2147483647 AS h
+        FROM sh),
+      perms(p, a, b) AS (VALUES $permValues),
+      mh AS (
+        SELECT id, p, MIN((a * h + b) % 2147483647) AS m
+        FROM base CROSS JOIN perms
+        GROUP BY id, p),
+      bk AS (
+        SELECT id, p // 8 AS band,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS bucket
+        FROM mh GROUP BY id, p // 8),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                               AND a.id < b.id),
+      est AS (
+        SELECT c.id_a, c.id_b,
+               SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 32.0 AS ej
+        FROM cand c
+        JOIN mh ma ON ma.id = c.id_a
+        JOIN mh mb ON mb.id = c.id_b AND mb.p = ma.p
+        GROUP BY c.id_a, c.id_b),
+      edges AS (SELECT id_a, id_b FROM est WHERE round(ej, 6) >= 0.5),
+      sym AS (SELECT id_a AS s, id_b AS d FROM edges
+              UNION SELECT id_b, id_a FROM edges),
+      reach(id, r) AS (
+        SELECT DISTINCT s, s FROM sym
+        UNION
+        SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id),
+      comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+      mem AS (SELECT c.comp, c.id, length(d.text) AS len
+              FROM comp c JOIN documents d ON d.doc_id = c.id),
+      k AS (SELECT comp, id, len,
+                   row_number() OVER (PARTITION BY comp
+                     ORDER BY len DESC, id) AS rk,
+                   COUNT(*) OVER (PARTITION BY comp) AS n_members
+            FROM mem)
+      SELECT comp AS component, id AS kept_doc_id, n_members,
+             len AS kept_len
+      FROM k WHERE rk = 1 ORDER BY component"""))
+
   /** Greedy sequence packing per language at a 512-token budget — the
     * LLM-batch construction step; the oracle replays the sequential
     * accumulate/reset scan as a recursive CTE over row_number.
@@ -946,7 +1027,8 @@ object DocQueries extends QueryPack {
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
     jaccardAdjacent, allPairsJaccard, dedupThresholdSweep, docCosine,
     fuzzyDedup, leakageMatrix,
-    minhashLsh, simhashDocs, simhashPairs, dedupClusters, dedupDropList,
+    minhashLsh, simhashDocs, simhashPairs, dedupClusters, dedupKeepBest,
+    dedupDropList,
     packDocs, qualitySample, dedupStream, contamination, bloomPrefilter,
     incrementalDedup, spanDedup)
 }

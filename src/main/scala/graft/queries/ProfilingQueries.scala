@@ -142,6 +142,41 @@ object ProfilingQueries extends QueryPack {
                    / CAST(SUM(rows_k) AS BIGINT), 6) AS skew_ratio
       FROM j"""))
 
+  /** Row-level snapshot diff gate: two deterministic document snapshots
+    * (different deletion moduli; every third surviving doc edited in
+    * the "new" one) compared by md5 fingerprint — the added / removed /
+    * changed / unchanged report printed before a table swap.
+    */
+  val snapshotDiff: GraftQuery = GraftQuery(
+    "snapshot_diff_report",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = Tables(s, dir, "documents")
+      val old = d.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text")
+      val nw = d.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.stats.Drift.snapshotDiff(old, nw, "doc_id", md5(col("text")))
+    },
+    Some("""
+      WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents
+                 WHERE doc_id % 7 <> 0),
+      n AS (SELECT doc_id,
+                   md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                            ELSE text END) AS fp
+            FROM documents WHERE doc_id % 5 <> 0)
+      SELECT CAST(SUM(CASE WHEN o.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_added,
+             CAST(SUM(CASE WHEN n.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             CAST(SUM(CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                   AND o.fp <> n.fp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+             CAST(SUM(CASE WHEN o.fp = n.fp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unchanged
+      FROM o FULL JOIN n ON o.doc_id = n.doc_id"""))
+
   override def queries: Seq[GraftQuery] =
-    Seq(riskFlags, binDesign, schemaDrift, joinSizeProfile)
+    Seq(riskFlags, binDesign, schemaDrift, joinSizeProfile, snapshotDiff)
 }

@@ -57,6 +57,27 @@ object Drift {
   def report(old: DataFrame, nw: DataFrame, cols: Seq[String]): DataFrame =
     cols.map(columnDrift(old, nw, _)).reduce(_.unionByName(_))
 
+  /** Row-level snapshot diff: added / removed / changed / unchanged
+    * counts between two keyed snapshots, comparing a caller-supplied
+    * fingerprint column — one full outer join on the key, no content
+    * shuffle beyond the fingerprints. The data-diff a pipeline prints
+    * before replacing yesterday's table.
+    */
+  def snapshotDiff(
+      old: DataFrame, nw: DataFrame, key: String,
+      fp: org.apache.spark.sql.Column): DataFrame = {
+    val o = old.select(col(key).as("__ko"), fp.as("__fo"))
+    val n = nw.select(col(key).as("__kn"), fp.as("__fn"))
+    o.join(n, col("__ko") === col("__kn"), "full")
+      .agg(
+        sum(when(col("__ko").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__kn").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("__ko").isNotNull && col("__kn").isNotNull &&
+          col("__fo") =!= col("__fn"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("__fo") === col("__fn"), 1L).otherwise(0L))
+          .as("n_unchanged"))
+  }
+
   /** The SQL replay for one column's drift row, given CTEs `o` and `n`
     * (the two shards) in scope.
     */
