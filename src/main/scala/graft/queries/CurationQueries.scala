@@ -519,8 +519,45 @@ object CurationQueries extends QueryPack {
       SELECT vec_id, label FROM r, m WHERE rk <= m.m
       ORDER BY vec_id"""))
 
+  /** k-anonymity risk report over a quasi-identifier tuple: for each k
+    * in a ladder, how many identifier combinations and how many rows
+    * sit in groups smaller than k — the re-identification exposure
+    * check a release pipeline runs next to PII redaction. One
+    * aggregation over the combo counts; the ladder is conditional sums
+    * on the (bounded) combo frame.
+    */
+  val kAnonymity: GraftQuery = GraftQuery(
+    "k_anonymity_check",
+    (s, dir) => {
+      val combos = Tables(s, dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"))
+      val ks = Seq(2, 5, 10, 20)
+      val aggs =
+        Seq(count(lit(1)).as("n_combos"), sum("n").as("n_rows")) ++
+          ks.map(k => sum(when(col("n") < k, 1L).otherwise(0L))
+            .as(s"combos_lt_$k")) ++
+          ks.map(k => sum(when(col("n") < k, col("n")).otherwise(0L))
+            .as(s"rows_lt_$k"))
+      combos.agg(aggs.head, aggs.tail: _*)
+    },
+    Some("""
+      WITH c AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+                 FROM customer GROUP BY 1, 2)
+      SELECT COUNT(*) AS n_combos,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN n < 2 THEN 1 ELSE 0 END) AS BIGINT) AS combos_lt_2,
+             CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS combos_lt_5,
+             CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS combos_lt_10,
+             CAST(SUM(CASE WHEN n < 20 THEN 1 ELSE 0 END) AS BIGINT) AS combos_lt_20,
+             CAST(SUM(CASE WHEN n < 2 THEN n ELSE 0 END) AS BIGINT) AS rows_lt_2,
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_lt_5,
+             CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS rows_lt_10,
+             CAST(SUM(CASE WHEN n < 20 THEN n ELSE 0 END) AS BIGINT) AS rows_lt_20
+      FROM c"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(piiRedact, shardAssign, samplePerGroup, weightedSample, mixingPlan,
       cleanNormalize, qualityQuartileGate, curationPipeline, budgetCurve,
-      corpusSummary, classBalance)
+      corpusSummary, classBalance, kAnonymity)
 }
