@@ -804,6 +804,52 @@ object EventQueries extends QueryPack {
              (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users
       FROM agg"""))
 
+  /** Last-touch attribution through the native AS-OF operator: each
+    * purchase credits the latest non-purchase event within 24 hours.
+    * Determinism under timestamp ties comes from a composite integer
+    * time `ts_us * 4096 + (event_id & 4095)` on BOTH sides — time
+    * first, unique event id as tiebreak — replayed verbatim by the
+    * oracle's argmax window.
+    */
+  val attributionLastTouch: GraftQuery = GraftQuery(
+    "attribution_last_touch",
+    (s, dir) => {
+      val ev = EventOps.events(s, dir)
+      val comp = (c: org.apache.spark.sql.Column,
+          id: org.apache.spark.sql.Column) =>
+        c * 4096L + (id % 4096L)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          comp(col("ts_us"), col("event_id")).as("p_comp"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("t_user"), col("event_type").as("touch"),
+          col("ts_us").as("touch_us"),
+          comp(col("ts_us"), col("event_id")).as("t_comp"))
+      graft.plans.AsofJoin
+        .asof(purchases, touches, "user_id", "t_user", "p_comp", "t_comp")
+        .filter(col("touch_us").isNotNull &&
+          col("ts_us") - col("touch_us") <= 24L * 3600L * 1000000L)
+        .groupBy("touch")
+        .agg(count(lit(1)).as("n_conversions"))
+        .orderBy("touch")
+    },
+    Some("""
+      WITH x AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+                 FROM events),
+      p AS (SELECT event_id, user_id, tus,
+                   tus * 4096 + (event_id % 4096) AS pc
+            FROM x WHERE event_type = 'purchase'),
+      t AS (SELECT user_id, event_type AS touch, tus AS touch_us,
+                   tus * 4096 + (event_id % 4096) AS tc
+            FROM x WHERE event_type <> 'purchase'),
+      j AS (SELECT p.event_id, p.tus, t.touch, t.touch_us,
+                   row_number() OVER (PARTITION BY p.event_id
+                     ORDER BY t.tc DESC) AS rk
+            FROM p JOIN t ON t.user_id = p.user_id AND t.tc <= p.pc)
+      SELECT touch, COUNT(*) AS n_conversions
+      FROM j WHERE rk = 1 AND tus - touch_us <= 86400000000
+      GROUP BY touch ORDER BY touch"""))
+
   /** Watermark calibration profile: per event type, how far events
     * arrive behind the running event-time high-water mark in arrival
     * (event_id) order — the number a streaming job needs to pick its
@@ -862,7 +908,7 @@ object EventQueries extends QueryPack {
     Seq(hourly, hourlyStream, sessionize, sessionizeNative, sessionizeStream,
       watermarkLateness, hllSlidingUsers, hllUsersStream,
       sliding, slidingStream, intervalJoin, intervalJoinStream, asofClick,
-      asofNative, asofNativeForward,
+      asofNative, asofNativeForward, attributionLastTouch,
       intervalJoinBucketed, asofForward, rollingFeatures, funnel,
       funnelStream,
       funnelWindowed, retention, pathTrigrams, interarrival, dauReport,
