@@ -376,6 +376,30 @@ object Dedup {
       .orderBy("lang")
   }
 
+  /** Watermark-bounded streaming exact dedup over the event stream —
+    * the production form of [[streamingDistinctCounts]]: per-key state
+    * is EVICTED once the event-time watermark passes, so state stays
+    * proportional to the dedup window instead of the whole history.
+    * Duplicates arriving inside the delay dedupe exactly; the harness
+    * file source drains in order, so the drained table equals the batch
+    * per-type distinct-user count (the gate's oracle).
+    */
+  def streamingDistinctUsersWithinWatermark(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_dedup_wm"
+    val sq = graft.streaming.EventOps.streamingEvents(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts_event"))
+      .withWatermark("ts_event", "1 hour")
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try sq.processAllAvailable() finally sq.stop()
+    spark.table(name)
+      .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
+
   /** SimHash over whitespace tokens weighted by in-doc frequency.
     * One explode + one wide aggregation; fingerprint assembled bitwise.
     * Default: 63 bits of xxhash64. With (`md5Hash60`, nBits = 60) the

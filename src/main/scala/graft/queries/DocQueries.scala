@@ -643,6 +643,18 @@ object DocQueries extends QueryPack {
       SELECT lang, COUNT(DISTINCT text) AS n_distinct
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** Watermark-bounded streaming dedup twin: state evicts as event time
+    * advances (the production memory bound the unbounded
+    * `dropDuplicates` form lacks); gate equals the batch per-type
+    * distinct-user count.
+    */
+  val dedupWatermarkStream: GraftQuery = GraftQuery(
+    "dedup_within_watermark_stream",
+    (s, dir) => Dedup.streamingDistinctUsersWithinWatermark(s, dir),
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   private val simhashBits = 60
   private val simhashBitSums = (0 until simhashBits).map(i =>
     s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN w ELSE -w END) AS s$i")
@@ -1029,6 +1041,7 @@ object DocQueries extends QueryPack {
     fuzzyDedup, leakageMatrix,
     minhashLsh, simhashDocs, simhashPairs, dedupClusters, dedupKeepBest,
     dedupDropList,
-    packDocs, qualitySample, dedupStream, contamination, bloomPrefilter,
+    packDocs, qualitySample, dedupStream, dedupWatermarkStream,
+    contamination, bloomPrefilter,
     incrementalDedup, spanDedup)
 }

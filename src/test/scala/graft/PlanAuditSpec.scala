@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "events_hourly_stream", "sessionize_stream", "interval_join_stream",
     "dedup_distinct_stream", "cms_heavy_hitters_stream", "dedup_clusters_lsh",
     "funnel_stream", "events_dau_stream", "events_enriched_stream",
-    "hll_users_stream", "latest_status_stream")
+    "hll_users_stream", "latest_status_stream",
+    "dedup_within_watermark_stream")
 
   /** Queries that intentionally attach a bounded tiny broadcast side via
     * crossJoin — a <=1-row aggregate (share-of-total denominators, a
