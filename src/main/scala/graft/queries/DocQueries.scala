@@ -655,6 +655,38 @@ object DocQueries extends QueryPack {
       SELECT event_type, COUNT(DISTINCT user_id) AS n_users
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Trigram inverted-index substring search (the pg_trgm pattern): the
+    * query string's 3-grams probe the posting lists built by
+    * `shingleSet`, docs matching ALL query trigrams become candidates
+    * (a count equi-join — never a scan of non-candidates at index
+    * scale), and one exact `contains` rerank removes false positives
+    * (trigram co-presence does not imply adjacency). The oracle is the
+    * direct full-scan predicate — equality IS the losslessness proof
+    * (trigram containment is necessary for substring containment).
+    */
+  val trigramSearch: GraftQuery = {
+    val needle = "data merge"
+    GraftQuery(
+      "trigram_index_search",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val postings = Dedup.shingleSet(docs, "doc_id", "text", 3)
+        val qGrams = needle.sliding(3).toSeq.distinct
+        val cand = postings
+          .filter(col("sh").isin(qGrams: _*))
+          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+          .filter(col("hits") === qGrams.size)
+        docs.join(cand, Seq("doc_id"), "left_semi")
+          .filter(col("text").contains(needle))
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id FROM documents
+        WHERE contains(text, '$needle')
+        ORDER BY doc_id"""))
+  }
+
   private val simhashBits = 60
   private val simhashBitSums = (0 until simhashBits).map(i =>
     s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN w ELSE -w END) AS s$i")
@@ -1041,7 +1073,7 @@ object DocQueries extends QueryPack {
     fuzzyDedup, leakageMatrix,
     minhashLsh, simhashDocs, simhashPairs, dedupClusters, dedupKeepBest,
     dedupDropList,
-    packDocs, qualitySample, dedupStream, dedupWatermarkStream,
+    packDocs, qualitySample, dedupStream, dedupWatermarkStream, trigramSearch,
     contamination, bloomPrefilter,
     incrementalDedup, spanDedup)
 }
