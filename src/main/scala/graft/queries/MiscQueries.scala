@@ -353,8 +353,90 @@ object MiscQueries extends QueryPack {
                AS BIGINT) AS sum_cents
       FROM lineitem GROUP BY 1 ORDER BY flag_label"""))
 
+  /** Month-of-year seasonality index: each calendar month's revenue
+    * against the uniform 1/12 expectation, as exact integer micro-index
+    * (1e6 = exactly average) — the periodicity read on any revenue
+    * dashboard; years aggregate together so the index isolates the
+    * seasonal shape.
+    */
+  val seasonality: GraftQuery = GraftQuery(
+    "seasonality_index_monthly",
+    (s, dir) => {
+      val m = Tables(s, dir, "orders")
+        .groupBy(month(col("o_orderdate")).as("m"))
+        .agg(sum(Q.cents("o_totalprice")).as("rev_cents"))
+      val tot = m.agg(sum("rev_cents").as("tot"))
+      m.crossJoin(broadcast(tot))
+        .select(col("m"), col("rev_cents"),
+          expr("(rev_cents * 12000000L) div tot").as("index_micro"))
+        .orderBy("m")
+    },
+    Some("""
+      WITH m AS (
+        SELECT CAST(date_part('month', o_orderdate) AS INTEGER) AS m,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_cents
+        FROM orders GROUP BY 1),
+      t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot FROM m)
+      SELECT m, rev_cents,
+             CAST((rev_cents * 12000000) // tot AS BIGINT) AS index_micro
+      FROM m, t ORDER BY m"""))
+
+  /** RFM segmentation: recency / frequency / monetary terciles per
+    * customer, assigned by explicit rank over the (bounded, one row per
+    * customer) aggregate frame with key tiebreaks — fully deterministic,
+    * no quantile interpolation. Output: one row per populated segment.
+    */
+  val rfmSegments: GraftQuery = GraftQuery(
+    "rfm_segments",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val base = o.groupBy(col("o_custkey").as("custkey"))
+        .agg(max("o_orderdate").as("last_dt"),
+          count(lit(1)).as("freq"),
+          sum(Q.cents("o_totalprice")).as("monetary_cents"))
+      val n = Window.partitionBy()
+      val withT = base
+        .withColumn("n", count(lit(1)).over(n))
+        // recency: later last order = better; rank ascending by date
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("last_dt"), col("custkey"))))
+        .withColumn("r_t", expr("((rk - 1) * 3) div n"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("freq"), col("custkey"))))
+        .withColumn("f_t", expr("((rk - 1) * 3) div n"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("monetary_cents"), col("custkey"))))
+        .withColumn("m_t", expr("((rk - 1) * 3) div n"))
+      withT.groupBy("r_t", "f_t", "m_t")
+        .agg(count(lit(1)).as("n_customers"),
+          sum("monetary_cents").as("segment_cents"))
+        .orderBy("r_t", "f_t", "m_t")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_custkey AS custkey, MAX(o_orderdate) AS last_dt,
+               COUNT(*) AS freq,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS monetary_cents
+        FROM orders GROUP BY 1),
+      t AS (
+        SELECT custkey, monetary_cents,
+               ((row_number() OVER (ORDER BY last_dt, custkey) - 1) * 3)
+                 // (COUNT(*) OVER ()) AS r_t,
+               ((row_number() OVER (ORDER BY freq, custkey) - 1) * 3)
+                 // (COUNT(*) OVER ()) AS f_t,
+               ((row_number() OVER (ORDER BY monetary_cents, custkey) - 1) * 3)
+                 // (COUNT(*) OVER ()) AS m_t
+        FROM base)
+      SELECT CAST(r_t AS BIGINT) AS r_t, CAST(f_t AS BIGINT) AS f_t,
+             CAST(m_t AS BIGINT) AS m_t,
+             COUNT(*) AS n_customers,
+             CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+      FROM t GROUP BY 1, 2, 3 ORDER BY r_t, f_t, m_t"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(unionConcat, topkPerBrand, absRank, setOps, csvRoundtrip,
       calibration, zorderLayout, revenueGrowth, partitionedRoundtrip,
-      revenueAutocorr, skewSalted)
+      revenueAutocorr, skewSalted, seasonality, rfmSegments)
 }

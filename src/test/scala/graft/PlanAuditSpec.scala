@@ -46,7 +46,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "hist_quantile_totalprice", "bloom_contamination_prefilter",
     "incremental_dedup_shard", "mixing_plan_langs",
     "embedding_assign_centroid", "lm_ppl_holdout", "pmi_collocations",
-    "class_balance_downsample", "schema_drift_report", "join_size_profile")
+    "class_balance_downsample", "schema_drift_report", "join_size_profile",
+    "seasonality_index_monthly")
 
   test("no CartesianProduct / unexpected BroadcastNestedLoopJoin in any registered plan") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()
