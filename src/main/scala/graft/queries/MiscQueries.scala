@@ -435,8 +435,60 @@ object MiscQueries extends QueryPack {
              CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
       FROM t GROUP BY 1, 2, 3 ORDER BY r_t, f_t, m_t"""))
 
+  /** Market-basket association at the brand grain: for every brand pair
+    * co-occurring in an order, support and exact integer micro-lift
+    * `(co * N * 1e6) div (c_a * c_b)` (1e6 = independence). The pair
+    * join is per-order over the distinct brand set — bounded by basket
+    * width, never all-pairs across orders — and brand-grain keeps the
+    * output frame tiny at any scale.
+    */
+  val basketLift: GraftQuery = GraftQuery(
+    "basket_brand_pairs_lift",
+    (s, dir) => {
+      val ob = Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val n = Tables(s, dir, "orders").agg(count(lit(1)).as("n_orders"))
+      val per = ob.groupBy("brand").agg(count(lit(1)).as("c"))
+      val pairs = ob.select(col("ok"), col("brand").as("brand_a"))
+        .join(ob.select(col("ok"), col("brand").as("brand_b")), Seq("ok"))
+        .filter(col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("co"))
+      pairs
+        .join(per.select(col("brand").as("brand_a"), col("c").as("ca")),
+          Seq("brand_a"))
+        .join(per.select(col("brand").as("brand_b"), col("c").as("cb")),
+          Seq("brand_b"))
+        .crossJoin(broadcast(n))
+        .filter(col("co") * 100 >= col("n_orders")) // scale-invariant 1% support
+        .select(col("brand_a"), col("brand_b"), col("co"),
+          expr("(co * n_orders * 1000000L) div (ca * cb)").as("lift_micro"))
+        .orderBy(desc("co"), col("brand_a"), col("brand_b"))
+    },
+    Some("""
+      WITH ob AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey),
+      n AS (SELECT COUNT(*) AS n_orders FROM orders),
+      per AS (SELECT brand, COUNT(*) AS c FROM ob GROUP BY brand),
+      pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS co
+        FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        GROUP BY 1, 2)
+      SELECT brand_a, brand_b, co,
+             CAST((co * n.n_orders * 1000000) // (pa.c * pb.c) AS BIGINT)
+               AS lift_micro
+      FROM pairs
+      JOIN per pa ON pa.brand = brand_a
+      JOIN per pb ON pb.brand = brand_b
+      CROSS JOIN n
+      WHERE co * 100 >= n.n_orders
+      ORDER BY co DESC, brand_a, brand_b"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(unionConcat, topkPerBrand, absRank, setOps, csvRoundtrip,
       calibration, zorderLayout, revenueGrowth, partitionedRoundtrip,
-      revenueAutocorr, skewSalted, seasonality, rfmSegments)
+      revenueAutocorr, skewSalted, seasonality, rfmSegments, basketLift)
 }
