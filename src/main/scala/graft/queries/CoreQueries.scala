@@ -462,6 +462,96 @@ object CoreQueries extends QueryPack {
       GROUP BY o_custkey
       ORDER BY o_custkey"""))
 
+  /** New-vs-repeat revenue per month: each order classifies against its
+    * customer's first order date (broadcastable per-customer aggregate),
+    * then monthly revenue splits into acquisition vs retention — the
+    * cohort economics read. Exact cents; one rounded share division.
+    */
+  val newVsRepeat: GraftQuery = GraftQuery(
+    "new_vs_repeat_revenue_monthly",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val first = o.groupBy(col("o_custkey").as("fk"))
+        .agg(min("o_orderdate").as("first_dt"))
+      o.join(broadcast(first), col("o_custkey") === col("fk"))
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(
+          sum(when(col("o_orderdate") === col("first_dt"),
+            Q.cents("o_totalprice")).otherwise(0L)).as("new_cents"),
+          sum(when(col("o_orderdate") =!= col("first_dt"),
+            Q.cents("o_totalprice")).otherwise(0L)).as("repeat_cents"))
+        .withColumn("new_share", Q.r6(col("new_cents") * 1.0 /
+          (col("new_cents") + col("repeat_cents"))))
+        .orderBy("y", "m")
+    },
+    Some("""
+      WITH f AS (SELECT o_custkey AS fk, MIN(o_orderdate) AS first_dt
+                 FROM orders GROUP BY 1)
+      SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS y,
+             CAST(date_part('month', o_orderdate) AS INTEGER) AS m,
+             CAST(SUM(CASE WHEN o_orderdate = first_dt
+               THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS new_cents,
+             CAST(SUM(CASE WHEN o_orderdate <> first_dt
+               THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS repeat_cents,
+             round(CAST(SUM(CASE WHEN o_orderdate = first_dt
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+                 AS DOUBLE)
+               / SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 6)
+               AS new_share
+      FROM orders JOIN f ON fk = o_custkey
+      GROUP BY y, m ORDER BY y, m"""))
+
+  /** Herfindahl-Hirschman concentration of supplier revenue within each
+    * nation: HHI = Σ share_i² on integer micro-shares, summed exactly —
+    * 1e12 = monopoly. The market-structure diagnostic, computed from
+    * two keyed aggregates and one broadcast dim.
+    */
+  val hhiConcentration: GraftQuery = GraftQuery(
+    "hhi_supplier_concentration",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+      val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val rev = li
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(sum(Q.cents("l_extendedprice") * (lit(100L) - Q.cents("l_discount")))
+          .as("r"))
+      val tot = rev.groupBy(col("s_nationkey").as("nk"))
+        .agg(sum("r").as("tot"), count(lit(1)).as("n_suppliers"))
+      val nation = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+      rev.join(tot, col("s_nationkey") === col("nk"))
+        .select(col("s_nationkey"), col("n_suppliers"),
+          expr("(r * 1000000L) div tot").as("sh"))
+        .groupBy("s_nationkey", "n_suppliers")
+        .agg(sum(expr("sh * sh")).as("hhi_e12"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_suppliers"),
+          col("hhi_e12"))
+        .orderBy("nation")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT s_nationkey, s_suppkey,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS BIGINT) AS r
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY 1, 2),
+      tot AS (SELECT s_nationkey AS nk, CAST(SUM(r) AS BIGINT) AS tot,
+                     COUNT(*) AS n_suppliers
+              FROM rev GROUP BY 1),
+      sh AS (SELECT s_nationkey, n_suppliers,
+                    (r * 1000000) // tot AS sh
+             FROM rev JOIN tot ON nk = s_nationkey)
+      SELECT n_name AS nation, n_suppliers,
+             CAST(SUM(sh * sh) AS BIGINT) AS hhi_e12
+      FROM sh JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY n_name, n_suppliers ORDER BY nation"""))
+
   /** The Q5 workload through the `spark.sql` entry point over temp
     * views — pins that the library's SQL surface (views + ANSI SQL text)
     * produces the identical plan family and bytes as the DataFrame
@@ -503,5 +593,5 @@ object CoreQueries extends QueryPack {
   override def queries: Seq[GraftQuery] =
     Seq(flagship, pricingSummary, topOrders, regionRevenue, returnedRevenue,
       promoRevenue, largeVolume, paretoRevenue, rollupShares, sqlApiTwin,
-      gridHistogram, aboveAvgOrders)
+      gridHistogram, aboveAvgOrders, newVsRepeat, hhiConcentration)
 }
