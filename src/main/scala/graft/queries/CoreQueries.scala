@@ -552,6 +552,59 @@ object CoreQueries extends QueryPack {
       FROM sh JOIN nation ON n_nationkey = s_nationkey
       GROUP BY n_name, n_suppliers ORDER BY nation"""))
 
+  /** Trade balance per nation: discounted revenue earned as the
+    * SUPPLIER side vs spent as the CUSTOMER side, and the net — the two
+    * fact aggregations join on the broadcastable nation grain, so the
+    * report needs two scans and no wide shuffle. Exact e4 integers.
+    */
+  val tradeBalance: GraftQuery = GraftQuery(
+    "trade_balance_nation",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val ord = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val rev = Q.cents("l_extendedprice") * (lit(100L) - Q.cents("l_discount"))
+      val export = li.select(col("l_suppkey"), rev.as("r"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(sum("r").as("export_e4"))
+      val imprt = li.select(col("l_orderkey"), rev.as("r"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(sum("r").as("import_e4"))
+      val nation = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+      export.join(imprt, Seq("nk"), "full")
+        .join(broadcast(nation), col("nk") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          coalesce(col("export_e4"), lit(0L)).as("export_e4"),
+          coalesce(col("import_e4"), lit(0L)).as("import_e4"),
+          (coalesce(col("export_e4"), lit(0L)) -
+            coalesce(col("import_e4"), lit(0L))).as("balance_e4"))
+        .orderBy("nation")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_orderkey, l_suppkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS r
+        FROM lineitem),
+      ex AS (SELECT s_nationkey AS nk, CAST(SUM(r) AS BIGINT) AS export_e4
+             FROM rev JOIN supplier ON s_suppkey = l_suppkey GROUP BY 1),
+      im AS (SELECT c_nationkey AS nk, CAST(SUM(r) AS BIGINT) AS import_e4
+             FROM rev
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+             GROUP BY 1)
+      SELECT n_name AS nation,
+             COALESCE(export_e4, 0) AS export_e4,
+             COALESCE(import_e4, 0) AS import_e4,
+             COALESCE(export_e4, 0) - COALESCE(import_e4, 0) AS balance_e4
+      FROM ex FULL JOIN im USING (nk)
+      JOIN nation ON n_nationkey = nk
+      ORDER BY nation"""))
+
   /** The Q5 workload through the `spark.sql` entry point over temp
     * views — pins that the library's SQL surface (views + ANSI SQL text)
     * produces the identical plan family and bytes as the DataFrame
@@ -593,5 +646,6 @@ object CoreQueries extends QueryPack {
   override def queries: Seq[GraftQuery] =
     Seq(flagship, pricingSummary, topOrders, regionRevenue, returnedRevenue,
       promoRevenue, largeVolume, paretoRevenue, rollupShares, sqlApiTwin,
-      gridHistogram, aboveAvgOrders, newVsRepeat, hhiConcentration)
+      gridHistogram, aboveAvgOrders, newVsRepeat, hhiConcentration,
+      tradeBalance)
 }
