@@ -244,7 +244,7 @@ object EventQueries extends QueryPack {
                    lag(cents, 2) OVER uw AS l2,
                    lag(cents, 3) OVER uw AS l3,
                    COUNT(*) OVER (uw ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n5,
-                   SUM(cents) OVER (uw ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sum5_cents,
+                   CAST(SUM(cents) OVER (uw ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum5_cents,
                    MIN(cents) OVER (uw ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS min5_cents,
                    MAX(cents) OVER (uw ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS max5_cents
             FROM x WINDOW uw AS (PARTITION BY user_id ORDER BY tus, event_id))

@@ -245,7 +245,7 @@ object TextExtraQueries extends QueryPack {
           r_word_count AND r_mean_word_len AND r_symbol_ratio
           AND r_stopword AND r_repetition FROM f)
       SELECT rule, COUNT(*) AS n_docs,
-             SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pass,
+             CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
              round(CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
                    / COUNT(*), 6) AS pass_rate
       FROM u GROUP BY rule ORDER BY rule"""))

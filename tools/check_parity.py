@@ -4,6 +4,13 @@ read each Spark result parquet written by `graft.Verify`, run the paired
 oracle SQL in DuckDB over the same sf tables, and compare (columns sorted
 by name, rows sorted by all columns, exact equality incl. doubles).
 
+TYPE-STRICT: the driver's hash is type-sensitive, so this tool compares
+the DuckDB relation's declared column types against the Spark parquet
+schema BEFORE pandas normalization. An uncast DuckDB SUM() returning
+HUGEINT where Spark emits BIGINT is a FAIL here even when the values are
+identical (that exact bug shipped in round 6 because the old checker
+normalized through pandas and never saw the dtype).
+
 Usage: python3 tools/check_parity.py [sfDir] [verifyOutDir]
 """
 import glob
@@ -13,9 +20,54 @@ import sys
 
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon_arrow(t) -> str:
+    """Canonical type name for a pyarrow (Spark parquet) field type."""
+    s = str(t)
+    if s in ("string", "large_string", "utf8"):
+        return "VARCHAR"
+    if s == "int64":
+        return "BIGINT"
+    if s == "int32":
+        return "INTEGER"
+    if s == "int16":
+        return "SMALLINT"
+    if s == "int8":
+        return "TINYINT"
+    if s == "double":
+        return "DOUBLE"
+    if s == "float":
+        return "FLOAT"
+    if s == "bool":
+        return "BOOLEAN"
+    if s.startswith("date32"):
+        return "DATE"
+    if s.startswith("timestamp"):
+        return "TIMESTAMP"
+    if s.startswith("decimal"):
+        return "DECIMAL"
+    if s.startswith(("list", "large_list")):
+        return "LIST"
+    if s == "binary" or s == "large_binary":
+        return "BLOB"
+    return s.upper()
+
+
+def canon_duck(t) -> str:
+    """Canonical type name for a DuckDB relation column type."""
+    s = str(t).upper()
+    if s.startswith("DECIMAL"):
+        return "DECIMAL"
+    if s.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    if s.endswith("[]") or s.startswith("LIST"):
+        return "LIST"
+    return s
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -42,18 +94,39 @@ def main() -> int:
         sql = oracle[name]
         try:
             spark_df = normalize(pd.read_parquet(f"{out}/{name}"))
+            parts = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+            schema = pq.read_schema(parts[0])
+            spark_types = {f.name: canon_arrow(f.type) for f in schema}
         except Exception as e:
             print(f"FAIL {name}: no spark result ({e})")
             n_fail += 1
             continue
         try:
-            duck_df = normalize(con.execute(sql).fetchdf())
+            rel = con.sql(sql)
+            duck_types = {c: canon_duck(t)
+                          for c, t in zip(rel.columns, rel.types)}
+            duck_df = normalize(rel.df())
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1
             continue
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"FAIL {name}: cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+            n_fail += 1
+            continue
+        # Type-strict gate: DuckDB's declared types must map to the same
+        # canonical type as the Spark parquet schema, column by column.
+        tbad = []
+        for c in sorted(spark_types):
+            st, dt = spark_types[c], duck_types.get(c)
+            if st != dt:
+                tbad.append(f"{c}: spark={st} duck={dt}")
+        for c in sorted(duck_types):
+            if c not in spark_types:
+                tbad.append(f"{c}: duck-only ({duck_types[c]})")
+        if tbad:
+            print(f"FAIL {name}: TYPE mismatch: {'; '.join(tbad)}"
+                  f" (cast the oracle column, e.g. CAST(... AS BIGINT))")
             n_fail += 1
             continue
         if len(spark_df) != len(duck_df):
