@@ -104,22 +104,41 @@ case class AsofJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyProj(l)
+          // SQL equi-join semantics: a null key never matches (the
+          // natural ordering would treat NULL == NULL and pair
+          // null-keyed rows, which no equi-join oracle produces).
+          // Null-keyed left rows sort first, so emitting without
+          // touching the right cursor is safe.
+          if (lk.anyNull) {
+            joined(l, nullRight)
+            return outProj(joined)
+          }
           if (curKey == null || keyOrd.compare(curKey, lk) != 0) {
             curKey = lk.copy()
             lastMatch = null
           }
-          val lt = lTime.eval(l).asInstanceOf[Long]
+          val ltv = lTime.eval(l)
+          if (ltv == null) { // null time: nothing is "at or before" it
+            joined(l, nullRight)
+            return outProj(joined)
+          }
+          val lt = ltv.asInstanceOf[Long]
           var advancing = true
           while (advancing) {
             val r = peekRight()
             if (r == null) advancing = false
             else {
               val rk = rKeyProj(r)
-              val c = keyOrd.compare(rk, curKey)
+              val c = if (rk.anyNull) -1 else keyOrd.compare(rk, curKey)
               if (c < 0) rHead = null // right key behind every future left
-              else if (c == 0 && rTime.eval(r).asInstanceOf[Long] <= lt) {
-                lastMatch = r.copy()
-                rHead = null
+              else if (c == 0) {
+                val rtv = rTime.eval(r)
+                if (rtv != null && rtv.asInstanceOf[Long] <= lt) {
+                  lastMatch = r.copy()
+                  rHead = null
+                } else if (rtv == null) {
+                  rHead = null // null right time can never satisfy <=
+                } else advancing = false
               } else advancing = false
             }
           }
@@ -153,8 +172,11 @@ object AsofJoinFilterPushdown
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, aj: AsofJoinPlan) =>
+      // Only deterministic conjuncts may move (and be reordered past
+      // their siblings) — same guard as Catalyst's own pushdown rules.
       val (leftOnly, rest) = splitConjunctivePredicates(cond)
-        .partition(_.references.subsetOf(aj.left.outputSet))
+        .partition(p =>
+          p.deterministic && p.references.subsetOf(aj.left.outputSet))
       if (leftOnly.isEmpty) f
       else {
         val pushed = aj.copy(left = Filter(leftOnly.reduce(And), aj.left))
@@ -189,8 +211,11 @@ object AsofJoin {
 
   /** `left ASOF JOIN right`: every left row picks the last right row of
     * the same key with `rightTime <= leftTime` (right columns null when
-    * none). Time columns must be integral (cast timestamps to
-    * micros upstream).
+    * none). Time columns MUST be LongType (cast timestamps to epoch
+    * micros upstream) — enforced here, because the merge unboxes with
+    * `asInstanceOf[Long]` and an int/date column would otherwise throw
+    * deep inside a task. Null keys and null times never match,
+    * mirroring SQL equi-join semantics.
     */
   def asof(
       left: DataFrame, right: DataFrame,
@@ -203,9 +228,15 @@ object AsofJoin {
     def attr(p: LogicalPlan, n: String) = p.output
       .find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    def timeAttr(p: LogicalPlan, n: String) = {
+      val a = attr(p, n)
+      require(a.dataType == org.apache.spark.sql.types.LongType,
+        s"as-of time column $n must be LongType (epoch micros), got ${a.dataType}")
+      a
+    }
     GraftPlanBridge.ofRows(spark, AsofJoinPlan(
       lp, rp,
       Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
-      attr(lp, leftTime), attr(rp, rightTime)))
+      timeAttr(lp, leftTime), timeAttr(rp, rightTime)))
   }
 }

@@ -68,6 +68,45 @@ class AsofJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(filtered.count() === 0) // k=2 has no right match -> v is null
   }
 
+  test("null keys and null times never match (SQL equi-join semantics)") {
+    val l = Seq((Option(1L), Option(10L), "a"),  // normal match
+                (None: Option[Long], Option(10L), "nullkey"),
+                (Option(1L), None: Option[Long], "nulltime"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Option(1L), Option(5L), "m1"),
+                (None: Option[Long], Option(5L), "rnullkey"),
+                (Option(1L), None: Option[Long], "rnulltime"))
+      .toDF("k2", "t2", "v")
+    val out = AsofJoin.asof(l, r, "k", "k2", "t", "t2")
+      .select("tag", "v").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    // only the fully non-null pair matches; null-keyed/timed left rows
+    // emit the null-right row, null-keyed/timed right rows match nothing
+    assert(out === Map("a" -> "m1", "nullkey" -> null, "nulltime" -> null))
+  }
+
+  test("non-Long time columns are rejected at construction") {
+    val l = Seq((1L, 10, "a")).toDF("k", "t", "tag") // t is IntegerType
+    val r = Seq((1L, 5L, "x")).toDF("k2", "t2", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(l, r, "k", "k2", "t", "t2")
+    }
+    assert(e.getMessage.contains("LongType"))
+  }
+
+  test("nondeterministic left-only predicates are NOT pushed below the join") {
+    val l = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+    val r = Seq((1L, 5L, "x")).toDF("k2", "t2", "v")
+    val filtered = AsofJoin.asof(l, r, "k", "k2", "t", "t2")
+      .filter(rand(42) < 2.0 && col("k") > 0L)
+    val opt = filtered.queryExecution.optimizedPlan
+    val aj = opt.collectFirst { case a: AsofJoinPlan => a }.get
+    // the rand() conjunct must stay above; the deterministic k > 0 may move
+    assert(!aj.left.expressions.map(_.toString).exists(_.contains("rand")),
+      s"nondeterministic predicate pushed below the as-of node:\n$opt")
+    assert(filtered.count() === 2)
+  }
+
   test("deterministic across partitionings; plan contains the custom exec") {
     val l = (1L to 500L).map(i => (i % 7, i)).toDF("k", "t")
     val r = (1L to 300L).map(i => (i % 7, i * 2 % 400)).toDF("k2", "t2")
