@@ -441,6 +441,15 @@ object MiscQueries extends QueryPack {
     * join is per-order over the distinct brand set — bounded by basket
     * width, never all-pairs across orders — and brand-grain keeps the
     * output frame tiny at any scale.
+    *
+    * The naive `co * N * 1e6` product wraps Long silently (non-ANSI
+    * Spark) once co*N exceeds ~9.2e12, which a few million orders reach.
+    * Both engines instead compute the SAME exact floor via a divmod
+    * expansion: with A = co*1e6, `floor(A*N/(ca*cb)) =
+    * ((A div ca)*N + ((A mod ca)*N) div ca) div cb` — exact because the
+    * discarded remainder contributes < 1 and cannot cross a cb boundary.
+    * Intermediates are bounded by 1e6*N and ca*N <= N^2, safe to
+    * N ~ 3e9 orders (~sf2000, well past the 100-TB target).
     */
   val basketLift: GraftQuery = GraftQuery(
     "basket_brand_pairs_lift",
@@ -464,7 +473,9 @@ object MiscQueries extends QueryPack {
         .crossJoin(broadcast(n))
         .filter(col("co") * 100 >= col("n_orders")) // scale-invariant 1% support
         .select(col("brand_a"), col("brand_b"), col("co"),
-          expr("(co * n_orders * 1000000L) div (ca * cb)").as("lift_micro"))
+          expr("""(((co * 1000000L) div ca) * n_orders
+                  + (((co * 1000000L) % ca) * n_orders) div ca) div cb""")
+            .as("lift_micro"))
         .orderBy(desc("co"), col("brand_a"), col("brand_b"))
     },
     Some("""
@@ -478,8 +489,9 @@ object MiscQueries extends QueryPack {
         FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
         GROUP BY 1, 2)
       SELECT brand_a, brand_b, co,
-             CAST((co * n.n_orders * 1000000) // (pa.c * pb.c) AS BIGINT)
-               AS lift_micro
+             CAST((((co * 1000000) // pa.c) * n.n_orders
+                   + (((co * 1000000) % pa.c) * n.n_orders) // pa.c) // pb.c
+                  AS BIGINT) AS lift_micro
       FROM pairs
       JOIN per pa ON pa.brand = brand_a
       JOIN per pb ON pb.brand = brand_b

@@ -67,14 +67,21 @@ object TextOps {
       .select(col(idCol), explode(tokens(t)).as("__tok"))
       .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol)).agg(max("__c").as("__maxc"))
-    base.join(top, idCol).select(
+    // LEFT join + coalesce-to-false: a zero-token document has no row in
+    // the token aggregate, and as a quality filter it must be REPORTED
+    // as failing every rule, not silently dropped. The division guards
+    // keep length-0 text from yielding null ratios.
+    def rule(c: Column) = coalesce(c, lit(false))
+    base.join(top, Seq(idCol), "left").select(
       col(idCol),
-      col("__nt").between(5, 10000).as("r_word_count"),
-      col("__awl").between(3.0, 10.0).as("r_mean_word_len"),
-      (col("__nsym").cast("double") / col("__len") < 0.1)
+      rule(col("__nt").between(5, 10000)).as("r_word_count"),
+      rule(col("__awl").between(3.0, 10.0)).as("r_mean_word_len"),
+      rule(when(col("__len") > 0,
+        col("__nsym").cast("double") / col("__len") < 0.1))
         .as("r_symbol_ratio"),
-      (col("__stopr") > 0.01).as("r_stopword"),
-      (col("__maxc").cast("double") / col("__nt") < 0.2)
+      rule(col("__stopr") > 0.01).as("r_stopword"),
+      rule(when(col("__nt") > 0,
+        col("__maxc").cast("double") / col("__nt") < 0.2))
         .as("r_repetition"))
   }
 
