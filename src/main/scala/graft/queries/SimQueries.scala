@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /** Embedding similarity-search queries. Brute-force cosine is
   * oracle-checked (unnest/subscript SQL); both LSH families — sign-bit
   * axis hyperplanes AND seeded random hyperplanes (coefficients replayed
-  * into the SQL as literals) — hash-check end to end. Only the k-means
-  * IVF quantizer stays rows-only (seeded MLlib internals).
+  * into the SQL as literals) — hash-check end to end, and the IVF
+  * quantizer hash-checks too via the deterministic Lloyd fit (seeded
+  * MLlib k-means remains the production alternative).
   */
 object SimQueries extends QueryPack {
 
@@ -354,15 +355,71 @@ object SimQueries extends QueryPack {
       FROM a WHERE rk = 1
       GROUP BY label, clabel ORDER BY label, assigned"""))
 
-  /** IVF ANN: k-means coarse quantizer, 2-of-8 lists probed. */
+  /** IVF ANN: coarse quantizer + 2-of-8 lists probed, exact cosine
+    * rerank inside the probed lists. Parity mode uses the deterministic
+    * Lloyd fit ([[Similarity.ivfFitLloyd]]: seed centroids = vec_id <
+    * 8, three E/M rounds, r6'd means), so the ENTIRE index build —
+    * seeding, three assignment rounds, re-means, probe selection,
+    * rerank — replays verbatim in DuckDB below (the last formerly
+    * rows-only non-MLlib query). MLlib's seeded k-means `ivfFit`
+    * remains the library's production quantizer.
+    */
+  private val ivfIters = 3
+  private def ivfAssignSql(t: Int): String = s"""
+      d$t AS (SELECT e.vec_id, c.clabel,
+             list_sum(list_transform(list_zip(e.embedding, c.centroid),
+               p -> (CAST(p[1] AS DOUBLE) - p[2])
+                  * (CAST(p[1] AS DOUBLE) - p[2]))) AS dist2
+            FROM embeddings e CROSS JOIN c${t - 1} c),
+      a$t AS (SELECT vec_id, clabel AS list
+            FROM (SELECT vec_id, clabel,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY dist2, clabel) AS rk
+                  FROM d$t) WHERE rk = 1),
+      m$t AS (SELECT a.list, u.pos, round(SUM(u.x) / COUNT(*), 6) AS mean
+            FROM a$t a
+            JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                         CAST(unnest(embedding) AS DOUBLE) AS x
+                  FROM embeddings) u USING (vec_id)
+            GROUP BY a.list, u.pos),
+      c$t AS (SELECT list AS clabel, list(mean ORDER BY pos) AS centroid
+            FROM m$t GROUP BY list)"""
+
   val ivfTopK: GraftQuery = GraftQuery(
     "ivf_ann_topk_vec0",
     (s, dir) => {
-      val idx = Similarity.ivfFit(
-        Tables(s, dir, "embeddings"), "vec_id", "embedding", nLists = 8)
+      val idx = Similarity.ivfFitLloyd(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding", nLists = 8,
+        iters = ivfIters)
       Similarity.ivfTopK(idx, 0L, 10, nProbe = 2)
     },
-    None)
+    Some(s"""
+      WITH c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS clabel,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+        FROM embeddings WHERE vec_id < 8),
+      ${(1 to ivfIters).map(ivfAssignSql).mkString(",")},
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      pd AS (SELECT c.clabel,
+               list_sum(list_transform(list_zip(c.centroid, q.qe),
+                 p -> (p[1] - CAST(p[2] AS DOUBLE))
+                    * (p[1] - CAST(p[2] AS DOUBLE)))) AS dist2
+             FROM c$ivfIters c CROSS JOIN q),
+      probe AS (SELECT clabel FROM pd ORDER BY dist2, clabel LIMIT 2),
+      mem AS (SELECT a.vec_id FROM a$ivfIters a
+              JOIN probe p ON a.list = p.clabel
+              WHERE a.vec_id <> 0),
+      qv AS (SELECT generate_subscripts(qe, 1) AS pos,
+                    CAST(unnest(qe) AS DOUBLE) AS v FROM q),
+      dv AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                    CAST(unnest(embedding) AS DOUBLE) AS v
+             FROM embeddings WHERE vec_id IN (SELECT vec_id FROM mem)),
+      agg AS (SELECT dv.vec_id, SUM(dv.v * qv.v) AS dot,
+                     SUM(dv.v * dv.v) AS nd
+              FROM dv JOIN qv USING (pos) GROUP BY dv.vec_id),
+      nq AS (SELECT SUM(v * v) AS nq FROM qv)
+      SELECT vec_id, round(dot / (sqrt(nd) * sqrt(nq)), 6) AS cos
+      FROM agg, nq ORDER BY cos DESC, vec_id LIMIT 10"""))
 
   /** Symmetric int8 quantization report over the embedding corpus —
     * scale, saturated codes, max reconstruction error per vector (all

@@ -213,6 +213,47 @@ object Similarity {
     IvfIndex(assigned, cents, idCol, vecCol)
   }
 
+  /** Deterministic Lloyd IVF fit — the oracle-checkable coarse
+    * quantizer: initial centroids are the vectors with the `nLists`
+    * smallest ids (cast to double), then `iters` fixed E/M rounds. The
+    * E-step is [[assignToCentroids]]'s sequential-fold argmin (ties to
+    * the smaller list id); the M-step re-means the RAW float components
+    * per (list, dim) and rounds to 6 decimals — float-as-double sums
+    * are exact (dyadic rationals), so every operand is cross-engine
+    * identical and the whole fit replays verbatim in SQL. MLlib's
+    * seeded k-means ([[ivfFit]]) stays available; this fit is the
+    * parity-mode quantizer. Per round: one broadcast E-step (no corpus
+    * shuffle) + one (list, dim)-keyed mean — k*d rows — so the shape
+    * holds at any corpus size.
+    */
+  def ivfFitLloyd(
+      emb: DataFrame, idCol: String, vecCol: String, nLists: Int,
+      iters: Int): IvfIndex = {
+    var cents: DataFrame = emb
+      .filter(col(idCol) < nLists)
+      .select(col(idCol).cast("int").as("clabel"),
+        transform(col(vecCol), x => x.cast("double")).as("centroid"))
+    var assigned: DataFrame = cents.sparkSession.emptyDataFrame
+    for (_ <- 1 to iters) {
+      assigned = assignToCentroids(emb, idCol, vecCol, cents)
+      cents = emb.join(assigned.select(col(idCol), col("assigned")), Seq(idCol))
+        .select(col("assigned").as("clabel"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("clabel", "pos")
+        .agg(Q.r6(sum(col("x")) / count(lit(1))).as("mean"))
+        .groupBy("clabel")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("centroid"))
+    }
+    val centSeq = cents.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq.sortBy(_._1)
+    IvfIndex(
+      emb.join(assigned.select(col(idCol), col("assigned").as("list")),
+        Seq(idCol)).select(col(idCol), col(vecCol), col("list")),
+      centSeq, idCol, vecCol)
+  }
+
   def ivfTopK(index: IvfIndex, queryId: Long, k: Int, nProbe: Int): DataFrame = {
     val q = index.assigned.filter(col(index.idCol) === queryId)
       .select(col(index.vecCol).as("__qv")).head()
