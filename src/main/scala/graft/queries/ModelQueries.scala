@@ -110,6 +110,72 @@ object ModelQueries extends QueryPack {
     },
     None)
 
+  /** Cross-media frame-level dedup: pairs of media objects sharing
+    * identical sampled-frame hashes (the video/image twin of the text
+    * dup-leakage matrix — how a pipeline finds re-uploads and clipped
+    * copies without decoding). Frames from the same stub decode as
+    * `media_frames_hashed`, deduped to distinct (media, hash), then a
+    * per-hash self-join bounded by a df <= 100 skew cap (ubiquitous
+    * frames — black frames, title cards — would otherwise fan out
+    * quadratically; same cap discipline as the trigram index). Output:
+    * shared-frame count per pair plus each side's distinct-frame count
+    * and the containment fraction.
+    */
+  val mediaDedup: GraftQuery = GraftQuery(
+    "media_dedup_by_frame_hash",
+    (s, dir) => {
+      val frames = MediaOps.sampleFrames(
+          Tables(s, dir, "documents").select(
+            col("doc_id"), col("text").cast("binary").as("media")),
+          "doc_id", "media", everyN = 4, frameSize = 32)
+        .toDF()
+        .select(col("media_id"), md5(col("frame_bytes")).as("h"))
+        .distinct()
+      val shared = frames.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 100)).select("h")
+      val f2 = frames.join(shared, Seq("h"))
+      val perDoc = frames.groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+      f2.select(col("h"), col("media_id").as("media_a"))
+        .join(f2.select(col("h"), col("media_id").as("media_b")), Seq("h"))
+        .filter(col("media_a") < col("media_b"))
+        .groupBy("media_a", "media_b").agg(count(lit(1)).as("n_shared"))
+        .join(perDoc.select(col("media_id").as("media_a"),
+          col("n_frames").as("frames_a")), Seq("media_a"))
+        .join(perDoc.select(col("media_id").as("media_b"),
+          col("n_frames").as("frames_b")), Seq("media_b"))
+        .select(col("media_a"), col("media_b"), col("n_shared"),
+          col("frames_a"), col("frames_b"),
+          Q.r6(col("n_shared") * 1.0 /
+            least(col("frames_a"), col("frames_b"))).as("overlap_frac"))
+        .orderBy("media_a", "media_b")
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0,
+                 CAST(ceil(length(text) / 32.0) AS BIGINT) - 1)) AS i
+        FROM documents),
+      f AS (
+        SELECT DISTINCT doc_id AS media_id,
+               md5(substring(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS h
+        FROM g WHERE i % 4 = 0),
+      hdf AS (SELECT h FROM f GROUP BY h
+              HAVING COUNT(*) BETWEEN 2 AND 100),
+      f2 AS (SELECT f.media_id, f.h FROM f JOIN hdf USING (h)),
+      pd AS (SELECT media_id, COUNT(*) AS n_frames FROM f GROUP BY media_id),
+      p AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+                   COUNT(*) AS n_shared
+            FROM f2 a JOIN f2 b ON a.h = b.h AND a.media_id < b.media_id
+            GROUP BY 1, 2)
+      SELECT media_a, media_b, n_shared,
+             pa.n_frames AS frames_a, pb.n_frames AS frames_b,
+             round(n_shared * 1.0 / least(pa.n_frames, pb.n_frames), 6)
+               AS overlap_frac
+      FROM p
+      JOIN pd pa ON pa.media_id = media_a
+      JOIN pd pb ON pb.media_id = media_b
+      ORDER BY media_a, media_b"""))
+
   /** M12: 3-model comparison report on sf data (rows-only). */
   val comparison: GraftQuery = GraftQuery(
     "model_comparison",
@@ -126,5 +192,5 @@ object ModelQueries extends QueryPack {
     None)
 
   override def queries: Seq[GraftQuery] = Seq(
-    mediaMeta, mediaFrames, rfEval, l1Select, comparison)
+    mediaMeta, mediaFrames, mediaDedup, rfEval, l1Select, comparison)
 }
