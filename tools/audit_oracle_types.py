@@ -25,9 +25,12 @@ def main() -> int:
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/oracle_sql.json"
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        glob = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
     oracle = json.load(open(path))
     n_bad = 0
     for name in sorted(oracle):

@@ -26,6 +26,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def table_glob(sfdir: str, t: str) -> str:
+    """Driver tables are single files; graft.ScaleUp output is a Spark
+    directory of part files — DuckDB needs the glob form for those."""
+    import os
+    p = f"{sfdir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def canon_arrow(t) -> str:
     """Canonical type name for a pyarrow (Spark parquet) field type.
     Integer WIDTHS collapse into one family: the driver's hash compares
@@ -88,7 +96,7 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_glob(sfdir, t)}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_fail = 0
     for name in sorted(oracle):
