@@ -255,6 +255,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), estJaccard.as("est_jaccard"))
   }
 
+  /** Star-reduced LSH bucket edges — the SCALE-MODE input to connected
+    * components: within one (band, bucket) every member pair is an LSH
+    * candidate, but component connectivity only needs the bucket
+    * SPANNED, so one hub star (min id -> each other member) replaces
+    * the C(n,2) pair set. Edge volume is O(corpus x bands) instead of
+    * O(duplicate-mass^2) — at the adversarial sf1 corpus that is ~200k
+    * edges where the verified-pair chain materializes 36.7M. The
+    * components over these edges equal the components over the FULL
+    * unverified candidate-pair graph (star spans each bucket; the
+    * transitive closure is identical) — what is dropped is the
+    * per-pair est_jaccard >= t verification, which is exactly the
+    * production trade ("bucket-connectivity dedup"): banding
+    * parameters, not a post-filter, set the similarity bar.
+    */
+  def lshBucketStarEdges(
+      sigs: DataFrame, bands: Int,
+      sqlBuckets: Boolean = false): DataFrame = {
+    val bk = banded(sigs, bands, sqlBuckets)
+    bk.select(col("band"), col("bucket"), col("id"))
+      .withColumn("id_a",
+        min(col("id")).over(Window.partitionBy("band", "bucket")))
+      .filter(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+      .distinct()
+  }
+
   /** Cross-set LSH: candidate (id_a from `newSigs`, id_b from `oldSigs`)
     * pairs sharing any band bucket — the INCREMENTAL ingest shape, where
     * a new shard is deduped against the existing corpus instead of

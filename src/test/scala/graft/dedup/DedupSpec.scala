@@ -53,6 +53,28 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("star bucket edges span the same components as the full bucket-pair graph") {
+    // harness slice: enough docs for multi-member buckets
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+    val sh = Dedup.shingleSet(d, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSignaturesPerm(sh, 16)
+    val star = Dedup.lshBucketStarEdges(sigs, 4, sqlBuckets = true)
+    // full UNVERIFIED candidate-pair graph: every pair sharing a bucket
+    // (lshCandidates output before any est threshold)
+    val full = Dedup.lshCandidates(sigs, 4, sqlBuckets = true)
+      .select("id_a", "id_b")
+    def comps(e: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(e).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cs = comps(star)
+    val cf = comps(full)
+    assert(cs == cf, "star reduction must preserve bucket connectivity")
+    assert(cs.nonEmpty)
+    // and the star edge set is no larger than members-1 per bucket
+    assert(star.count() <= full.count())
+  }
+
   test("simhash: identical docs get identical fingerprints, different differ") {
     val fp = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
