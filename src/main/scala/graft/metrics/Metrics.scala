@@ -100,4 +100,35 @@ object Metrics {
           sum(col("np") * (col("cumnn") + col("nn") / 2.0)) /
             (sum("np") * sum("nn"))).as("auc"))
   }
+
+  /** Reliability diagram (calibration curve) + per-bin Brier score for
+    * a probabilistic classifier, on an exact integer score grid: scores
+    * arrive as MILLIS in [0, 1000) (score = m/1000), so binning and
+    * every sum are exact integers and only the three final divisions
+    * touch floats — the bin table is bit-identical across engines and
+    * partitionings. One hash aggregation over the scored set; nBins
+    * must divide 1000.
+    *
+    * @return nBins rows: (bin, n, mean_score, frac_pos, brier)
+    */
+  def calibrationBins(
+      df: DataFrame, millisCol: Column, labelCol: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 0 && 1000 % nBins == 0, s"nBins $nBins must divide 1000")
+    val width = 1000 / nBins
+    df.select(millisCol.cast("long").as("m"),
+        labelCol.cast("long").as("y"))
+      .withColumn("bin", expr(s"m div $width"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("m").as("sm"),
+        sum("y").as("ny"),
+        sum(expr("(m - 1000 * y) * (m - 1000 * y)")).as("ssq"))
+      .select(col("bin"), col("n"),
+        Q.r6(col("sm") / 1000.0 / col("n")).as("mean_score"),
+        Q.r6(col("ny") * 1.0 / col("n")).as("frac_pos"),
+        Q.r6(col("ssq") / 1000000.0 / col("n")).as("brier"))
+      .orderBy("bin")
+  }
 }

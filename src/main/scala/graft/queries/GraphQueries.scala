@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, QueryPack, Tables}
-import graft.graph.{Bfs, KCore, PageRank, Triangles}
+import graft.graph.{Bfs, KCore, LabelProp, PageRank, Triangles}
 
 /** Graph analytics over the harness tables. The connected-components
   * dedup clusters live in `DocQueries`; this pack holds the rank-style
@@ -233,7 +233,54 @@ object GraphQueries extends QueryPack {
       JOIN nation nn ON nn.n_nationkey = b.id
       ORDER BY b.hop, nation"""))
 
+  /** Weighted label-propagation communities over the full trade graph
+    * ([[LabelProp.propagate]], 4 synchronous rounds): each nation joins
+    * the community carrying the largest total trade volume among its
+    * neighbours, ties toward the smallest label. Complements the
+    * component/PageRank views: CC answers "connected at all?", LPA
+    * answers "which dense trading bloc?". All-integer, so the 4 rounds
+    * replay verbatim as unrolled DuckDB CTEs.
+    */
+  val nationCommunities: GraftQuery = GraftQuery(
+    "label_prop_communities",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val pairW = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val comm = LabelProp.propagate(pairW, "src", "dst", "w", iters = 4)
+      val nation = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+      comm.join(broadcast(nation), comm("id") === nation("n_nationkey"))
+        .select(col("n_name").as("nation"), col("community"))
+        .orderBy("nation")
+    },
+    Some(s"""
+      WITH pw AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY c.c_nationkey, s.s_nationkey),
+      sym AS MATERIALIZED (
+        SELECT s, d, SUM(w) AS w FROM (
+          SELECT src AS s, dst AS d, w FROM pw
+          UNION ALL SELECT dst, src, w FROM pw)
+        GROUP BY s, d),
+      ${LabelProp.oracleCtes(iters = 4)}
+      SELECT nn.n_name AS nation, l4.lab AS community
+      FROM l4 JOIN nation nn ON nn.n_nationkey = l4.id
+      ORDER BY nation"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(nationPageRank, nationPageRankWeighted, nationTriangles, nationKCore,
-      nationBfs)
+      nationBfs, nationCommunities)
 }

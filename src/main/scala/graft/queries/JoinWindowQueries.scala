@@ -247,7 +247,62 @@ object JoinWindowQueries extends QueryPack {
                               (o_orderpriority), ())
       ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""))
 
+  /** Delta-style MERGE / CDC apply over customers
+    * ([[graft.transform.Merge.applyChanges]]): a deterministic change
+    * batch (delete keys ≡ 0 mod 7, update acctbal +100 for keys ≡ 0
+    * mod 3 not deleted, insert mirrored negative keys for keys ≡ 5 mod
+    * 11) applied to the snapshot in ONE full-outer key join. The oracle
+    * replays the identical FULL OUTER JOIN in DuckDB; acctbal stays an
+    * untouched or exactly-once-added double, so the merged table
+    * hash-matches bit-for-bit.
+    */
+  val mergeUpsert: GraftQuery = GraftQuery(
+    "merge_upsert_customers",
+    (s, dir) => {
+      val snap = Tables(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val deletes = snap.filter(col("c_custkey") % 7 === 0)
+        .withColumn("op", lit("D"))
+      val updates = snap
+        .filter(col("c_custkey") % 7 =!= 0 && col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .withColumn("op", lit("U"))
+      val inserts = snap.filter(col("c_custkey") % 11 === 5)
+        .withColumn("c_custkey", -col("c_custkey"))
+        .withColumn("op", lit("I"))
+      val changes = deletes.unionByName(updates).unionByName(inserts)
+      graft.transform.Merge
+        .applyChanges(snap, changes, "c_custkey", "op")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH snap AS (
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
+      ch AS (
+        SELECT c_custkey AS k, 'D' AS op, c_nationkey, c_acctbal
+        FROM snap WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, 'U', c_nationkey, c_acctbal + 100.0
+        FROM snap WHERE c_custkey % 7 <> 0 AND c_custkey % 3 = 0
+        UNION ALL
+        SELECT -c_custkey, 'I', c_nationkey, c_acctbal
+        FROM snap WHERE c_custkey % 11 = 5),
+      j AS (
+        SELECT s.c_custkey AS sk, ch.k, ch.op,
+               s.c_nationkey AS sn, s.c_acctbal AS sa,
+               ch.c_nationkey AS cn, ch.c_acctbal AS ca
+        FROM snap s FULL OUTER JOIN ch ON ch.k = s.c_custkey)
+      SELECT COALESCE(sk, k) AS c_custkey,
+             CASE WHEN op IS NULL THEN sn ELSE cn END AS c_nationkey,
+             CASE WHEN op IS NULL THEN sa ELSE ca END AS c_acctbal,
+             CASE WHEN op IS NULL THEN 'kept'
+                  WHEN sk IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS src
+      FROM j
+      WHERE op IS NULL OR op <> 'D'
+      ORDER BY c_custkey"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(semi, anti, rollup, runningTotal, pivot, cubeQ, analytic, bloomSemi,
-      groupingSets)
+      groupingSets, mergeUpsert)
 }

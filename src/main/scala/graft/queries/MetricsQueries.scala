@@ -111,6 +111,35 @@ object MetricsQueries extends QueryPack {
       SELECT round(SUM(np * (cumnn + nn / 2.0)) / (SUM(np) * SUM(nn)), 6) AS auc
       FROM c"""))
 
+  /** Reliability diagram + per-bin Brier over a deterministic synthetic
+    * score ([[Metrics.calibrationBins]]): score millis = price cents mod
+    * 1000 (a uniform-ish [0,1) score), label = returned flag. The
+    * calibration gate every trained scorer feeds before its threshold
+    * is chosen; all bin math is exact integers so the 10-row curve
+    * hash-replays.
+    */
+  val calibration: GraftQuery = GraftQuery(
+    "calibration_curve_synth",
+    (s, dir) => Metrics.calibrationBins(
+      Tables(s, dir, "lineitem"),
+      Q.cents("l_extendedprice") % 1000,
+      when(col("l_returnflag") === "R", 1).otherwise(0)),
+    Some("""
+      WITH d AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) % 1000 AS m,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem),
+      g AS (
+        SELECT m // 100 AS bin, COUNT(*) AS n,
+               CAST(SUM(m) AS BIGINT) AS sm,
+               CAST(SUM(y) AS BIGINT) AS ny,
+               CAST(SUM((m - 1000 * y) * (m - 1000 * y)) AS BIGINT) AS ssq
+        FROM d GROUP BY m // 100)
+      SELECT bin, n, round(sm / 1000.0 / n, 6) AS mean_score,
+             round(ny * 1.0 / n, 6) AS frac_pos,
+             round(ssq / 1000000.0 / n, 6) AS brier
+      FROM g ORDER BY bin"""))
+
   val hashFold: GraftQuery = GraftQuery(
     "hash_fold_counts",
     (s, dir) => Splits.hashFold(Tables(s, dir, "lineitem"), "l_orderkey", 5)
@@ -141,6 +170,6 @@ object MetricsQueries extends QueryPack {
       ORDER BY label, split"""))
 
   override def queries: Seq[GraftQuery] = Seq(
-    accuracy, confusion, perClass, macroF1, weighted, rocAuc, hashFold,
-    stratified)
+    accuracy, confusion, perClass, macroF1, weighted, rocAuc, calibration,
+    hashFold, stratified)
 }

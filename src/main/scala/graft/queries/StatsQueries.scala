@@ -269,6 +269,76 @@ object StatsQueries extends QueryPack {
              round(MAX(ABS(ca * 1.0 / ta - cb * 1.0 / tb)), 6) AS ks
       FROM c GROUP BY ta, tb"""))
 
+  /** Population Stability Index between the two deterministic
+    * hash-halves of orders on o_totalprice, binned on half A's own
+    * deciles ([[Stats.psiDeciles]]) — the standard model-monitoring
+    * drift score beside [[ksDrift]]'s KS statistic. A self-split, so
+    * PSI measures pure sampling noise; pointed at two corpus snapshots
+    * it is the production drift gate. Integer micro-unit terms make the
+    * bin table and the total hash-replayable.
+    */
+  val psiDrift: GraftQuery = GraftQuery(
+    "psi_drift_totalprice",
+    (s, dir) => Stats.psiDeciles(
+      Tables(s, dir, "orders"),
+      Q.cents("o_totalprice"),
+      graft.dedup.Dedup.md5Hash60(col("o_orderkey").cast("string"), 7)
+        % 2 === 0),
+    Some("""
+      WITH s AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               CASE WHEN CAST(concat('0x', substring(
+                      md5(CAST(o_orderkey AS VARCHAR) || '|7'), 1, 15))
+                    AS BIGINT) % 2 = 0
+                    THEN 1 ELSE 0 END AS a
+        FROM orders),
+      per AS (
+        SELECT v, CAST(SUM(a) AS BIGINT) AS na,
+               CAST(COUNT(*) - SUM(a) AS BIGINT) AS nb
+        FROM s GROUP BY v),
+      c AS (
+        SELECT v, na, nb,
+               SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS ca,
+               SUM(na) OVER () AS ta
+        FROM per),
+      tg AS (SELECT unnest(generate_series(1, 9)) AS i),
+      ed AS (
+        SELECT c.v AS edge FROM c, tg
+        WHERE (tg.i * c.ta + 9) // 10 <= c.ca
+          AND (tg.i * c.ta + 9) // 10 > c.ca - c.na),
+      bn AS (
+        SELECT c.v, c.na, c.nb,
+               CAST(SUM(CASE WHEN ed.edge <= c.v THEN 1 ELSE 0 END)
+                 AS BIGINT) AS bin
+        FROM c CROSS JOIN ed GROUP BY c.v, c.na, c.nb),
+      pb AS (
+        SELECT bin, CAST(SUM(na) AS BIGINT) AS n_ref,
+               CAST(SUM(nb) AS BIGINT) AS n_cur
+        FROM bn GROUP BY bin),
+      tt AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+                    CAST(SUM(nb) AS BIGINT) AS tb FROM per),
+      bins AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin),
+      f AS (
+        SELECT bins.bin, COALESCE(pb.n_ref, 0) AS n_ref,
+               COALESCE(pb.n_cur, 0) AS n_cur, tt.ta, tt.tb
+        FROM bins CROSS JOIN tt LEFT JOIN pb ON pb.bin = bins.bin),
+      t AS (
+        SELECT bin, n_ref, n_cur,
+               ((n_ref + 1) * 1.0 / (ta + 10) - (n_cur + 1) * 1.0 / (tb + 10))
+                 * ln(((n_ref + 1) * 1.0 / (ta + 10))
+                      / ((n_cur + 1) * 1.0 / (tb + 10))) AS term
+        FROM f),
+      m AS (
+        SELECT bin, n_ref, n_cur,
+               CAST(floor(abs(term) * 1000000 + 0.5)
+                 * (CASE WHEN term > 0 THEN 1 WHEN term < 0 THEN -1
+                    ELSE 0 END) AS BIGINT) AS psi_term_micro
+        FROM t)
+      SELECT bin, n_ref, n_cur, psi_term_micro,
+             CAST(SUM(psi_term_micro) OVER () AS BIGINT) AS psi_micro
+      FROM m ORDER BY bin"""))
+
   /** Mutual information / entropies / NMI over the orderpriority ×
     * orderstatus table ([[Stats.mutualInfo]]) — the feature-redundancy
     * screen beside [[chi2]]'s significance test.
@@ -349,5 +419,6 @@ object StatsQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] = Seq(
     profile, valueCounts, nullCounts, corrMatrix, crosstab, entropyGini,
-    skewKurt, corrVsLabel, histQuantile, chi2, ksDrift, mutualInfo, fdChecks)
+    skewKurt, corrVsLabel, histQuantile, chi2, ksDrift, psiDrift, mutualInfo,
+    fdChecks)
 }

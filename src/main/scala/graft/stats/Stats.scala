@@ -227,6 +227,61 @@ object Stats {
         col("n_values"), col("ks"))
   }
 
+  /** Population Stability Index between a reference split (`isRef`) and
+    * the rest, binned on the REFERENCE's own deciles — the standard
+    * model-monitoring drift score (PSI < 0.1 stable, > 0.25 shifted).
+    *
+    * Decile edges are exact lower quantiles on the integer value grid
+    * (edge_i = smallest v whose reference cumulative count reaches
+    * ceil(i*n/10)) — no interpolation, so the whole computation is
+    * integer-exact until one final ln per bin. Proportions are
+    * Laplace-smoothed ((n+1)/(N+10)) so empty bins stay finite, and PSI
+    * terms are emitted in integer micro-units so the cross-bin total is
+    * order-independent. Same per-distinct-value grid + single ordered
+    * window as [[ksStatistic]]: exact-parity mode; at 100 TB the
+    * bounded-state path is the same PSI over `histQuantile`'s fixed-m
+    * histogram edges.
+    *
+    * @return 10 rows: (bin, n_ref, n_cur, psi_term_micro, psi_micro)
+    */
+  def psiDeciles(df: DataFrame, valueCol: Column, isRef: Column): DataFrame = {
+    val spark = df.sparkSession
+    val per = df
+      .select(valueCol.as("v"), when(isRef, 1L).otherwise(0L).as("a"))
+      .groupBy("v")
+      .agg(sum("a").as("na"), (count(lit(1)) - sum("a")).as("nb"))
+    val cum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumd = per.select(col("v"), col("na"), col("nb"),
+      sum("na").over(cum).as("ca"),
+      sum("na").over(Window.partitionBy()).as("ta"))
+    val targets = spark.range(1, 10).select(col("id").as("i"))
+    val edges = cumd.crossJoin(broadcast(targets))
+      .where(expr("(i * ta + 9) div 10 <= ca") &&
+        expr("(i * ta + 9) div 10 > ca - na"))
+      .select(col("v").as("edge"))
+    val binned = cumd.crossJoin(broadcast(edges))
+      .groupBy("v", "na", "nb")
+      .agg(sum(when(col("edge") <= col("v"), 1L).otherwise(0L)).as("bin"))
+    val tot = per.agg(sum("na").as("ta"), sum("nb").as("tb"))
+    val perBin = binned.groupBy("bin")
+      .agg(sum("na").as("n_ref"), sum("nb").as("n_cur"))
+    val full = spark.range(0, 10).select(col("id").as("bin"))
+      .crossJoin(broadcast(tot))
+      .join(perBin, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val pa = (col("n_ref") + 1) * lit(1.0) / (col("ta") + 10)
+    val pb = (col("n_cur") + 1) * lit(1.0) / (col("tb") + 10)
+    val term = (pa - pb) * log(pa / pb)
+    full
+      .withColumn("psi_term_micro",
+        (floor(abs(term) * 1e6 + 0.5) * signum(term)).cast("long"))
+      .withColumn("psi_micro",
+        sum("psi_term_micro").over(Window.partitionBy()))
+      .select("bin", "n_ref", "n_cur", "psi_term_micro", "psi_micro")
+      .orderBy("bin")
+  }
+
   /** Approximate functional-dependency check X -> Y (the data-profiling
     * primitive behind key discovery / denormalization checks): for each
     * determinant value x, every row outside x's majority y-class is a

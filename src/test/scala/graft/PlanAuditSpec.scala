@@ -47,7 +47,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "incremental_dedup_shard", "mixing_plan_langs",
     "embedding_assign_centroid", "lm_ppl_holdout", "pmi_collocations",
     "class_balance_downsample", "schema_drift_report", "join_size_profile",
-    "seasonality_index_monthly", "basket_brand_pairs_lift")
+    "seasonality_index_monthly", "basket_brand_pairs_lift",
+    // two fixed-9-row attaches: decile targets, then the decile edges
+    "psi_drift_totalprice")
 
   test("no CartesianProduct / unexpected BroadcastNestedLoopJoin in any registered plan") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()
