@@ -69,11 +69,12 @@ object ScaleUp {
         .withColumn("l_partkey", shift(c)(col("l_partkey")))
         .withColumn("l_suppkey", shift(c)(col("l_suppkey")))
     }
-    // `events` is intentionally absent: the driver wrote it with
-    // TIMESTAMP(NANOS) parquet physical type, which Spark reads only via
-    // the nanosAsLong legacy flag and cannot write back. The companion
-    // dev tool `tools/scale_events.py` replicates it with pyarrow,
-    // preserving the nanos type EventOps' reader contract depends on.
+    // `events` is intentionally absent: the driver has written its `ts`
+    // with TIMESTAMP(NANOS) (Spark reads it only via the nanosAsLong
+    // legacy flag and cannot write it back) and TIMESTAMP(MICROS)
+    // physical types. The companion dev tool `tools/scale_events.py`
+    // replicates the file with pyarrow, preserving whichever physical
+    // type the source has — EventOps normalizes both on read.
     copies("documents") { (d, c) =>
       val txt = if (c == 0) col("text") else concat(col("text"), lit(s" v$c"))
       d.withColumn("doc_id", shift(c)(col("doc_id")))

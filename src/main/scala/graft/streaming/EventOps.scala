@@ -18,20 +18,30 @@ final case class FunnelUser(user_id: Long, s1: Long, s2: Long, s3: Long)
   * (the same logic drives Structured Streaming via `readStream` — see
   * `streamingHourly`).
   *
-  * The events table stores nanosecond timestamps, which Spark's parquet
-  * reader rejects; `nanosAsLong` turns them into raw int64 nanos — which
-  * is also exactly what DuckDB's `epoch_ns` yields, making every temporal
-  * computation oracle-exact.
+  * The events table has shipped `ts` as both TIMESTAMP(NANOS) (read as
+  * raw int64 nanos via `nanosAsLong`) and TIMESTAMP(MICROS) (read as
+  * TIMESTAMP_NTZ); [[EventOps.events]] normalizes either to the same
+  * int64 nanos/micros columns, so every temporal computation stays
+  * oracle-exact against DuckDB's `epoch_us(ts)`.
   */
 object EventOps {
 
-  /** Events with `ts` as int64 nanos, `ts_us` as int64 micros (= DuckDB
-    * `epoch_us` after its ns->us parquet truncation), and `event_ts` as a
-    * real timestamp.
+  /** Events with `ts` normalized to int64 nanos, `ts_us` as int64 micros
+    * (= DuckDB `epoch_us(ts)` in every oracle), and `event_ts` as a real
+    * timestamp. Handles both physical layouts the harness has shipped for
+    * `ts`: TIMESTAMP(NANOS), which Spark only reads as raw int64 nanos
+    * via the `nanosAsLong` legacy flag, and TIMESTAMP(MICROS), which
+    * arrives as TIMESTAMP_NTZ — the UTC session timezone makes its cast
+    * to micros-since-epoch value-preserving, matching `epoch_us` exactly.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val nanos = raw.schema("ts").dataType match {
+      case LongType => col("ts")
+      case _ => unix_micros(col("ts").cast(TimestampType)) * 1000L
+    }
+    raw.withColumn("ts", nanos)
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("event_ts", timestamp_micros(col("ts_us")))
   }
@@ -286,17 +296,21 @@ object EventOps {
   }
 
   /** Streaming read of the events parquet (explicit schema — required by
-    * readStream; ts stays int64 nanos via nanosAsLong).
+    * readStream — taken from a batch read of the same file). `ts` is
+    * normalized to int64 nanos under both physical layouts, exactly as in
+    * [[events]], so downstream `ts div 1000` micros math is layout-proof.
     */
   def streamingEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet") // source needs a directory
       .parquet(sfDir)
+    fileSchema("ts").dataType match {
+      case LongType => stream
+      case _ => stream.withColumn(
+        "ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
   }
 
   /** STREAM-STATIC enrichment: the streaming events read inner-joined to

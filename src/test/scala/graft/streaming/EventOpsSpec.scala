@@ -70,16 +70,7 @@ class EventOpsSpec extends AnyFunSuite with SparkTestSession {
       EventOps.events(spark, sfDir), 30L * 60 * 1000000L)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType)))
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val stream = EventOps.streamingEvents(spark, sfDir)
       .selectExpr("user_id", "ts div 1000 AS ts_us", "event_id")
       .as[UserEvent]
     val q = EventOps.statefulSessionCounts(stream, 30L * 60 * 1000000L)
