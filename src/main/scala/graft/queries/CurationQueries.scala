@@ -556,8 +556,95 @@ object CurationQueries extends QueryPack {
              CAST(SUM(CASE WHEN n < 20 THEN n ELSE 0 END) AS BIGINT) AS rows_lt_20
       FROM c"""))
 
+  /** Sketch-based join pre-flight: estimate the key overlap between
+    * orders.o_custkey and customer.c_custkey from two HLL sketches and
+    * inclusion–exclusion (|A∩B| ≈ Ê(A) + Ê(B) − Ê(A∪B), the union sketch
+    * being the register-wise max-merge) — the bounded-memory way to
+    * predict a join's hit rate across 100 TB shards WITHOUT running the
+    * join. The exact intersection (a semi-join count, cheap at test
+    * scale) rides along as the accuracy reference. The oracle replays the
+    * md5 register/rank split, the merge, and the estimator verbatim.
+    */
+  val hllOverlap: GraftQuery = GraftQuery(
+    "hll_overlap_custkeys",
+    (s, dir) => {
+      import graft.sketch.Hll
+      val orders = Tables(s, dir, "orders")
+      val customer = Tables(s, dir, "customer")
+      val ra = Hll.registers(
+        orders.select(col("o_custkey").cast("string").as("k")),
+        col("k"), Seq(lit("orders").as("side")))
+      val rb = Hll.registers(
+        customer.select(col("c_custkey").cast("string").as("k")),
+        col("k"), Seq(lit("customer").as("side")))
+      val both = ra.unionByName(rb)
+      val ru = both.groupBy("reg").agg(max("rho").as("rho"))
+        .select(lit("__union__").as("side"), col("reg"), col("rho"))
+      val est = Hll.estimate(both.unionByName(ru), Seq("side"))
+      val wide = est.agg(
+        max(when(col("side") === "orders", col("est_hll"))).as("ea"),
+        max(when(col("side") === "customer", col("est_hll"))).as("eb"),
+        max(when(col("side") === "__union__", col("est_hll"))).as("eu"))
+      val exact = orders.select(col("o_custkey")).distinct()
+        .join(customer, col("o_custkey") === col("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("exact_common"))
+      wide.crossJoin(exact) // two 1-row aggregates — a bounded attach
+        .select(
+          Q.r6(col("ea")).as("est_orders"),
+          Q.r6(col("eb")).as("est_customer"),
+          Q.r6(col("eu")).as("est_union"),
+          Q.r6(col("ea") + col("eb") - col("eu")).as("est_intersection"),
+          col("exact_common"))
+    },
+    Some(s"""
+      WITH ha AS (
+        SELECT CAST(concat('0x', substring(
+                 md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM orders),
+      hb AS (
+        SELECT CAST(concat('0x', substring(
+                 md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM customer),
+      r AS (
+        SELECT 'orders' AS side, h % 256 AS reg,
+               MAX(CASE WHEN h // 256 = 0 THEN 53
+                        ELSE 53 - length(bin(h // 256)) END) AS rho
+        FROM ha GROUP BY h % 256
+        UNION ALL
+        SELECT 'customer' AS side, h % 256 AS reg,
+               MAX(CASE WHEN h // 256 = 0 THEN 53
+                        ELSE 53 - length(bin(h // 256)) END) AS rho
+        FROM hb GROUP BY h % 256),
+      ru AS (SELECT * FROM r
+             UNION ALL
+             SELECT '__union__' AS side, reg, MAX(rho) AS rho
+             FROM r GROUP BY reg),
+      agg AS (SELECT side,
+                     SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << rho))
+                       AS s_occ,
+                     COUNT(*) AS n_occ
+              FROM ru GROUP BY side),
+      e AS (SELECT side,
+                   ${graft.sketch.Hll.estimateSql("s_occ", "n_occ")} AS est
+            FROM agg),
+      wide AS (
+        SELECT MAX(CASE WHEN side = 'orders' THEN est END) AS ea,
+               MAX(CASE WHEN side = 'customer' THEN est END) AS eb,
+               MAX(CASE WHEN side = '__union__' THEN est END) AS eu
+        FROM e),
+      ex AS (
+        SELECT COUNT(*) AS exact_common
+        FROM (SELECT DISTINCT o_custkey FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM customer)))
+      SELECT round(ea, 6) AS est_orders,
+             round(eb, 6) AS est_customer,
+             round(eu, 6) AS est_union,
+             round(ea + eb - eu, 6) AS est_intersection,
+             ex.exact_common
+      FROM wide, ex"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(piiRedact, shardAssign, samplePerGroup, weightedSample, mixingPlan,
       cleanNormalize, qualityQuartileGate, curationPipeline, budgetCurve,
-      corpusSummary, classBalance, kAnonymity)
+      corpusSummary, classBalance, kAnonymity, hllOverlap)
 }

@@ -499,8 +499,56 @@ object MiscQueries extends QueryPack {
       WHERE co * 100 >= n.n_orders
       ORDER BY co DESC, brand_a, brand_b"""))
 
+  /** 2-D skyline (Pareto frontier) of parts: the cheapest price at each
+    * size such that no larger size is as cheap — the classic dominance
+    * query (maximize p_size, minimize p_retailprice; a point survives iff
+    * no other point is ≥ in size AND ≤ in price, strict in one).
+    *
+    * Scale design: NOT the O(n²) dominance self-join. One hash
+    * aggregation collapses the data to its distinct sizes (bounded
+    * domain) with the min price per size; the strict-dominance filter is
+    * then a cumulative min over that tiny frame ordered by size
+    * descending — the single-task window sort is bounded by the size
+    * domain, not the row count, so the same plan holds at 100 TB.
+    */
+  val skyline: GraftQuery = GraftQuery(
+    "skyline_parts_size_price",
+    (s, dir) => {
+      val perSize = Tables(s, dir, "part")
+        .groupBy(col("p_size"))
+        .agg(
+          min(Q.cents("p_retailprice")).as("min_price_cents"),
+          count(lit(1)).as("n_parts"))
+      val larger = Window.orderBy(col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perSize
+        .withColumn("best_larger", min("min_price_cents").over(larger))
+        .filter(col("best_larger").isNull ||
+          col("min_price_cents") < col("best_larger"))
+        .select(col("p_size"), col("min_price_cents"), col("n_parts"))
+        .orderBy("p_size")
+    },
+    Some("""
+      WITH ps AS (
+        SELECT p_size,
+               MIN(CAST(round(p_retailprice * 100) AS BIGINT))
+                 AS min_price_cents,
+               COUNT(*) AS n_parts
+        FROM part GROUP BY p_size),
+      w AS (
+        SELECT p_size, min_price_cents, n_parts,
+               MIN(min_price_cents) OVER (ORDER BY p_size DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS best_larger
+        FROM ps)
+      SELECT p_size, min_price_cents, n_parts
+      FROM w
+      WHERE best_larger IS NULL OR min_price_cents < best_larger
+      ORDER BY p_size"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(unionConcat, topkPerBrand, absRank, setOps, csvRoundtrip,
       calibration, zorderLayout, revenueGrowth, partitionedRoundtrip,
-      revenueAutocorr, skewSalted, seasonality, rfmSegments, basketLift)
+      revenueAutocorr, skewSalted, seasonality, rfmSegments, basketLift,
+      skyline)
 }

@@ -542,9 +542,81 @@ object SimQueries extends QueryPack {
       Tables(s, dir, "embeddings"), "vec_id", "embedding", 0L, 5),
     Some(mmrSql(5)))
 
+  /** One PQ Lloyd round in DuckDB: assign each (vec, sub) to its nearest
+    * sub-centroid (row_number ties to the smaller label = Spark's
+    * min(struct)), then re-mean the raw components per (sub, label, pos)
+    * with the same round-6 convention.
+    */
+  private val pqM = 4
+  private val pqSubDim = 16
+  private val pqKSub = 8
+  private val pqIters = 2
+  private def pqAssignSql(t: Int): String = s"""
+      pd$t AS (SELECT s.vec_id, s.sub, c.clabel,
+             list_sum(list_transform(list_zip(s.subvec, c.centroid),
+               p -> (CAST(p[1] AS DOUBLE) - p[2])
+                  * (CAST(p[1] AS DOUBLE) - p[2]))) AS dist2
+            FROM sv s JOIN pc${t - 1} c ON c.sub = s.sub),
+      pa$t AS (SELECT vec_id, sub, clabel AS code
+            FROM (SELECT vec_id, sub, clabel,
+                         row_number() OVER (PARTITION BY vec_id, sub
+                                            ORDER BY dist2, clabel) AS rk
+                  FROM pd$t) WHERE rk = 1),
+      pm$t AS (SELECT a.sub, a.code AS clabel, u.pos,
+                      round(SUM(u.x) / COUNT(*), 6) AS mean
+            FROM pa$t a
+            JOIN (SELECT vec_id, sub, generate_subscripts(subvec, 1) AS pos,
+                         CAST(unnest(subvec) AS DOUBLE) AS x
+                  FROM sv) u
+              ON u.vec_id = a.vec_id AND u.sub = a.sub
+            GROUP BY a.sub, a.code, u.pos),
+      pc$t AS (SELECT sub, clabel, list(mean ORDER BY pos) AS centroid
+            FROM pm$t GROUP BY sub, clabel)"""
+
+  /** Product-quantization ANN for vec 0 ([[Similarity.pqTopKAdc]]): 4
+    * subspaces x 16 dims, 8 sub-centroids each from a 2-round
+    * deterministic Lloyd fit, then ADC — the query's m*kSub lookup table
+    * in integer micro-units, corpus vectors ranked by the Σ over their 4
+    * codes. The ENTIRE pipeline (subvector split, per-subspace fit,
+    * coding, table build, ranking) replays verbatim in DuckDB.
+    */
+  val pqTopK: GraftQuery = GraftQuery(
+    "pq_ann_topk_vec0",
+    (s, dir) => Similarity.pqTopKAdc(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10,
+      m = pqM, subDim = pqSubDim, kSub = pqKSub, iters = pqIters),
+    Some(s"""
+      WITH sv AS MATERIALIZED (
+        SELECT vec_id, sub,
+               list_slice(embedding, sub * $pqSubDim + 1,
+                 sub * $pqSubDim + $pqSubDim) AS subvec
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(0, ${pqM - 1})) AS sub) g),
+      pc0 AS (
+        SELECT sub, CAST(vec_id AS INTEGER) AS clabel,
+               list_transform(subvec, x -> CAST(x AS DOUBLE)) AS centroid
+        FROM sv WHERE vec_id < $pqKSub),
+      ${(1 to pqIters).map(pqAssignSql).mkString(",")},
+      q AS (SELECT sub, subvec FROM sv WHERE vec_id = 0),
+      tbl AS (SELECT c.sub, c.clabel,
+               CAST(floor(list_sum(list_transform(
+                 list_zip(q.subvec, c.centroid),
+                 p -> (CAST(p[1] AS DOUBLE) - p[2])
+                    * (CAST(p[1] AS DOUBLE) - p[2]))) * 1000000.0 + 0.5)
+                 AS BIGINT) AS d2_micro
+              FROM pc$pqIters c JOIN q ON q.sub = c.sub),
+      adc AS (SELECT a.vec_id, CAST(SUM(t.d2_micro) AS BIGINT)
+                       AS adc_d2_micro
+              FROM pa$pqIters a
+              JOIN tbl t ON t.sub = a.sub AND t.clabel = a.code
+              WHERE a.vec_id <> 0
+              GROUP BY a.vec_id)
+      SELECT vec_id, adc_d2_micro, adc_d2_micro / 1000000.0 AS adc_dist2
+      FROM adc ORDER BY adc_d2_micro, vec_id LIMIT 10"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(cosineTopK, knnVote, nearDup, semanticDedup, nearDupLsh, annTopK,
       annTopKSign,
       centroids, assignCentroid, randomProjection, ivfTopK, quantizeInt8,
-      mmrDiverse, dimStats)
+      mmrDiverse, dimStats, pqTopK)
 }

@@ -417,8 +417,162 @@ object StatsQueries extends QueryPack {
         FROM p2)
       SELECT * FROM u ORDER BY fd"""))
 
+  /** Welch's unequal-variance t-test between the two deterministic
+    * hash-halves of orders on o_totalprice cents ([[Stats.welchTTest]])
+    * — the A/B mean-difference significance check beside [[ksDrift]]'s
+    * shape test and [[psiDrift]]'s binned drift score. A self-split, so
+    * t measures pure sampling noise; pointed at two corpus snapshots it
+    * is the mean-shift gate. Exact integer sufficient statistics
+    * (Σv² in decimal/HUGEINT) feed one fixed closed-form double
+    * expression, mirrored verbatim in the oracle.
+    */
+  val welchT: GraftQuery = GraftQuery(
+    "welch_ttest_totalprice",
+    (s, dir) => Stats.welchTTest(
+      Tables(s, dir, "orders"),
+      Q.cents("o_totalprice"),
+      graft.dedup.Dedup.md5Hash60(col("o_orderkey").cast("string"), 7)
+        % 2 === 0),
+    Some("""
+      WITH s AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               CASE WHEN CAST(concat('0x', substring(
+                      md5(CAST(o_orderkey AS VARCHAR) || '|7'), 1, 15))
+                    AS BIGINT) % 2 = 0
+                    THEN 1 ELSE 0 END AS a
+        FROM orders),
+      agg AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS na,
+               CAST(COUNT(*) - SUM(a) AS BIGINT) AS nb,
+               CAST(SUM(a * v) AS BIGINT) AS sa,
+               CAST(SUM((1 - a) * v) AS BIGINT) AS sb,
+               CAST(SUM(CASE WHEN a = 1 THEN CAST(v AS HUGEINT) * v
+                             ELSE CAST(0 AS HUGEINT) END) AS DOUBLE) AS dqa,
+               CAST(SUM(CASE WHEN a = 0 THEN CAST(v AS HUGEINT) * v
+                             ELSE CAST(0 AS HUGEINT) END) AS DOUBLE) AS dqb
+        FROM s),
+      d AS (
+        SELECT na, nb, sa, sb, dqa, dqb,
+               CAST(na AS DOUBLE) AS dna, CAST(nb AS DOUBLE) AS dnb,
+               CAST(sa AS DOUBLE) AS dsa, CAST(sb AS DOUBLE) AS dsb
+        FROM agg),
+      vv AS (
+        SELECT *,
+               (dna * dqa - dsa * dsa) / (dna * (dna - 1)) AS va,
+               (dnb * dqb - dsb * dsb) / (dnb * (dnb - 1)) AS vb
+        FROM d),
+      se AS (SELECT *, va / dna + vb / dnb AS se2 FROM vv)
+      SELECT na AS n_a, nb AS n_b,
+             round(sa / 100.0 / na, 6) AS mean_a,
+             round(sb / 100.0 / nb, 6) AS mean_b,
+             round((dsa / dna - dsb / dnb) / sqrt(se2), 6) AS t_stat,
+             round(se2 * se2 / ((va / dna) * (va / dna) / (dna - 1)
+                   + (vb / dnb) * (vb / dnb) / (dnb - 1)), 6) AS dof
+      FROM se"""))
+
+  /** Mann–Whitney U rank-sum test between the same two hash-halves on
+    * the o_totalprice cents grid ([[Stats.mannWhitneyU]]) — the
+    * nonparametric mean-shift companion to [[welchT]] (rank-based, so
+    * robust to the heavy tails quality scores and prices have). Midranks
+    * are carried in doubled integer units over the distinct-value frame;
+    * U, the tie correction, and the z numerator stay exact Longs.
+    */
+  val mannWhitney: GraftQuery = GraftQuery(
+    "mann_whitney_totalprice",
+    (s, dir) => Stats.mannWhitneyU(
+      Tables(s, dir, "orders"),
+      Q.cents("o_totalprice"),
+      graft.dedup.Dedup.md5Hash60(col("o_orderkey").cast("string"), 7)
+        % 2 === 0),
+    Some("""
+      WITH s AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               CASE WHEN CAST(concat('0x', substring(
+                      md5(CAST(o_orderkey AS VARCHAR) || '|7'), 1, 15))
+                    AS BIGINT) % 2 = 0
+                    THEN 1 ELSE 0 END AS a
+        FROM orders),
+      per AS (
+        SELECT v, CAST(SUM(a) AS BIGINT) AS na_v,
+               CAST(COUNT(*) - SUM(a) AS BIGINT) AS nb_v
+        FROM s GROUP BY v),
+      w AS (
+        SELECT na_v, nb_v, na_v + nb_v AS cnt,
+               COALESCE(SUM(na_v + nb_v) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM per),
+      agg AS (
+        SELECT CAST(SUM(na_v) AS BIGINT) AS na,
+               CAST(SUM(nb_v) AS BIGINT) AS nb,
+               COUNT(*) AS n_values,
+               CAST(SUM(na_v * (2 * cum_before + cnt + 1)) AS BIGINT) AS r2a,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties3
+        FROM w),
+      d AS (
+        SELECT na, nb, n_values, ties3,
+               r2a - na * (na + 1) AS u2a,
+               CAST(na AS DOUBLE) AS dna, CAST(nb AS DOUBLE) AS dnb,
+               CAST(na + nb AS DOUBLE) AS dn
+        FROM agg),
+      vv AS (
+        SELECT *, dna * dnb / 12.0 *
+                 (dn + 1.0 - CAST(ties3 AS DOUBLE) / (dn * (dn - 1.0)))
+                 AS var_u
+        FROM d)
+      SELECT na AS n_a, nb AS n_b, n_values,
+             CAST(u2a AS DOUBLE) / 2.0 AS u_a,
+             CAST(na * nb AS DOUBLE) / 2.0 AS mu_u,
+             round(CAST(u2a - na * nb AS DOUBLE) / (2.0 * sqrt(var_u)), 6)
+               AS z,
+             round(CAST(u2a AS DOUBLE) / (2.0 * dna * dnb), 6) AS cles
+      FROM vv"""))
+
+  /** Per-return-flag OLS of l_extendedprice cents on l_quantity
+    * ([[Stats.groupedOls]]) — the grouped price-per-unit trend screen; a
+    * near-1 r² with distinct slopes per flag is the expected structure
+    * check on the harness data. Exact integer sufficient statistics per
+    * group, closed-form slope/intercept/r² mirrored verbatim.
+    */
+  val olsByFlag: GraftQuery = GraftQuery(
+    "ols_price_on_quantity",
+    (s, dir) => Stats.groupedOls(
+      Tables(s, dir, "lineitem"), "l_returnflag",
+      col("l_quantity"), Q.cents("l_extendedprice")),
+    Some("""
+      WITH s AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem),
+      agg AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS dsyy
+        FROM s GROUP BY l_returnflag),
+      d AS (
+        SELECT l_returnflag, n, dsyy,
+               CAST(n AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+               CAST(sy AS DOUBLE) AS dsy, CAST(sxx AS DOUBLE) AS dsxx,
+               CAST(sxy AS DOUBLE) AS dsxy
+        FROM agg),
+      k AS (
+        SELECT l_returnflag, n, dn, dsx, dsy,
+               dn * dsxy - dsx * dsy AS cov_n,
+               dn * dsxx - dsx * dsx AS var_xn,
+               dn * dsyy - dsy * dsy AS var_yn
+        FROM d),
+      sl AS (SELECT *, cov_n / var_xn AS slope FROM k)
+      SELECT l_returnflag, n,
+             round(slope / 100.0, 6) AS slope,
+             round((dsy - slope * dsx) / dn / 100.0, 6) AS intercept,
+             round(cov_n * cov_n / (var_xn * var_yn), 6) AS r2
+      FROM sl ORDER BY l_returnflag"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     profile, valueCounts, nullCounts, corrMatrix, crosstab, entropyGini,
     skewKurt, corrVsLabel, histQuantile, chi2, ksDrift, psiDrift, mutualInfo,
-    fdChecks)
+    fdChecks, welchT, mannWhitney, olsByFlag)
 }

@@ -384,4 +384,98 @@ object Similarity {
     val drop = pairs.select(col("id_b").as(idCol)).distinct()
     emb.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Per-vector subvector frame for product quantization: each vector
+    * split into `m` contiguous `subDim`-wide slices — (id, sub, subvec).
+    */
+  def pqSubvectors(
+      emb: DataFrame, idCol: String, vecCol: String, m: Int, subDim: Int)
+      : DataFrame =
+    emb.select(
+        col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col(vecCol))
+      .select(col(idCol), col("sub"),
+        expr(s"slice($vecCol, sub * $subDim + 1, $subDim)").as("subvec"))
+
+  /** Product-quantization codebooks + codes (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): per
+    * subspace, a deterministic Lloyd fit in [[ivfFitLloyd]]'s convention
+    * (seed sub-centroids = the `kSub` smallest ids' subvectors cast to
+    * double, `iters` E/M rounds, means r6'd so every operand is
+    * cross-engine identical), then each vector's code per subspace is its
+    * nearest sub-centroid (ties to the smaller label). All m subspaces
+    * fit in ONE dataflow: the E-step joins the subvector frame to the
+    * m*kSub-row codebook on `sub` (broadcast — no corpus shuffle) and
+    * argmins via min(struct); the M-step is a (sub, label, pos)-keyed
+    * mean of m*kSub*subDim rows. Returns (codes (id, sub, code),
+    * codebook (sub, clabel, centroid)).
+    */
+  def pqFit(
+      emb: DataFrame, idCol: String, vecCol: String, m: Int, subDim: Int,
+      kSub: Int, iters: Int): (DataFrame, DataFrame) = {
+    val subs = pqSubvectors(emb, idCol, vecCol, m, subDim)
+    val dist2 = aggregate(
+      zip_with(col("subvec"), col("centroid"),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+    var cents: DataFrame = subs.filter(col(idCol) < kSub)
+      .select(col("sub"), col(idCol).cast("int").as("clabel"),
+        transform(col("subvec"), x => x.cast("double")).as("centroid"))
+    var codes: DataFrame = cents.sparkSession.emptyDataFrame
+    for (_ <- 1 to iters) {
+      codes = subs.join(broadcast(cents), Seq("sub"))
+        .withColumn("__d2", dist2)
+        .groupBy(idCol, "sub")
+        .agg(min(struct(col("__d2").as("d2"), col("clabel").as("cl")))
+          .as("__m"))
+        .select(col(idCol), col("sub"), col("__m.cl").as("code"))
+      cents = subs.join(codes, Seq(idCol, "sub"))
+        .select(col("sub"), col("code").as("clabel"),
+          posexplode(col("subvec").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .groupBy("sub", "clabel", "pos")
+        .agg(Q.r6(sum(col("x")) / count(lit(1))).as("mean"))
+        .groupBy("sub", "clabel")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("centroid"))
+    }
+    (codes, cents)
+  }
+
+  /** PQ ADC (asymmetric distance computation) top-k for one query id:
+    * the query's RAW subvectors are scored against the codebook once
+    * (m*kSub distances, emitted in exact integer micro-units), and every
+    * corpus vector's approximate distance is then the Σ over its m codes
+    * of that lookup table — a code-only broadcast join + an integer sum,
+    * never touching the corpus floats again. That is the PQ memory/
+    * bandwidth win at 100 TB: the scan reads m small ints per vector,
+    * not the d-float embedding. Integer micro-unit terms make the
+    * cross-subspace total order-independent, so the ranking is
+    * hash-replayable cross-engine.
+    */
+  def pqTopKAdc(
+      emb: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
+      m: Int = 4, subDim: Int = 16, kSub: Int = 8, iters: Int = 2)
+      : DataFrame = {
+    val (codes, cents) = pqFit(emb, idCol, vecCol, m, subDim, kSub, iters)
+    val dist2 = aggregate(
+      zip_with(col("subvec"), col("centroid"),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val table = pqSubvectors(emb, idCol, vecCol, m, subDim)
+      .filter(col(idCol) === queryId)
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("sub"), col("clabel"),
+        floor(dist2 * lit(1e6) + lit(0.5)).cast("long").as("d2_micro"))
+    codes.filter(col(idCol) =!= queryId)
+      .join(broadcast(table),
+        codes("sub") === table("sub") && col("code") === col("clabel"))
+      .groupBy(idCol)
+      .agg(sum("d2_micro").as("adc_d2_micro"))
+      .select(col(idCol), col("adc_d2_micro"),
+        (col("adc_d2_micro") / lit(1000000.0)).as("adc_dist2"))
+      .orderBy(col("adc_d2_micro"), col(idCol))
+      .limit(k)
+  }
 }

@@ -348,4 +348,144 @@ object Stats {
           Q.r6(col("mi_raw") / least(col("ha_raw"), col("hb_raw"))))
           .as("nmi"))
   }
+
+  /** Welch's unequal-variance t-test between two row groups on an exact
+    * integer value grid (scale fixed-decimal inputs with [[Q.cents]]
+    * first; `isA` marks the first sample) — the A/B significance check
+    * between corpus shards or train/serve splits, companion to
+    * [[ksStatistic]]'s distribution-shape test.
+    *
+    * One shuffle-free global aggregation produces the six sufficient
+    * statistics; Σv² runs in decimal(38,0) (v² alone can exceed Long for
+    * cents-scaled money columns) and everything downstream is a fixed
+    * closed-form double expression over those exact integers, so t and
+    * the Welch–Satterthwaite dof are bit-identical across engines and
+    * partitionings. Means are reported in original units (cents / 100).
+    */
+  def welchTTest(df: DataFrame, valueCol: Column, isA: Column): DataFrame = {
+    val zero38 = lit(0).cast("decimal(38,0)")
+    val agg = df
+      .select(valueCol.cast("long").as("v"),
+        when(isA, 1L).otherwise(0L).as("a"))
+      .agg(
+        sum("a").as("na"),
+        (count(lit(1)) - sum("a")).as("nb"),
+        sum(col("a") * col("v")).as("sa"),
+        sum((lit(1L) - col("a")) * col("v")).as("sb"),
+        sum(when(col("a") === 1L,
+          col("v").cast("decimal(38,0)") * col("v")).otherwise(zero38))
+          .cast("double").as("dqa"),
+        sum(when(col("a") === 0L,
+          col("v").cast("decimal(38,0)") * col("v")).otherwise(zero38))
+          .cast("double").as("dqb"))
+    val dna = col("na").cast("double")
+    val dnb = col("nb").cast("double")
+    val dsa = col("sa").cast("double")
+    val dsb = col("sb").cast("double")
+    val va = (dna * col("dqa") - dsa * dsa) / (dna * (dna - 1.0))
+    val vb = (dnb * col("dqb") - dsb * dsb) / (dnb * (dnb - 1.0))
+    val se2 = va / dna + vb / dnb
+    agg.select(
+      col("na").as("n_a"), col("nb").as("n_b"),
+      Q.r6(col("sa") / 100.0 / col("na")).as("mean_a"),
+      Q.r6(col("sb") / 100.0 / col("nb")).as("mean_b"),
+      Q.r6((dsa / dna - dsb / dnb) / sqrt(se2)).as("t_stat"),
+      Q.r6(se2 * se2 /
+        ((va / dna) * (va / dna) / (dna - 1.0) +
+          (vb / dnb) * (vb / dnb) / (dnb - 1.0))).as("dof"))
+  }
+
+  /** Mann–Whitney U rank-sum test between two row groups on an exact
+    * integer value grid — the nonparametric companion to
+    * [[welchTTest]] (no normality assumption; robust to the heavy-tailed
+    * score distributions quality filters produce).
+    *
+    * Ranks come from the per-DISTINCT-VALUE frame ([[ksStatistic]]'s
+    * motion): one hash aggregation counts each value's group sizes, and
+    * the cumulative window runs over the value grid (not data rows), so
+    * the single-task sort is bounded by grid cardinality. Midranks are
+    * carried in doubled integer units (2·midrank = 2·cum_before + cnt + 1)
+    * so the rank-sum, U, the tie-correction Σ(t³−t), and the z numerator
+    * 2U−n_a·n_b all stay exact Longs; only the final z and the
+    * common-language effect size touch doubles (one fixed expression on
+    * identical operands in both engines).
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: Column, isA: Column): DataFrame = {
+    val per = df
+      .select(valueCol.cast("long").as("v"),
+        when(isA, 1L).otherwise(0L).as("a"))
+      .groupBy("v")
+      .agg(sum("a").as("na_v"), (count(lit(1)) - sum("a")).as("nb_v"))
+    val before = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = per
+      .select(
+        col("na_v"), col("nb_v"),
+        (col("na_v") + col("nb_v")).as("cnt"),
+        coalesce(sum(col("na_v") + col("nb_v")).over(before), lit(0L))
+          .as("cum_before"))
+      .agg(
+        sum("na_v").as("na"),
+        sum("nb_v").as("nb"),
+        count(lit(1)).as("n_values"),
+        sum(col("na_v") * (lit(2L) * col("cum_before") + col("cnt") + 1L))
+          .as("r2a"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties3"))
+    val u2a = col("r2a") - col("na") * (col("na") + 1L)
+    val dn = (col("na") + col("nb")).cast("double")
+    val dna = col("na").cast("double")
+    val dnb = col("nb").cast("double")
+    val varU = dna * dnb / 12.0 *
+      (dn + 1.0 - col("ties3").cast("double") / (dn * (dn - 1.0)))
+    agg.select(
+      col("na").as("n_a"), col("nb").as("n_b"), col("n_values"),
+      (u2a.cast("double") / 2.0).as("u_a"),
+      ((col("na") * col("nb")).cast("double") / 2.0).as("mu_u"),
+      Q.r6((u2a - col("na") * col("nb")).cast("double") /
+        (lit(2.0) * sqrt(varU))).as("z"),
+      Q.r6(u2a.cast("double") / (lit(2.0) * dna * dnb)).as("cles"))
+  }
+
+  /** Per-group closed-form simple linear regression (OLS) of an exact
+    * integer y grid on an exact integer x — the grouped trend screen
+    * (e.g. price-per-unit drift by return flag) a feature audit runs
+    * before trusting a column.
+    *
+    * One grouped aggregation emits the six sufficient statistics
+    * (n, Σx, Σy, Σx², Σxy, Σy²); Σy² runs in decimal(38,0) because a
+    * cents-scaled y squares past Long. slope/intercept/r² are fixed
+    * closed-form double expressions over those exact integers —
+    * bit-identical across engines — and are reported in original y units
+    * (cents / 100).
+    */
+  def groupedOls(
+      df: DataFrame, groupCol: String, xCol: Column, yCol: Column)
+      : DataFrame = {
+    val agg = df
+      .select(col(groupCol), xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y").cast("decimal(38,0)") * col("y"))
+          .cast("double").as("dsyy"))
+    val dn = col("n").cast("double")
+    val dsx = col("sx").cast("double")
+    val dsy = col("sy").cast("double")
+    val dsxx = col("sxx").cast("double")
+    val dsxy = col("sxy").cast("double")
+    val covN = dn * dsxy - dsx * dsy
+    val varXN = dn * dsxx - dsx * dsx
+    val varYN = dn * col("dsyy") - dsy * dsy
+    val slope = covN / varXN
+    agg.select(
+      col(groupCol), col("n"),
+      Q.r6(slope / 100.0).as("slope"),
+      Q.r6((dsy - slope * dsx) / dn / 100.0).as("intercept"),
+      Q.r6(covN * covN / (varXN * varYN)).as("r2"))
+      .orderBy(groupCol)
+  }
 }

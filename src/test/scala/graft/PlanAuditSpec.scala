@@ -49,7 +49,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "class_balance_downsample", "schema_drift_report", "join_size_profile",
     "seasonality_index_monthly", "basket_brand_pairs_lift",
     // two fixed-9-row attaches: decile targets, then the decile edges
-    "psi_drift_totalprice")
+    "psi_drift_totalprice",
+    // two 1-row attaches: the 3 HLL estimates and the exact semi-join count
+    "hll_overlap_custkeys")
 
   test("no CartesianProduct / unexpected BroadcastNestedLoopJoin in any registered plan") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()

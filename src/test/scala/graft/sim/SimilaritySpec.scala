@@ -147,4 +147,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .collect()
     assert(got.head.getInt(1) == 3)
   }
+
+  test("PQ: codes cover every (id, sub); ADC ranks the exact duplicate first") {
+    // 8 seed vectors (ids 0-7) in 4 dims, m=2 subspaces of 2 dims; vec 8
+    // duplicates vec 0, vec 9 is far from everything.
+    val base = Seq(
+      0L -> Array(1f, 0f, 1f, 0f), 1L -> Array(0f, 1f, 0f, 1f),
+      2L -> Array(1f, 1f, 0f, 0f), 3L -> Array(0f, 0f, 1f, 1f),
+      4L -> Array(2f, 0f, 2f, 0f), 5L -> Array(0f, 2f, 0f, 2f),
+      6L -> Array(2f, 2f, 0f, 0f), 7L -> Array(0f, 0f, 2f, 2f),
+      8L -> Array(1f, 0f, 1f, 0f), 9L -> Array(9f, 9f, 9f, 9f))
+    val vecs = base.map { case (i, v) => (i, v) }.toDF("vec_id", "embedding")
+    val (codes, cents) = Similarity.pqFit(
+      vecs, "vec_id", "embedding", m = 2, subDim = 2, kSub = 4, iters = 2)
+    assert(codes.count() == 20) // 10 ids x 2 subspaces
+    assert(codes.filter("code < 0 OR code >= 4").count() == 0)
+    assert(cents.count() <= 8) // <= m * kSub surviving codebook rows
+    val top = Similarity.pqTopKAdc(
+      vecs, "vec_id", "embedding", 0L, 3, m = 2, subDim = 2, kSub = 4,
+      iters = 2).collect()
+    // vecs 4 and 8 land in the query's PQ cells (8 duplicates vec 0;
+    // 4 = 2*vec0 clusters with it at kSub=4), so they tie at the minimal
+    // ADC distance and the smaller id ranks first — ADC cannot separate
+    // same-code vectors, by construction. Vec 9 must not make top-3.
+    assert(top.map(_.getLong(0)).take(2).toSeq == Seq(4L, 8L))
+    assert(top(0).getLong(1) == top(1).getLong(1))
+    assert(!top.map(_.getLong(0)).contains(9L))
+  }
 }

@@ -103,4 +103,56 @@ class StatsSpec extends AnyFunSuite with SparkTestSession {
     assert(ri.getAs[Double]("h_a") == 0.693147)
     assert(ri.getAs[Double]("nmi") == 0.0)
   }
+
+  test("welchTTest matches the hand-computed closed form") {
+    import org.apache.spark.sql.functions.col
+    // A = {1..5} cents (mean 3, var 2.5), B = {2,4,..,12} (mean 7, var 14)
+    // t = (3-7)/sqrt(2.5/5 + 14/6) = -2.376354, Welch df = 6.972256
+    val df = (Seq(1L, 2L, 3L, 4L, 5L).map((_, true)) ++
+      Seq(2L, 4L, 6L, 8L, 10L, 12L).map((_, false))).toDF("v", "a")
+    val r = Stats.welchTTest(df, col("v"), col("a")).head()
+    assert(r.getAs[Long]("n_a") == 5 && r.getAs[Long]("n_b") == 6)
+    assert(r.getAs[Double]("mean_a") == 0.03)
+    assert(r.getAs[Double]("mean_b") == 0.07)
+    assert(r.getAs[Double]("t_stat") == -2.376354)
+    assert(r.getAs[Double]("dof") == 6.972256)
+  }
+
+  test("mannWhitneyU with ties: midranks, tie correction, exact U") {
+    import org.apache.spark.sql.functions.col
+    // A = {1,2,3}, B = {2,3,4}: midranks 1, 2.5, 4.5, 6 -> R_a = 8,
+    // U_a = 2, mu = 4.5; ties at 2 and 3 -> var = 4.95,
+    // z = -2.5/sqrt(4.95) = -1.123666, CLES = 2/9
+    val df = (Seq(1L, 2L, 3L).map((_, true)) ++
+      Seq(2L, 3L, 4L).map((_, false))).toDF("v", "a")
+    val r = Stats.mannWhitneyU(df, col("v"), col("a")).head()
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Long]("n_values") == 4)
+    assert(r.getAs[Double]("u_a") == 2.0)
+    assert(r.getAs[Double]("mu_u") == 4.5)
+    assert(r.getAs[Double]("z") == -1.123666)
+    assert(r.getAs[Double]("cles") == 0.222222)
+  }
+
+  test("groupedOls recovers exact and noisy linear fits per group") {
+    import org.apache.spark.sql.functions.col
+    // g1: y = 200x cents exactly -> slope 2.0 dollars, r2 = 1
+    // g2: (1,100),(2,200),(3,400) cents -> slope 150 cents = 1.5 dollars,
+    //     intercept -200/3 cents, r2 = 81/84
+    val df = (Seq((1L, 200L), (2L, 400L), (3L, 600L)).map {
+      case (x, y) => ("g1", x, y)
+    } ++ Seq((1L, 100L), (2L, 200L), (3L, 400L)).map {
+      case (x, y) => ("g2", x, y)
+    }).toDF("g", "x", "y")
+    val rs = Stats.groupedOls(df, "g", col("x"), col("y")).collect()
+    val g1 = rs.find(_.getString(0) == "g1").get
+    assert(g1.getAs[Long]("n") == 3)
+    assert(g1.getAs[Double]("slope") == 2.0)
+    assert(g1.getAs[Double]("intercept") == 0.0)
+    assert(g1.getAs[Double]("r2") == 1.0)
+    val g2 = rs.find(_.getString(0) == "g2").get
+    assert(g2.getAs[Double]("slope") == 1.5)
+    assert(g2.getAs[Double]("intercept") == -0.666667)
+    assert(g2.getAs[Double]("r2") == 0.964286)
+  }
 }
