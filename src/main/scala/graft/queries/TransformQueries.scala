@@ -430,8 +430,87 @@ object TransformQueries extends QueryPack {
             FROM orders)
       WHERE rk = 1 ORDER BY custkey"""))
 
+  /** Weight-of-evidence / information-value of order priority against
+    * the finished-status target ([[SupervisedEncoding.woeIv]]) — the
+    * scorecard-style categorical screen: per-category WoE with the
+    * half-event adjustment plus the micro-unit IV decomposition and its
+    * order-independent total.
+    */
+  val woeIvPriority: GraftQuery = GraftQuery(
+    "woe_iv_priority",
+    (s, dir) => SupervisedEncoding.woeIv(
+      Tables(s, dir, "orders"),
+      col("o_orderpriority"), col("o_orderstatus") === "F"),
+    Some("""
+      WITH per AS (
+        SELECT o_orderpriority AS category, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(CASE WHEN o_orderstatus = 'F'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        FROM orders GROUP BY o_orderpriority),
+      t AS (
+        SELECT *, SUM(n_pos) OVER () AS t_pos, SUM(n_neg) OVER () AS t_neg
+        FROM per),
+      w AS (
+        SELECT category, n, n_pos, n_neg,
+               ln(((n_pos + 0.5) / t_pos) / ((n_neg + 0.5) / t_neg))
+                 AS woe_raw,
+               (n_pos * 1.0 / t_pos - n_neg * 1.0 / t_neg)
+                 * ln(((n_pos + 0.5) / t_pos) / ((n_neg + 0.5) / t_neg))
+                 AS term
+        FROM t),
+      m AS (
+        SELECT category, n, n_pos, n_neg,
+               round(woe_raw, 6) AS woe,
+               CAST(floor(abs(term) * 1000000 + 0.5)
+                 * (CASE WHEN term > 0 THEN 1 WHEN term < 0 THEN -1
+                    ELSE 0 END) AS BIGINT) AS iv_term_micro
+        FROM w)
+      SELECT category, n, n_pos, n_neg, woe, iv_term_micro,
+             CAST(SUM(iv_term_micro) OVER () AS BIGINT) AS iv_micro
+      FROM m ORDER BY category"""))
+
+  /** Leak-free out-of-fold target encoding of order priority against
+    * o_totalprice over 5 deterministic hash folds
+    * ([[SupervisedEncoding.targetEncodeOof]], prior weight 20) — the
+    * CV-safe mean encoding emitted as its complete (category, fold)
+    * lookup table.
+    */
+  val targetEncodeOof: GraftQuery = GraftQuery(
+    "target_encode_oof_priority",
+    (s, dir) => SupervisedEncoding.targetEncodeOof(
+      Tables(s, dir, "orders"),
+      col("o_orderpriority"), Q.cents("o_totalprice"),
+      graft.dedup.Dedup.md5Hash60(col("o_orderkey").cast("string"), 11)
+        % 5,
+      priorWeight = 20),
+    Some("""
+      WITH s AS (
+        SELECT o_orderpriority AS category,
+               CAST(concat('0x', substring(
+                 md5(CAST(o_orderkey AS VARCHAR) || '|11'), 1, 15))
+                 AS BIGINT) % 5 AS fold,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders),
+      per AS (
+        SELECT category, fold, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s
+        FROM s GROUP BY category, fold),
+      w AS (
+        SELECT category, fold, n, s,
+               CAST(SUM(s) OVER (PARTITION BY category) AS BIGINT) AS cs,
+               CAST(SUM(n) OVER (PARTITION BY category) AS BIGINT) AS cn,
+               CAST(SUM(s) OVER () AS BIGINT) AS ts,
+               CAST(SUM(n) OVER () AS BIGINT) AS tn
+        FROM per)
+      SELECT category, fold, n,
+             round((cs - s + 20 * (ts * 1.0 / tn)) / (cn - n + 20) / 100.0, 6)
+               AS enc
+      FROM w ORDER BY category, fold"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     labelEncode, labelEncodeUnseen, equalWidthBin, quantileBin,
     derivedFeatures, standardize, scaling, groupwiseZ, imputeGroupMean,
-    scd2History, scd2PointInTime, latestStatusStream)
+    scd2History, scd2PointInTime, latestStatusStream, woeIvPriority,
+    targetEncodeOof)
 }

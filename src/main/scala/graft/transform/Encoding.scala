@@ -1,7 +1,7 @@
 package graft.transform
 
 import graft.Q
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -117,5 +117,83 @@ object Standardizer {
     val mean = r.getLong(0) * 1.0 / n
     val variance = (r.getDouble(1) / n - mean * mean) * n / (n - ddof)
     StandardizeModel(column, mean / scale, math.sqrt(variance) / scale)
+  }
+}
+
+/** Supervised categorical encodings — the two feature transforms a
+  * scorecard / GBM pipeline fits per category against a target, computed
+  * as single grouped aggregations (one shuffle over category cardinality,
+  * never over rows) so they hold at any corpus size.
+  *
+  * Determinism: category/fold counts and target sums are exact integers;
+  * every double (WoE's ln, the smoothed mean) is one fixed closed-form
+  * expression over those integers, mirrored verbatim in the oracles.
+  * Cross-category totals are carried in integer micro-units (the
+  * [[graft.stats.Stats.psiDeciles]] convention) so sums are
+  * order-independent.
+  */
+object SupervisedEncoding {
+
+  /** Weight-of-evidence per category against a boolean target, plus the
+    * information-value decomposition: woe = ln(((n_pos+0.5)/T_pos) /
+    * ((n_neg+0.5)/T_neg)) (the standard half-event adjustment keeps
+    * zero-event categories finite) and iv_term = (n_pos/T_pos −
+    * n_neg/T_neg)·woe, emitted in integer micro-units with the
+    * order-independent grand total alongside.
+    */
+  def woeIv(df: DataFrame, cat: Column, isPos: Column): DataFrame = {
+    val per = df
+      .select(cat.as("category"), when(isPos, 1L).otherwise(0L).as("y"))
+      .groupBy("category")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("y").as("n_pos"),
+        (count(lit(1)) - sum("y")).as("n_neg"))
+    val all = Window.partitionBy()
+    val base = per.select(
+      col("category"), col("n"), col("n_pos"), col("n_neg"),
+      sum("n_pos").over(all).as("t_pos"),
+      sum("n_neg").over(all).as("t_neg"))
+    val woeRaw = log(
+      ((col("n_pos") + 0.5) / col("t_pos")) /
+        ((col("n_neg") + 0.5) / col("t_neg")))
+    val term = (col("n_pos") * 1.0 / col("t_pos") -
+      col("n_neg") * 1.0 / col("t_neg")) * woeRaw
+    val termMicro = (floor(abs(term) * 1e6 + 0.5).cast("long") *
+      when(term > 0, 1L).when(term < 0, -1L).otherwise(0L))
+      .as("iv_term_micro")
+    base
+      .select(col("category"), col("n"), col("n_pos"), col("n_neg"),
+        Q.r6(woeRaw).as("woe"), termMicro)
+      .withColumn("iv_micro", sum("iv_term_micro").over(all))
+      .orderBy("category")
+  }
+
+  /** Leak-free out-of-fold target encoding: for fold f of category c the
+    * encoding is the smoothed target mean over c's rows OUTSIDE f —
+    * (cat_sum − fold_sum + m·global_mean) / (cat_n − fold_n + m) — the
+    * standard CV-safe mean encoding (no row sees its own target). Emits
+    * the complete (category, fold) lookup table, which IS the row-level
+    * transform (a broadcast join away), in original units (cents/100).
+    * `valueCents` must be an exact integer grid ([[Q.cents]]).
+    */
+  def targetEncodeOof(
+      df: DataFrame, cat: Column, valueCents: Column, fold: Column,
+      priorWeight: Int): DataFrame = {
+    val per = df
+      .select(cat.as("category"), fold.as("fold"),
+        valueCents.cast("long").as("v"))
+      .groupBy("category", "fold")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val byCat = Window.partitionBy("category")
+    val all = Window.partitionBy()
+    val gmean = sum("s").over(all) * 1.0 / sum("n").over(all)
+    val enc = (sum("s").over(byCat) - col("s") +
+      lit(priorWeight) * gmean) /
+      (sum("n").over(byCat) - col("n") + lit(priorWeight))
+    per
+      .select(col("category"), col("fold"), col("n"),
+        Q.r6(enc / 100.0).as("enc"))
+      .orderBy("category", "fold")
   }
 }

@@ -45,4 +45,40 @@ class EncodingSpec extends AnyFunSuite with SparkTestSession {
     val z = m.transform(df, "z").select("z").as[Double].collect()
     assert(math.abs(z.sum) < 1e-9)
   }
+
+  test("woeIv matches the half-adjusted closed form and IV total") {
+    import org.apache.spark.sql.functions.col
+    // A: 2 pos / 1 neg, B: 0 pos / 2 neg -> T_pos=2, T_neg=3
+    // woe_A = ln(2.5/0.5) = 0.916291, woe_B = ln(0.25/0.833..) = -1.203973
+    val df = Seq(("A", true), ("A", true), ("A", false),
+      ("B", false), ("B", false)).toDF("c", "y")
+    val rs = Rows(SupervisedEncoding.woeIv(df, col("c"), col("y")))
+    val a = rs.find(_.getString(0) == "A").get
+    val b = rs.find(_.getString(0) == "B").get
+    assert(a.getAs[Long]("n_pos") == 2 && a.getAs[Long]("n_neg") == 1)
+    assert(a.getAs[Double]("woe") == 0.916291)
+    assert(b.getAs[Double]("woe") == -1.203973)
+    assert(a.getAs[Long]("iv_term_micro") == 610860L)
+    assert(b.getAs[Long]("iv_term_micro") == 802649L)
+    assert(a.getAs[Long]("iv_micro") == 1413509L)
+  }
+
+  test("targetEncodeOof excludes the fold's own rows from its mean") {
+    import org.apache.spark.sql.functions.col
+    // cents: A/f0=100, A/f1=300, B/f0=200; prior m=2, gmean=200
+    // enc(A,0) = (400-100+400)/3 = 233.33.. cents, enc(A,1) = 500/3,
+    // enc(B,0) = 400/2 = 200 cents
+    val df = Seq(("A", 0L, 100L), ("A", 1L, 300L), ("B", 0L, 200L))
+      .toDF("c", "f", "v")
+    val rs = Rows(SupervisedEncoding.targetEncodeOof(
+      df, col("c"), col("v"), col("f"), priorWeight = 2))
+    def enc(c: String, f: Long): Double =
+      rs.find(r => r.getString(0) == c && r.getLong(1) == f).get
+        .getAs[Double]("enc")
+    assert(enc("A", 0L) == 2.333333)
+    assert(enc("A", 1L) == 1.666667)
+    assert(enc("B", 0L) == 2.0)
+  }
+
+  private def Rows(df: org.apache.spark.sql.DataFrame) = df.collect()
 }
