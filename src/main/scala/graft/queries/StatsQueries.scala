@@ -571,8 +571,81 @@ object StatsQueries extends QueryPack {
              round(cov_n * cov_n / (var_xn * var_yn), 6) AS r2
       FROM sl ORDER BY l_returnflag"""))
 
+  /** Benford first-digit audit of o_totalprice ([[Stats.benfordDigits]])
+    * — observed digit shares vs the ln(1+1/d)/ln(10) expectation with
+    * micro-unit deviations and the TV distance; the fraud / synthetic-
+    * data screen for amount columns (the harness's uniform-ish prices
+    * are EXPECTED to deviate — the query reports, it doesn't assert).
+    */
+  val benford: GraftQuery = GraftQuery(
+    "benford_digit_audit",
+    (s, dir) => Stats.benfordDigits(
+      Tables(s, dir, "orders"), Q.cents("o_totalprice")),
+    Some("""
+      WITH v AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+      counts AS (
+        SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+                 AS digit,
+               COUNT(*) AS n
+        FROM v GROUP BY 1),
+      digits AS (
+        SELECT CAST(unnest(generate_series(1, 9)) AS INTEGER) AS digit),
+      per AS (
+        SELECT digits.digit, CAST(COALESCE(counts.n, 0) AS BIGINT) AS n
+        FROM digits LEFT JOIN counts ON counts.digit = digits.digit),
+      t AS (SELECT digit, n, SUM(n) OVER () AS t FROM per),
+      m AS (
+        SELECT digit, n,
+               round(n * 1.0 / t, 6) AS share,
+               round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected,
+               (n * 1.0 / t) - (ln(1.0 + 1.0 / digit) / ln(10.0)) AS dev
+        FROM t),
+      mm AS (
+        SELECT digit, n, share, expected,
+               CAST(floor(abs(dev) * 1000000 + 0.5)
+                 * (CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1
+                    ELSE 0 END) AS BIGINT) AS dev_micro
+        FROM m)
+      SELECT digit, n, share, expected, dev_micro,
+             CAST(floor(SUM(abs(dev_micro)) OVER () / 2) AS BIGINT)
+               AS tv_micro
+      FROM mm ORDER BY digit"""))
+
+  /** Robust outlier report on o_totalprice cents ([[Stats.madOutliers]])
+    * — median, scaled MAD, and the count beyond the 3-sigma-equivalent
+    * MAD fence, all on the doubled integer grid for exact cross-engine
+    * medians.
+    */
+  val madOutliersQ: GraftQuery = GraftQuery(
+    "mad_outliers_totalprice",
+    (s, dir) => Stats.madOutliers(
+      Tables(s, dir, "orders"), Q.cents("o_totalprice")),
+    Some("""
+      WITH v AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS v2
+        FROM orders),
+      med AS (SELECT quantile_cont(v2, 0.5) AS med2 FROM v),
+      dev AS (
+        SELECT v2, med2, abs(v2 - CAST(med2 AS BIGINT)) AS d2
+        FROM v, med),
+      mad AS (
+        SELECT med2, quantile_cont(d2, 0.5) AS mad2, COUNT(*) AS n
+        FROM dev GROUP BY med2),
+      f AS (
+        SELECT d.v2, m.med2, m.mad2, m.n,
+               (CAST(abs(d.v2 - CAST(m.med2 AS BIGINT)) AS DOUBLE)
+                 > 3.0 * 1.4826 * m.mad2) AS out
+        FROM (SELECT v2 FROM dev) d, mad m)
+      SELECT n, round(med2 / 200.0, 6) AS median,
+             round(mad2 * 1.4826 / 200.0, 6) AS mad_scaled,
+             CAST(SUM(CASE WHEN out THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+      FROM f GROUP BY med2, mad2, n"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     profile, valueCounts, nullCounts, corrMatrix, crosstab, entropyGini,
     skewKurt, corrVsLabel, histQuantile, chi2, ksDrift, psiDrift, mutualInfo,
-    fdChecks, welchT, mannWhitney, olsByFlag)
+    fdChecks, welchT, mannWhitney, olsByFlag, benford, madOutliersQ)
 }

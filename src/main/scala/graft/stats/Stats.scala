@@ -349,6 +349,82 @@ object Stats {
           .as("nmi"))
   }
 
+  /** Benford first-digit audit of a positive exact-integer column
+    * (scale money with [[Q.cents]] first — the leading digit of cents
+    * equals the leading digit of the amount): observed share per digit
+    * 1-9 against the Benford expectation ln(1+1/d)/ln(10), with the
+    * per-digit deviation and total variation distance in integer
+    * micro-units — the fraud/synthetic-data screen for amount columns.
+    *
+    * The digit comes from the INTEGER's decimal string (substring of a
+    * cast — identical in both engines; no float log10 edge cases at
+    * powers of ten), so counts are exact and one fixed double expression
+    * per digit does the rest.
+    */
+  def benfordDigits(df: DataFrame, valueCents: Column): DataFrame = {
+    val all = Window.partitionBy()
+    val counts = df
+      .select(valueCents.cast("long").as("v"))
+      .filter(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+    // 1-9 spine: an absent digit must report n = 0 (its expected mass
+    // still counts toward the TV distance), not vanish from the audit
+    val per = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+    val share = col("n") * 1.0 / col("t")
+    val expected = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+    val dev = share - expected
+    per
+      .select(col("digit"), col("n"), sum("n").over(all).as("t"))
+      .select(col("digit"), col("n"),
+        Q.r6(share).as("share"),
+        Q.r6(expected).as("expected"),
+        (floor(abs(dev) * 1e6 + 0.5).cast("long") *
+          when(dev > 0, 1L).when(dev < 0, -1L).otherwise(0L))
+          .as("dev_micro"))
+      .withColumn("tv_micro",
+        (sum(abs(col("dev_micro"))).over(all) / 2).cast("long"))
+      .orderBy("digit")
+  }
+
+  /** Robust outlier report: median and MAD (median absolute deviation,
+    * scaled by the 1.4826 normal-consistency constant) over an exact
+    * integer grid, plus the count beyond the standard 3-sigma-equivalent
+    * fence — the heavy-tail-safe alternative to z-score fences.
+    *
+    * Exactness: medians run on the DOUBLED integer grid (2v, |2v − 2·med|
+    * stay integers; an even-count midpoint is then exact in double), so
+    * both percentiles and the fence comparison are bit-identical across
+    * engines. Exact `percentile` is the parity-mode choice — at 100 TB
+    * the registered bounded-memory path is the same fence over
+    * `histQuantile`'s fixed-m histogram.
+    */
+  def madOutliers(df: DataFrame, valueCents: Column): DataFrame = {
+    val v2 = df.select((valueCents.cast("long") * 2L).as("v2"))
+    val med = v2.agg(expr("percentile(v2, 0.5)").as("med2"))
+    val dev = v2.crossJoin(broadcast(med)) // 1-row scalar attach
+      .select(col("v2"), col("med2"),
+        abs(col("v2") - col("med2").cast("long")).as("d2"))
+    val mad = dev.groupBy("med2")
+      .agg(expr("percentile(d2, 0.5)").as("mad2"), count(lit(1)).as("n"))
+    dev.select(col("v2"))
+      .crossJoin(broadcast(mad)) // 1-row scalar attach
+      .select(col("v2"), col("med2"), col("mad2"), col("n"),
+        (abs(col("v2") - col("med2").cast("long")).cast("double") >
+          lit(3.0) * lit(1.4826) * col("mad2")).as("out"))
+      .groupBy("med2", "mad2", "n")
+      .agg(sum(when(col("out"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("n"),
+        Q.r6(col("med2") / 200.0).as("median"),
+        Q.r6(col("mad2") * 1.4826 / 200.0).as("mad_scaled"),
+        col("n_outliers"))
+  }
+
   /** Welch's unequal-variance t-test between two row groups on an exact
     * integer value grid (scale fixed-decimal inputs with [[Q.cents]]
     * first; `isA` marks the first sample) — the A/B significance check

@@ -51,7 +51,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // two fixed-9-row attaches: decile targets, then the decile edges
     "psi_drift_totalprice",
     // two 1-row attaches: the 3 HLL estimates and the exact semi-join count
-    "hll_overlap_custkeys")
+    "hll_overlap_custkeys",
+    // two 1-row scalar attaches: the median, then the MAD
+    "mad_outliers_totalprice")
 
   test("no CartesianProduct / unexpected BroadcastNestedLoopJoin in any registered plan") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()

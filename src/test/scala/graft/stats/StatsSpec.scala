@@ -134,6 +134,33 @@ class StatsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getAs[Double]("cles") == 0.222222)
   }
 
+  test("benfordDigits: digit spine keeps absent digits; TV halves the L1") {
+    import org.apache.spark.sql.functions.col
+    // cents {1,1,2,900} -> digits 1,1,2,9; digits 3-8 absent but reported
+    val df = Seq(1L, 1L, 2L, 900L).toDF("v")
+    val rs = Stats.benfordDigits(df, col("v")).collect()
+    assert(rs.length == 9)
+    val d1 = rs.find(_.getInt(0) == 1).get
+    assert(d1.getAs[Long]("n") == 2 && d1.getAs[Double]("share") == 0.5)
+    assert(d1.getAs[Double]("expected") == 0.30103)
+    assert(d1.getAs[Long]("dev_micro") == 198970L)
+    val d5 = rs.find(_.getInt(0) == 5).get
+    assert(d5.getAs[Long]("n") == 0 && d5.getAs[Long]("dev_micro") == -79181L)
+    assert(rs.map(_.getAs[Long]("tv_micro")).distinct.toSeq == Seq(477122L))
+  }
+
+  test("madOutliers: exact doubled-grid medians and the 3-sigma MAD fence") {
+    import org.apache.spark.sql.functions.col
+    // cents {1,2,3,4,100}: median 3 cents, MAD 1 cent; only 100 is outside
+    // |v-med| > 3*1.4826*MAD
+    val df = Seq(1L, 2L, 3L, 4L, 100L).toDF("v")
+    val r = Stats.madOutliers(df, col("v")).head()
+    assert(r.getAs[Long]("n") == 5)
+    assert(r.getAs[Double]("median") == 0.03)
+    assert(r.getAs[Double]("mad_scaled") == 0.014826)
+    assert(r.getAs[Long]("n_outliers") == 1)
+  }
+
   test("groupedOls recovers exact and noisy linear fits per group") {
     import org.apache.spark.sql.functions.col
     // g1: y = 200x cents exactly -> slope 2.0 dollars, r2 = 1
