@@ -546,9 +546,53 @@ object MiscQueries extends QueryPack {
       WHERE best_larger IS NULL OR min_price_cents < best_larger
       ORDER BY p_size"""))
 
+  /** CUSUM level-shift scan over daily order revenue
+    * ([[graft.stats.Stats.cusumChangepoint]]): the day where the
+    * cumulative deviation from the mean daily revenue peaks — the
+    * monitoring read that localizes WHEN a drift started, complementing
+    * the KS/PSI "did it drift" gates. n·CUSUM stays integer, so the
+    * argmax day is exact cross-engine.
+    */
+  val cusumDaily: GraftQuery = GraftQuery(
+    "cusum_changepoint_daily",
+    (s, dir) => graft.stats.Stats.cusumChangepoint(
+      Tables(s, dir, "orders"),
+      datediff(col("o_orderdate"), to_date(lit("1995-01-01"))),
+      Q.cents("o_totalprice")),
+    Some("""
+      WITH s AS (
+        SELECT CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                 AS BIGINT) AS bucket,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders),
+      per AS (
+        SELECT bucket, CAST(SUM(v) AS BIGINT) AS rev
+        FROM s GROUP BY bucket),
+      w AS (
+        SELECT bucket,
+               CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS i,
+               CAST(SUM(rev) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS prefix,
+               CAST(SUM(rev) OVER () AS BIGINT) AS total,
+               COUNT(*) OVER () AS nd
+        FROM per),
+      d AS (
+        SELECT bucket, nd, nd * prefix - i * total AS dev2
+        FROM w),
+      r AS (
+        SELECT bucket, nd, dev2,
+               row_number() OVER (ORDER BY abs(dev2) DESC, bucket) AS rk
+        FROM d)
+      SELECT nd AS n_buckets, bucket AS cp_bucket,
+             round(abs(dev2) / nd / 100.0, 6) AS cusum_max,
+             CAST(CASE WHEN dev2 > 0 THEN 1 WHEN dev2 < 0 THEN -1
+                  ELSE 0 END AS INTEGER) AS direction
+      FROM r WHERE rk = 1"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(unionConcat, topkPerBrand, absRank, setOps, csvRoundtrip,
       calibration, zorderLayout, revenueGrowth, partitionedRoundtrip,
       revenueAutocorr, skewSalted, seasonality, rfmSegments, basketLift,
-      skyline)
+      skyline, cusumDaily)
 }

@@ -644,8 +644,73 @@ object StatsQueries extends QueryPack {
                AS n_outliers
       FROM f GROUP BY med2, mad2, n"""))
 
+  /** CUPED-adjusted A/B read on the same hash-half split as [[welchT]],
+    * with the order's customer account balance as the pre-experiment
+    * covariate ([[Stats.cupedAdjusted]]): variance-reduced adjusted
+    * means, their difference, and the pooled r² (the expected variance
+    * reduction). A self-split, so diff_adj measures pure noise; pointed
+    * at a real assignment column it is the experiment readout. One
+    * broadcastable dimension join + one aggregation.
+    */
+  val cuped: GraftQuery = GraftQuery(
+    "cuped_adjusted_ab",
+    (s, dir) => Stats.cupedAdjusted(
+      Tables(s, dir, "orders").join(
+        Tables(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey")),
+      Q.cents("c_acctbal"),
+      Q.cents("o_totalprice"),
+      graft.dedup.Dedup.md5Hash60(col("o_orderkey").cast("string"), 7)
+        % 2 === 0),
+    Some("""
+      WITH s AS (
+        SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+               CASE WHEN CAST(concat('0x', substring(
+                      md5(CAST(o_orderkey AS VARCHAR) || '|7'), 1, 15))
+                    AS BIGINT) % 2 = 0
+                    THEN 1 ELSE 0 END AS a
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      agg AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS na,
+               CAST(COUNT(*) - SUM(a) AS BIGINT) AS nb,
+               CAST(SUM(a * x) AS BIGINT) AS sxa,
+               CAST(SUM((1 - a) * x) AS BIGINT) AS sxb,
+               CAST(SUM(a * y) AS BIGINT) AS sya,
+               CAST(SUM((1 - a) * y) AS BIGINT) AS syb,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS dsxx,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS dsxy,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS dsyy
+        FROM s),
+      d AS (
+        SELECT na, nb, sxa, sxb, sya, syb, dsxx, dsxy, dsyy,
+               CAST(na + nb AS DOUBLE) AS dn,
+               CAST(sxa + sxb AS DOUBLE) AS dsx,
+               CAST(sya + syb AS DOUBLE) AS dsy,
+               CAST(na AS DOUBLE) AS dna, CAST(nb AS DOUBLE) AS dnb
+        FROM agg),
+      k AS (
+        SELECT *,
+               dn * dsxy - dsx * dsy AS cov_n,
+               dn * dsxx - dsx * dsx AS var_xn,
+               dn * dsyy - dsy * dsy AS var_yn
+        FROM d),
+      t AS (SELECT *, cov_n / var_xn AS theta FROM k),
+      m AS (
+        SELECT *,
+               sya / dna - theta * (sxa / dna - dsx / dn) AS adj_a,
+               syb / dnb - theta * (sxb / dnb - dsx / dn) AS adj_b
+        FROM t)
+      SELECT na AS n_a, nb AS n_b,
+             round(theta, 6) AS theta,
+             round(adj_a / 100.0, 6) AS mean_a_adj,
+             round(adj_b / 100.0, 6) AS mean_b_adj,
+             round((adj_a - adj_b) / 100.0, 6) AS diff_adj,
+             round(cov_n * cov_n / (var_xn * var_yn), 6) AS var_reduction
+      FROM m"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     profile, valueCounts, nullCounts, corrMatrix, crosstab, entropyGini,
     skewKurt, corrVsLabel, histQuantile, chi2, ksDrift, psiDrift, mutualInfo,
-    fdChecks, welchT, mannWhitney, olsByFlag, benford, madOutliersQ)
+    fdChecks, welchT, mannWhitney, olsByFlag, benford, madOutliersQ, cuped)
 }

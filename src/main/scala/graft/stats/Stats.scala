@@ -522,6 +522,98 @@ object Stats {
       Q.r6(u2a.cast("double") / (lit(2.0) * dna * dnb)).as("cles"))
   }
 
+  /** CUSUM changepoint scan over a per-bucket total series: the bucket
+    * (e.g. day) where the cumulative deviation from the global mean
+    * peaks — the standard level-shift detector for revenue / volume
+    * monitoring. Integer-exact end to end: with prefix_i and total as
+    * exact sums and n buckets, n·CUSUM_i = n·prefix_i − i·total is an
+    * integer, so the argmax (ties to the earliest bucket) is
+    * order-independent and hash-replayable; the reported magnitude is
+    * one final division. The window runs over the BUCKET domain (days),
+    * not rows — bounded, like [[ksStatistic]]'s grid.
+    */
+  def cusumChangepoint(
+      df: DataFrame, bucket: Column, valueCents: Column): DataFrame = {
+    val per = df
+      .select(bucket.cast("long").as("bucket"),
+        valueCents.cast("long").as("v"))
+      .groupBy("bucket")
+      .agg(sum("v").as("rev"))
+    val ord = Window.orderBy("bucket")
+    val all = Window.partitionBy()
+    val scored = per.select(
+      col("bucket"),
+      row_number().over(ord).cast("long").as("i"),
+      sum("rev").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("prefix"),
+      sum("rev").over(all).as("total"),
+      count(lit(1)).over(all).as("nd"))
+      .withColumn("dev2",
+        col("nd") * col("prefix") - col("i") * col("total"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("dev2")).desc, col("bucket"))))
+      .filter(col("rk") === 1)
+      .select(
+        col("nd").as("n_buckets"),
+        col("bucket").as("cp_bucket"),
+        Q.r6(abs(col("dev2")) / col("nd") / 100.0).as("cusum_max"),
+        when(col("dev2") > 0, 1).when(col("dev2") < 0, -1).otherwise(0)
+          .as("direction"))
+  }
+
+  /** CUPED-adjusted A/B comparison (Deng et al., WSDM 2013): the
+    * variance-reduced treatment-effect read. θ = cov(x,y)/var(x) is fit
+    * on the POOLED data from exact integer sufficient statistics
+    * (squares/cross-products in decimal(38,0)); each group's adjusted
+    * mean is ȳ_g − θ(x̄_g − x̄), and the expected variance reduction is
+    * the pooled r². One aggregation, closed-form doubles on identical
+    * operands — bit-identical cross-engine. Means in original units
+    * (cents / 100).
+    */
+  def cupedAdjusted(
+      df: DataFrame, xCents: Column, yCents: Column, isA: Column)
+      : DataFrame = {
+    val zero38 = lit(0).cast("decimal(38,0)")
+    val agg = df
+      .select(xCents.cast("long").as("x"), yCents.cast("long").as("y"),
+        when(isA, 1L).otherwise(0L).as("a"))
+      .agg(
+        sum("a").as("na"),
+        (count(lit(1)) - sum("a")).as("nb"),
+        sum(col("a") * col("x")).as("sxa"),
+        sum((lit(1L) - col("a")) * col("x")).as("sxb"),
+        sum(col("a") * col("y")).as("sya"),
+        sum((lit(1L) - col("a")) * col("y")).as("syb"),
+        sum(col("x").cast("decimal(38,0)") * col("x"))
+          .cast("double").as("dsxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y"))
+          .cast("double").as("dsxy"),
+        sum(col("y").cast("decimal(38,0)") * col("y"))
+          .cast("double").as("dsyy"))
+    val dn = (col("na") + col("nb")).cast("double")
+    val dsx = (col("sxa") + col("sxb")).cast("double")
+    val dsy = (col("sya") + col("syb")).cast("double")
+    val covN = dn * col("dsxy") - dsx * dsy
+    val varXN = dn * col("dsxx") - dsx * dsx
+    val varYN = dn * col("dsyy") - dsy * dsy
+    val theta = covN / varXN
+    val dna = col("na").cast("double")
+    val dnb = col("nb").cast("double")
+    val adjA = col("sya") / dna -
+      theta * (col("sxa") / dna - dsx / dn)
+    val adjB = col("syb") / dnb -
+      theta * (col("sxb") / dnb - dsx / dn)
+    agg.select(
+      col("na").as("n_a"), col("nb").as("n_b"),
+      Q.r6(theta).as("theta"),
+      Q.r6(adjA / 100.0).as("mean_a_adj"),
+      Q.r6(adjB / 100.0).as("mean_b_adj"),
+      Q.r6((adjA - adjB) / 100.0).as("diff_adj"),
+      Q.r6(covN * covN / (varXN * varYN)).as("var_reduction"))
+  }
+
   /** Per-group closed-form simple linear regression (OLS) of an exact
     * integer y grid on an exact integer x — the grouped trend screen
     * (e.g. price-per-unit drift by return flag) a feature audit runs

@@ -161,6 +161,34 @@ class StatsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getAs[Long]("n_outliers") == 1)
   }
 
+  test("cusumChangepoint localizes the level shift with integer argmax") {
+    import org.apache.spark.sql.functions.col
+    // daily cents {10,10,50,50}: mean 30; n*CUSUM peaks after day 2
+    // (|dev2| = 160), pre-shift direction is negative
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 50L), (4L, 50L)).toDF("d", "v")
+    val r = Stats.cusumChangepoint(df, col("d"), col("v")).head()
+    assert(r.getAs[Long]("n_buckets") == 4)
+    assert(r.getAs[Long]("cp_bucket") == 2L)
+    assert(r.getAs[Double]("cusum_max") == 0.4) // 160/4/100
+    assert(r.getAs[Int]("direction") == -1)
+  }
+
+  test("cupedAdjusted removes the covariate-explained variance") {
+    import org.apache.spark.sql.functions.col
+    // y = 2x + group effect: theta = 2 exactly, adjusted means strip the
+    // covariate imbalance; pooled r2 = 0.8
+    val df = Seq(
+      (100L, 300L, true), (200L, 500L, true),
+      (100L, 200L, false), (200L, 400L, false)).toDF("x", "y", "a")
+    val r = Stats.cupedAdjusted(df, col("x"), col("y"), col("a")).head()
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Double]("theta") == 2.0)
+    assert(r.getAs[Double]("mean_a_adj") == 4.0)
+    assert(r.getAs[Double]("mean_b_adj") == 3.0)
+    assert(r.getAs[Double]("diff_adj") == 1.0)
+    assert(r.getAs[Double]("var_reduction") == 0.8)
+  }
+
   test("groupedOls recovers exact and noisy linear fits per group") {
     import org.apache.spark.sql.functions.col
     // g1: y = 200x cents exactly -> slope 2.0 dollars, r2 = 1
