@@ -3,6 +3,7 @@ package graft.queries
 import graft.{GraftQuery, Q, QueryPack, Tables}
 import graft.split.Splits
 import graft.text.{Pii, TextOps}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators beyond the reference's surface: PII
@@ -643,8 +644,113 @@ object CurationQueries extends QueryPack {
              ex.exact_common
       FROM wide, ex"""))
 
+  /** KMV (bottom-k) sketch pre-flight beside [[hllOverlap]]: each side
+    * keeps its k=256 smallest distinct 60-bit hashes — a fully
+    * DETERMINISTIC mergeable summary (unlike HLL's probabilistic
+    * registers, two runs agree bit-for-bit, and the union sketch is just
+    * the bottom-k of the union). Distinct counts come from the k-th
+    * minimum ((k−1)/u_k, exact count when the side has fewer than k
+    * values), the Jaccard estimate is the match share within the union's
+    * bottom-k, and their product estimates the intersection — the
+    * classic KMV/theta-sketch set algebra (Beyer et al., SIGMOD 2007).
+    * `orderBy(h).limit(k)` plans as a TakeOrdered top-k, not a global
+    * sort, so the sketch build is one scan + a k-row reduction at any
+    * corpus size.
+    */
+  val kmvOverlap: GraftQuery = GraftQuery(
+    "kmv_overlap_custkeys",
+    (s, dir) => {
+      import graft.dedup.Dedup.md5Hash60
+      val k = 256
+      val pow60 = math.pow(2, 60)
+      def sk(df: org.apache.spark.sql.DataFrame, v: Column) =
+        df.select(md5Hash60(v.cast("string"), 0).as("h"))
+          .distinct().orderBy("h").limit(k)
+      val sa = sk(Tables(s, dir, "orders"), col("o_custkey"))
+      val sb = sk(Tables(s, dir, "customer"), col("c_custkey"))
+      val su = sa.unionByName(sb).distinct().orderBy("h").limit(k)
+      def est(n: Column, kth: Column): Column =
+        when(n < k, n.cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (kth.cast("double") / lit(pow60)))
+      val wide = sa.select(lit("a").as("side"), col("h"))
+        .unionByName(sb.select(lit("b").as("side"), col("h")))
+        .unionByName(su.select(lit("u").as("side"), col("h")))
+        .groupBy("side")
+        .agg(count(lit(1)).as("n"), max("h").as("kth"))
+        .agg(
+          max(when(col("side") === "a", est(col("n"), col("kth"))))
+            .as("ea"),
+          max(when(col("side") === "b", est(col("n"), col("kth"))))
+            .as("eb"),
+          max(when(col("side") === "u", est(col("n"), col("kth"))))
+            .as("eu"),
+          max(when(col("side") === "u", col("n"))).as("m"))
+      val matches = su
+        .join(sa, Seq("h"), "left_semi").join(sb, Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("matches"))
+      val exact = Tables(s, dir, "orders").select(col("o_custkey"))
+        .distinct()
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("exact_common"))
+      wide.crossJoin(matches).crossJoin(exact) // three 1-row attaches
+        .select(
+          Q.r6(col("ea")).as("est_orders"),
+          Q.r6(col("eb")).as("est_customer"),
+          Q.r6(col("eu")).as("est_union"),
+          Q.r6(col("matches") * 1.0 / col("m")).as("jaccard_est"),
+          Q.r6(col("matches") * 1.0 / col("m") * col("eu"))
+            .as("est_intersection"),
+          col("exact_common"))
+    },
+    Some("""
+      WITH ka AS (
+        SELECT DISTINCT CAST(concat('0x', substring(
+                 md5(CAST(o_custkey AS VARCHAR) || '|0'), 1, 15))
+                 AS BIGINT) AS h
+        FROM orders),
+      kb AS (
+        SELECT DISTINCT CAST(concat('0x', substring(
+                 md5(CAST(c_custkey AS VARCHAR) || '|0'), 1, 15))
+                 AS BIGINT) AS h
+        FROM customer),
+      sa AS (SELECT h FROM ka ORDER BY h LIMIT 256),
+      sb AS (SELECT h FROM kb ORDER BY h LIMIT 256),
+      su AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+             ORDER BY h LIMIT 256),
+      ea AS (SELECT COUNT(*) AS n, MAX(h) AS kth FROM sa),
+      eb AS (SELECT COUNT(*) AS n, MAX(h) AS kth FROM sb),
+      eu AS (SELECT COUNT(*) AS n, MAX(h) AS kth FROM su),
+      mm AS (SELECT COUNT(*) AS matches FROM su
+             WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+      ex AS (
+        SELECT COUNT(*) AS exact_common
+        FROM (SELECT DISTINCT o_custkey FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM customer))),
+      est AS (
+        SELECT
+          CASE WHEN ea.n < 256 THEN CAST(ea.n AS DOUBLE)
+               ELSE 255.0 / (CAST(ea.kth AS DOUBLE)
+                             / 1152921504606846976.0) END AS vea,
+          CASE WHEN eb.n < 256 THEN CAST(eb.n AS DOUBLE)
+               ELSE 255.0 / (CAST(eb.kth AS DOUBLE)
+                             / 1152921504606846976.0) END AS veb,
+          CASE WHEN eu.n < 256 THEN CAST(eu.n AS DOUBLE)
+               ELSE 255.0 / (CAST(eu.kth AS DOUBLE)
+                             / 1152921504606846976.0) END AS veu,
+          eu.n AS m, mm.matches, ex.exact_common
+        FROM ea, eb, eu, mm, ex)
+      SELECT round(vea, 6) AS est_orders,
+             round(veb, 6) AS est_customer,
+             round(veu, 6) AS est_union,
+             round(matches * 1.0 / m, 6) AS jaccard_est,
+             round(matches * 1.0 / m * veu, 6) AS est_intersection,
+             exact_common
+      FROM est"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(piiRedact, shardAssign, samplePerGroup, weightedSample, mixingPlan,
       cleanNormalize, qualityQuartileGate, curationPipeline, budgetCurve,
-      corpusSummary, classBalance, kAnonymity, hllOverlap)
+      corpusSummary, classBalance, kAnonymity, hllOverlap, kmvOverlap)
 }

@@ -280,7 +280,102 @@ object GraphQueries extends QueryPack {
       FROM l4 JOIN nation nn ON nn.n_nationkey = l4.id
       ORDER BY nation"""))
 
+  /** Adamic–Adar link prediction over the above-average trade graph
+    * (same sparsification as `triangles_nation_trade`): for every
+    * NON-adjacent nation pair, score = Σ over common neighbors z of
+    * 1/ln(deg z) — the classic who-should-trade-next ranking
+    * (Adamic & Adar 2003). Wedge join on the shared neighbor + an
+    * anti-join against the edge set (never all-pairs); per-neighbor
+    * terms are emitted in integer micro-units from integer degrees, so
+    * the cross-neighbor sum and the top-10 ordering are exact
+    * cross-engine. Common neighbors have degree ≥ 2 by construction, so
+    * ln(deg) is never 0.
+    */
+  val nationAdamicAdar: GraftQuery = GraftQuery(
+    "adamic_adar_trade_links",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val pairW = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val tot = pairW.agg(sum("w").as("tw"), count(lit(1)).as("np"))
+      val strong = pairW.crossJoin(broadcast(tot))
+        .filter(col("w") * col("np") > col("tw"))
+        .select("src", "dst")
+      val und = strong.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(strong.select(col("dst").as("a"), col("src").as("b")))
+        .distinct()
+      val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+      val adjZ = und.select(col("a").as("z"), col("b").as("x"))
+      val wedges = adjZ
+        .join(adjZ.select(col("z"), col("x").as("y")), Seq("z"))
+        .filter(col("x") < col("y"))
+      val nonEdges = wedges.join(
+        und.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_anti")
+      val top = nonEdges
+        .join(deg.withColumnRenamed("a", "z"), Seq("z"))
+        .groupBy("x", "y")
+        .agg(
+          count(lit(1)).as("n_common"),
+          sum(floor(lit(1e6) / log(col("deg").cast("double")) + lit(0.5))
+            .cast("long")).as("aa_micro"))
+        .orderBy(desc("aa_micro"), col("x"), col("y"))
+        .limit(10)
+      val nation = Tables(s, dir, "nation").select("n_nationkey", "n_name")
+      top
+        .join(broadcast(nation), top("x") === nation("n_nationkey"))
+        .withColumnRenamed("n_name", "nation_a").drop("n_nationkey")
+        .join(broadcast(nation), top("y") === nation("n_nationkey"))
+        .withColumnRenamed("n_name", "nation_b").drop("n_nationkey")
+        .select(col("nation_a"), col("nation_b"), col("n_common"),
+          col("aa_micro"))
+        .orderBy(desc("aa_micro"), col("nation_a"), col("nation_b"))
+    },
+    Some("""
+      WITH pw AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY c.c_nationkey, s.s_nationkey),
+      tot AS (SELECT SUM(w) AS tw, COUNT(*) AS np FROM pw),
+      raw AS (SELECT src, dst FROM pw, tot WHERE w * np > tw),
+      und AS (
+        SELECT DISTINCT a, b FROM (
+          SELECT src AS a, dst AS b FROM raw
+          UNION ALL SELECT dst AS a, src AS b FROM raw)),
+      deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),
+      wed AS (
+        SELECT u1.a AS z, u1.b AS x, u2.b AS y
+        FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b),
+      ne AS (
+        SELECT w.z, w.x, w.y FROM wed w
+        WHERE NOT EXISTS (SELECT 1 FROM und e
+                          WHERE e.a = w.x AND e.b = w.y)),
+      sc AS (
+        SELECT x, y, COUNT(*) AS n_common,
+               CAST(SUM(CAST(floor(1000000.0 / ln(CAST(d.deg AS DOUBLE))
+                 + 0.5) AS BIGINT)) AS BIGINT) AS aa_micro
+        FROM ne JOIN deg d ON d.a = ne.z GROUP BY x, y),
+      top AS (SELECT * FROM sc ORDER BY aa_micro DESC, x, y LIMIT 10)
+      SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+             n_common, aa_micro
+      FROM top
+      JOIN nation na ON na.n_nationkey = top.x
+      JOIN nation nb ON nb.n_nationkey = top.y
+      ORDER BY aa_micro DESC, nation_a, nation_b"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(nationPageRank, nationPageRankWeighted, nationTriangles, nationKCore,
-      nationBfs, nationCommunities)
+      nationBfs, nationCommunities, nationAdamicAdar)
 }

@@ -53,7 +53,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // two 1-row attaches: the 3 HLL estimates and the exact semi-join count
     "hll_overlap_custkeys",
     // two 1-row scalar attaches: the median, then the MAD
-    "mad_outliers_totalprice")
+    "mad_outliers_totalprice",
+    // three 1-row attaches: the 3 KMV estimates, matches, exact count
+    "kmv_overlap_custkeys",
+    // 1-row attach: the (total-weight, pair-count) sparsification cut
+    "adamic_adar_trade_links")
 
   test("no CartesianProduct / unexpected BroadcastNestedLoopJoin in any registered plan") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()
