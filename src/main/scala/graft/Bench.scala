@@ -35,6 +35,9 @@ object Bench {
     val gateOnce = Set(
       "house_pipeline_gate", "sol2_pipeline_gate", "cv_random_search",
       "model_comparison", "rf_train_eval", "l1_feature_selection")
+    // SPARK_GRAFT_DEBUG_REPS=1 prints every rep's time to stderr (dev
+    // attribution aid: cold-vs-warm rep split, adjacency effects)
+    val debugReps = sys.env.get("SPARK_GRAFT_DEBUG_REPS").contains("1")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -43,6 +46,7 @@ object Bench {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           val t = (System.nanoTime() - t0) / 1e9
+          if (debugReps) System.err.println(f"[reps] $name $t%.3f")
           // Isolate runs: leftover cached / localCheckpoint blocks must
           // not shrink execution memory for what follows (observed
           // 7s -> 200s on RF training from exactly this). BLOCKING
@@ -53,17 +57,21 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
             if (!ChainGuard.isProtected(id)) rdd.unpersist(blocking = true)
           }
-          // Streaming twins leave loaded state-store maps + GC debt that
-          // shadowed the queries sorted right after them (r6: flagship
-          // 9.2 s in-sweep vs 2.3 s isolated). Unload the providers and
-          // take the GC hit here, outside anyone's timer.
-          if (name.endsWith("_stream")) {
-            try org.apache.spark.sql.GraftStateBridge.unloadStateStores()
-            catch { case _: Throwable => () }
-            System.gc()
-          }
           t
         }.min
+        // Streaming twins leave loaded state-store maps + GC debt that
+        // shadowed the queries sorted right after them (r6: flagship
+        // 9.2 s in-sweep vs 2.3 s isolated). Unload the providers and
+        // take the GC hit here, outside anyone's timer — and OUTSIDE
+        // the repeat loop: r7 unloaded after every rep, so rep 2 of a
+        // stream query re-created its state store cold and min-of-2
+        // measured the cold path (cms_heavy_hitters_stream 2.1 -> 7.1 s
+        // was exactly this, not a plan change).
+        if (name.endsWith("_stream")) {
+          try org.apache.spark.sql.GraftStateBridge.unloadStateStores()
+          catch { case _: Throwable => () }
+          System.gc()
+        }
         name -> dt
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

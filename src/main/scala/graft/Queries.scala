@@ -34,9 +34,17 @@ object Q {
     * `round(x, d)` for identical input doubles (validated over 800k
     * adversarial values incl. exact ties). Spark's own `round` uses
     * BigDecimal-on-shortest-repr semantics which disagrees on ties.
+    *
+    * Past |x|·scale ≥ 2^52 every double is already integral, so
+    * DuckDB's `round(x*p)/p` reduces to `(x*p)/p` — the guard replays
+    * exactly that (Spark's `floor` would otherwise clamp at Long range,
+    * and `+0.5` would half-even-bump odd integers in [2^52, 2^53)).
     */
-  def rd(c: Column, scale: Double): Column =
-    floor(abs(c) * scale + 0.5) / scale * signum(c) + 0.0
+  def rd(c: Column, scale: Double): Column = {
+    val p = abs(c) * scale
+    when(p >= 4503599627370496.0, p / scale * signum(c) + 0.0)
+      .otherwise(floor(p + 0.5) / scale * signum(c) + 0.0)
+  }
 
   /** round(x, 6) with DuckDB semantics. */
   def r6(c: Column): Column = rd(c, 1e6)
@@ -44,9 +52,12 @@ object Q {
   /** round(x, 4) with DuckDB semantics. */
   def r4(c: Column): Column = rd(c, 1e4)
 
-  /** Driver-side scalar version of r6. */
-  def r6Double(x: Double): Double =
-    math.floor(math.abs(x) * 1e6 + 0.5) / 1e6 * math.signum(x) + 0.0
+  /** Driver-side scalar version of r6 (same large-magnitude guard). */
+  def r6Double(x: Double): Double = {
+    val p = math.abs(x) * 1e6
+    if (p >= 4503599627370496.0) p / 1e6 * math.signum(x) + 0.0
+    else math.floor(p + 0.5) / 1e6 * math.signum(x) + 0.0
+  }
 
   /** Deterministic share-of-group: exact integer counts divided once. */
   def share(pred: Column): Column =

@@ -171,11 +171,14 @@ object Models {
     * jobs share the cluster); evaluation is ONE aggregation per model —
     * confusion counts (≤ k² tiny rows) collected, accuracy and macro-F1
     * derived from them driver-side with the same arithmetic as
-    * `Metrics.accuracy`/`macroAvg`.
+    * `Metrics.accuracy`/`macroAvg`. `fitted` supplies pre-fitted models
+    * by name (skipping that family's fit) — callers that evaluate the
+    * same configuration elsewhere share one training pass.
     */
   def comparisonReport(
       train: DataFrame, valid: DataFrame, labelCol: String,
-      pipelines: Seq[(String, Pipeline)]): DataFrame = {
+      pipelines: Seq[(String, Pipeline)],
+      fitted: Map[String, PipelineModel] = Map.empty): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
     val trainW = withBalancedWeights(train, labelCol)
@@ -188,7 +191,7 @@ object Models {
     val rows = try {
       val futs = pipelines.map { case (name, p) =>
         scala.concurrent.Future {
-          val m: PipelineModel = p.fit(trainW)
+          val m: PipelineModel = fitted.getOrElse(name, p.fit(trainW))
           val counts = m.transform(valid)
             .select(
               col(labelCol).cast("long").as("label"),

@@ -22,6 +22,28 @@ object ModelQueries extends QueryPack {
 
   private val feats = Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
 
+  private def trainValid(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = labeled(s, dir)
+    (d.filter(pmod(col("l_orderkey"), lit(5)) =!= 0),
+      d.filter(pmod(col("l_orderkey"), lit(5)) === 0))
+  }
+
+  // `rf_train_eval` and `model_comparison` evaluate the IDENTICAL RF
+  // configuration (5 trees, depth 4, seed 42, balanced weights, same
+  // hash split) — memoize the fitted model per sfDir (the tree family's
+  // model-cache pattern) so the sweep pays one RF training pass, not two.
+  // Deterministic: same data + params + seed => same model either way.
+  private val rfCache = scala.collection.concurrent.TrieMap[
+    String, org.apache.spark.ml.PipelineModel]()
+  private def rfModel(s: SparkSession, dir: String)
+      : org.apache.spark.ml.PipelineModel =
+    rfCache.getOrElseUpdate(dir, {
+      val (train, _) = trainValid(s, dir)
+      Models.randomForest(feats, "label", numTrees = 5, maxDepth = 4)
+        .fit(Models.withBalancedWeights(train, "label"))
+    })
+
   /** Multimodal: opaque binary column -> typed metadata via partition-wise
     * stub decode; oracle mirrors the deterministic fake arithmetic.
     */
@@ -74,11 +96,8 @@ object ModelQueries extends QueryPack {
   val rfEval: GraftQuery = GraftQuery(
     "rf_train_eval",
     (s, dir) => {
-      val d = labeled(s, dir)
-      val train = d.filter(pmod(col("l_orderkey"), lit(5)) =!= 0)
-      val valid = d.filter(pmod(col("l_orderkey"), lit(5)) === 0)
-      val model = Models.randomForest(feats, "label", numTrees = 5,
-        maxDepth = 4).fit(Models.withBalancedWeights(train, "label"))
+      val (_, valid) = trainValid(s, dir)
+      val model = rfModel(s, dir)
       val scored = model.transform(valid).select(
         col("label"), col("prediction").cast("long").as("pred"))
       Metrics.macroAvg(scored, "label", "pred")
@@ -180,14 +199,13 @@ object ModelQueries extends QueryPack {
   val comparison: GraftQuery = GraftQuery(
     "model_comparison",
     (s, dir) => {
-      val d = labeled(s, dir)
-      val train = d.filter(pmod(col("l_orderkey"), lit(5)) =!= 0)
-      val valid = d.filter(pmod(col("l_orderkey"), lit(5)) === 0)
+      val (train, valid) = trainValid(s, dir)
       Models.comparisonReport(train, valid, "label", Seq(
         "logreg" -> Models.logReg(feats, "label"),
         "random_forest" -> Models.randomForest(feats, "label", numTrees = 5,
           maxDepth = 4),
-        "gbt" -> Models.gbt(feats, "label", maxIter = 5, maxDepth = 3)))
+        "gbt" -> Models.gbt(feats, "label", maxIter = 5, maxDepth = 3)),
+        fitted = Map("random_forest" -> rfModel(s, dir)))
     },
     None)
 

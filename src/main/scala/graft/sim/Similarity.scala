@@ -225,6 +225,10 @@ object Similarity {
     * parity-mode quantizer. Per round: one broadcast E-step (no corpus
     * shuffle) + one (list, dim)-keyed mean — k*d rows — so the shape
     * holds at any corpus size.
+    *
+    * PRECONDITION: `idCol` must be contiguous and 0-based — the seed
+    * filter `id < nLists` equals "the nLists smallest ids" only then.
+    * Re-key with `row_number() - 1` first if ids are arbitrary.
     */
   def ivfFitLloyd(
       emb: DataFrame, idCol: String, vecCol: String, nLists: Int,
@@ -409,6 +413,13 @@ object Similarity {
     * argmins via min(struct); the M-step is a (sub, label, pos)-keyed
     * mean of m*kSub*subDim rows. Returns (codes (id, sub, code),
     * codebook (sub, clabel, centroid)).
+    *
+    * PRECONDITION (shared with [[ivfFitLloyd]]): `idCol` must be
+    * contiguous and 0-based — the seed filter `id < kSub` equals "the
+    * kSub smallest ids" only then; a sparse or 1-based id space yields
+    * fewer (possibly zero) seed centroids. Re-key with
+    * `row_number() - 1` first if ids are arbitrary. The bundled
+    * embeddings table satisfies this by construction.
     */
   def pqFit(
       emb: DataFrame, idCol: String, vecCol: String, m: Int, subDim: Int,

@@ -70,6 +70,16 @@ object CountMin {
     * each micro-batch merges into the grid exactly like the cross-shard
     * cell-wise merge. The drained memory-sink cells then serve batch
     * probes identically to a batch-built sketch.
+    *
+    * SINK NOTE: the memory sink here is gate/test plumbing, not part of
+    * the operator — the cell grid is a plain streaming aggregation, so a
+    * production deployment points the same `cellStream` at any sink
+    * (`foreachBatch` upsert into a store, kafka, files); the
+    * driver-resident memory table is only the cheapest way to hand the
+    * d*w rows (a few KB — state is fixed-size regardless of corpus) back
+    * to the batch prober in one process. CountMinSpec pins sink
+    * interchangeability by checking the drained grid cell-for-cell
+    * against the batch-built sketch.
     */
   def streamingCells(
       spark: org.apache.spark.sql.SparkSession, sfDir: String, d: Int,

@@ -437,10 +437,14 @@ object Stats {
     * closed-form double expression over those exact integers, so t and
     * the Welch–Satterthwaite dof are bit-identical across engines and
     * partitionings. Means are reported in original units (cents / 100).
+    * NULL values are dropped at entry (matching SQL aggregate NULL
+    * semantics on both engines), so group counts and sums always cover
+    * the same rows.
     */
   def welchTTest(df: DataFrame, valueCol: Column, isA: Column): DataFrame = {
     val zero38 = lit(0).cast("decimal(38,0)")
     val agg = df
+      .filter(valueCol.isNotNull)
       .select(valueCol.cast("long").as("v"),
         when(isA, 1L).otherwise(0L).as("a"))
       .agg(
@@ -484,10 +488,13 @@ object Stats {
     * so the rank-sum, U, the tie-correction Σ(t³−t), and the z numerator
     * 2U−n_a·n_b all stay exact Longs; only the final z and the
     * common-language effect size touch doubles (one fixed expression on
-    * identical operands in both engines).
+    * identical operands in both engines). NULL values are dropped at
+    * entry — Spark's NULLS FIRST vs DuckDB's NULLS LAST window ordering
+    * would otherwise rank them differently.
     */
   def mannWhitneyU(df: DataFrame, valueCol: Column, isA: Column): DataFrame = {
     val per = df
+      .filter(valueCol.isNotNull)
       .select(valueCol.cast("long").as("v"),
         when(isA, 1L).otherwise(0L).as("a"))
       .groupBy("v")
@@ -529,8 +536,11 @@ object Stats {
     * exact sums and n buckets, n·CUSUM_i = n·prefix_i − i·total is an
     * integer, so the argmax (ties to the earliest bucket) is
     * order-independent and hash-replayable; the reported magnitude is
-    * one final division. The window runs over the BUCKET domain (days),
-    * not rows — bounded, like [[ksStatistic]]'s grid.
+    * one final division. dev2 is carried in decimal(38,0) — a
+    * cents-scaled total times a multi-year bucket count squares past
+    * Long well below the 100 TB target, and Spark would wrap silently
+    * where DuckDB raises. The window runs over the BUCKET domain
+    * (days), not rows — bounded, like [[ksStatistic]]'s grid.
     */
   def cusumChangepoint(
       df: DataFrame, bucket: Column, valueCents: Column): DataFrame = {
@@ -550,7 +560,8 @@ object Stats {
       sum("rev").over(all).as("total"),
       count(lit(1)).over(all).as("nd"))
       .withColumn("dev2",
-        col("nd") * col("prefix") - col("i") * col("total"))
+        col("nd").cast("decimal(38,0)") * col("prefix") -
+          col("i").cast("decimal(38,0)") * col("total"))
     scored
       .withColumn("rk", row_number().over(
         Window.orderBy(abs(col("dev2")).desc, col("bucket"))))
@@ -558,7 +569,8 @@ object Stats {
       .select(
         col("nd").as("n_buckets"),
         col("bucket").as("cp_bucket"),
-        Q.r6(abs(col("dev2")) / col("nd") / 100.0).as("cusum_max"),
+        Q.r6(abs(col("dev2")).cast("double") / col("nd") / 100.0)
+          .as("cusum_max"),
         when(col("dev2") > 0, 1).when(col("dev2") < 0, -1).otherwise(0)
           .as("direction"))
   }
@@ -620,8 +632,10 @@ object Stats {
     * before trusting a column.
     *
     * One grouped aggregation emits the six sufficient statistics
-    * (n, Σx, Σy, Σx², Σxy, Σy²); Σy² runs in decimal(38,0) because a
-    * cents-scaled y squares past Long. slope/intercept/r² are fixed
+    * (n, Σx, Σy, Σx², Σxy, Σy²); Σx², Σxy and Σy² all run in
+    * decimal(38,0) because a cents-scaled column squares past Long —
+    * x is as likely to be cents-scaled as y given every sibling API
+    * takes [[Q.cents]]. slope/intercept/r² are fixed
     * closed-form double expressions over those exact integers —
     * bit-identical across engines — and are reported in original y units
     * (cents / 100).
@@ -636,15 +650,17 @@ object Stats {
       .agg(
         count(lit(1)).as("n"),
         sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x"))
+          .cast("double").as("dsxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y"))
+          .cast("double").as("dsxy"),
         sum(col("y").cast("decimal(38,0)") * col("y"))
           .cast("double").as("dsyy"))
     val dn = col("n").cast("double")
     val dsx = col("sx").cast("double")
     val dsy = col("sy").cast("double")
-    val dsxx = col("sxx").cast("double")
-    val dsxy = col("sxy").cast("double")
+    val dsxx = col("dsxx")
+    val dsxy = col("dsxy")
     val covN = dn * dsxy - dsx * dsy
     val varXN = dn * dsxx - dsx * dsx
     val varYN = dn * col("dsyy") - dsy * dsy

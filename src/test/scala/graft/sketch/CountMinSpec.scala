@@ -59,4 +59,25 @@ class CountMinSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getAs[Long]("occupied") == 1L)
     assert(r.isNullAt(r.fieldIndex("est_distinct")))
   }
+
+  test("streaming cell grid equals the batch sketch cell-for-cell") {
+    // Sink interchangeability: `streamingCells`' memory sink is gate
+    // plumbing only — the cell grid is a plain streaming aggregation, so
+    // any sink sees the same d*w rows. Pin that by draining the stream
+    // over the real sf0.001 docs and comparing against the batch build
+    // on the identical tokenization.
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = CountMin
+      .streamingCells(spark, sfDir, d, w, "cms_spec_cells")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val batch = CountMin.cells(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(explode(split(col("text"), " ")).as("tok")),
+        "tok", d, w)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batch)
+    assert(streamed.size <= d * w)
+  }
 }

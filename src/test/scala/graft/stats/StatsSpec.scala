@@ -210,4 +210,54 @@ class StatsSpec extends AnyFunSuite with SparkTestSession {
     assert(g2.getAs[Double]("intercept") == -0.666667)
     assert(g2.getAs[Double]("r2") == 0.964286)
   }
+
+  test("welchTTest and mannWhitneyU drop NULL values at entry") {
+    import org.apache.spark.sql.functions.col
+    // same fixtures as above with null rows interleaved in both groups:
+    // results must be identical to the null-free runs
+    val wNulls = (Seq(Option(1L), Option(2L), Option(3L), Option(4L),
+      Option(5L), None).map((_, true)) ++
+      Seq(Option(2L), Option(4L), Option(6L), Option(8L), Option(10L),
+        Option(12L), None).map((_, false))).toDF("v", "a")
+    val w = Stats.welchTTest(wNulls, col("v"), col("a")).head()
+    assert(w.getAs[Long]("n_a") == 5 && w.getAs[Long]("n_b") == 6)
+    assert(w.getAs[Double]("t_stat") == -2.376354)
+    assert(w.getAs[Double]("dof") == 6.972256)
+    val mNulls = (Seq(Option(1L), Option(2L), Option(3L), None)
+      .map((_, true)) ++
+      Seq(Option(2L), Option(3L), Option(4L), None).map((_, false)))
+      .toDF("v", "a")
+    val m = Stats.mannWhitneyU(mNulls, col("v"), col("a")).head()
+    assert(m.getAs[Long]("n_a") == 3 && m.getAs[Long]("n_b") == 3)
+    assert(m.getAs[Double]("u_a") == 2.0)
+    assert(m.getAs[Double]("z") == -1.123666)
+  }
+
+  test("cusumChangepoint stays exact past Long-overflow magnitudes") {
+    import org.apache.spark.sql.functions.col
+    // prefix sums reach 8e18 (still Long-safe) but nd*prefix = 3.2e19
+    // would wrap a Long; decimal(38,0) dev2 keeps the argmax exact.
+    // v = {1e18,1e18,3e18,3e18}: dev2 = {-4e18,-8e18,-4e18,0} -> peak
+    // after bucket 2, magnitude 8e18/4/100 = 2e16, direction negative
+    val big = 1000000000000000000L
+    val df = Seq((1L, big), (2L, big), (3L, 3 * big), (4L, 3 * big))
+      .toDF("d", "v")
+    val r = Stats.cusumChangepoint(df, col("d"), col("v")).head()
+    assert(r.getAs[Long]("cp_bucket") == 2L)
+    assert(r.getAs[Double]("cusum_max") == 2.0e16)
+    assert(r.getAs[Int]("direction") == -1)
+  }
+
+  test("groupedOls handles cents-scaled x past Long-overflow squares") {
+    import org.apache.spark.sql.functions.col
+    // x = y = {4e9, 8e9, 12e9} cents: x*x = 1.6e19 > Long.MaxValue per
+    // term; decimal(38,0) sufficient statistics keep slope = 1 exact
+    // (reported /100 in dollars-per-cent units)
+    val b = 4000000000L
+    val df = Seq((b, b), (2 * b, 2 * b), (3 * b, 3 * b)).toDF("x", "y")
+      .withColumn("g", org.apache.spark.sql.functions.lit("g"))
+    val r = Stats.groupedOls(df, "g", col("x"), col("y")).head()
+    assert(r.getAs[Double]("slope") == 0.01)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
 }
