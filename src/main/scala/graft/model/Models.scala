@@ -172,13 +172,17 @@ object Models {
     * confusion counts (≤ k² tiny rows) collected, accuracy and macro-F1
     * derived from them driver-side with the same arithmetic as
     * `Metrics.accuracy`/`macroAvg`. `fitted` supplies pre-fitted models
-    * by name (skipping that family's fit) — callers that evaluate the
-    * same configuration elsewhere share one training pass.
+    * by name (skipping that family's fit) and `onFit` observes each
+    * model fitted here — together they let callers that evaluate the
+    * same configuration elsewhere share one training pass without
+    * pulling the fit out of the concurrent section (which would turn
+    * overlapped wall time into sequential wall time).
     */
   def comparisonReport(
       train: DataFrame, valid: DataFrame, labelCol: String,
       pipelines: Seq[(String, Pipeline)],
-      fitted: Map[String, PipelineModel] = Map.empty): DataFrame = {
+      fitted: Map[String, PipelineModel] = Map.empty,
+      onFit: (String, PipelineModel) => Unit = (_, _) => ()): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
     val trainW = withBalancedWeights(train, labelCol)
@@ -191,7 +195,9 @@ object Models {
     val rows = try {
       val futs = pipelines.map { case (name, p) =>
         scala.concurrent.Future {
-          val m: PipelineModel = fitted.getOrElse(name, p.fit(trainW))
+          val m: PipelineModel = fitted.getOrElse(name, {
+            val f = p.fit(trainW); onFit(name, f); f
+          })
           val counts = m.transform(valid)
             .select(
               col(labelCol).cast("long").as("label"),

@@ -40,8 +40,14 @@ object ModelQueries extends QueryPack {
       : org.apache.spark.ml.PipelineModel =
     rfCache.getOrElseUpdate(dir, {
       val (train, _) = trainValid(s, dir)
-      Models.randomForest(feats, "label", numTrees = 5, maxDepth = 4)
-        .fit(Models.withBalancedWeights(train, "label"))
+      // materialize the weighted frame for the fit's passes (the same
+      // reasoning as crossValidate), then release it
+      val w = Models.withBalancedWeights(train, "label")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      w.count()
+      try Models.randomForest(feats, "label", numTrees = 5, maxDepth = 4)
+        .fit(w)
+      finally w.unpersist(blocking = false)
     })
 
   /** Multimodal: opaque binary column -> typed metadata via partition-wise
@@ -200,12 +206,17 @@ object ModelQueries extends QueryPack {
     "model_comparison",
     (s, dir) => {
       val (train, valid) = trainValid(s, dir)
+      // consume the shared RF if rf_train_eval already fitted it; else
+      // fit it here INSIDE the concurrent section (keeping the three
+      // fits overlapped) and publish it for rf_train_eval via onFit
       Models.comparisonReport(train, valid, "label", Seq(
         "logreg" -> Models.logReg(feats, "label"),
         "random_forest" -> Models.randomForest(feats, "label", numTrees = 5,
           maxDepth = 4),
         "gbt" -> Models.gbt(feats, "label", maxIter = 5, maxDepth = 3)),
-        fitted = Map("random_forest" -> rfModel(s, dir)))
+        fitted = rfCache.get(dir).map("random_forest" -> _).toMap,
+        onFit = (name, m) =>
+          if (name == "random_forest") rfCache.putIfAbsent(dir, m))
     },
     None)
 

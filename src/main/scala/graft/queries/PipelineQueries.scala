@@ -45,12 +45,13 @@ object PipelineQueries extends QueryPack {
   val sol2Pipeline: GraftQuery = GraftQuery(
     "sol2_pipeline_gate",
     (s, _) => {
-      val train = HouseSynth.labeled(s, 1500, seed = 21)
+      val train = HouseSynth.labeled(s, 1000, seed = 21)
       // gate-budget config: the gate checks pipeline shape + determinism
       // (3-row report, stable values for a fixed seed), which cheaper
       // ensembles and 2 folds preserve — the comparison/CV STRUCTURE is
       // independent of per-model iteration counts (r8: 5-tree/5-iter ->
-      // 3/3; the gate was a third of the bench sweep by itself)
+      // 3/3 and 1500 -> 1000 rows; the gate was a third of the bench
+      // sweep by itself, nearly all of it fixed MLlib fit overhead)
       val r = Sol2Pipeline.run(train, Sol2Pipeline.Config(
         cvFolds = 2, rfNumTrees = 3, gbtMaxIter = 3))
       r.report.select(
