@@ -87,7 +87,7 @@ object TreeQueries extends QueryPack {
     * order as `DecisionTree.impurityExpr`/`splitStats` (proven
     * cross-engine by `split_gains_discount`).
     */
-  private val gainSql =
+  private[queries] val gainSql =
     """(-(CASE WHEN tc0 > 0 THEN (tc0/tn)*log2(tc0/tn) ELSE 0.0 END
           + CASE WHEN tc1 > 0 THEN (tc1/tn)*log2(tc1/tn) ELSE 0.0 END))
        - (ln/tn) * (-(CASE WHEN lc0 > 0 THEN (lc0/ln)*log2(lc0/ln) ELSE 0.0 END

@@ -28,13 +28,24 @@ object CountMin {
     conv(substring(md5(concat(item, lit("|"), row.cast("string"))), 1, 15),
       16, 10).cast("long") % w
 
-  /** Build the sketch: (r, bucket, cnt) — at most d*w rows. */
+  /** Build the sketch: (r, bucket, cnt) — at most d*w rows.
+    *
+    * Occurrence counts are aggregated per DISTINCT item first (hash agg
+    * with map-side combine), so the d seeded md5 buckets are computed
+    * once per vocabulary entry, not once per occurrence — at sf10 that
+    * is 4 hashes × ~100k distinct tokens instead of × 2.5B occurrences
+    * (measured 211 s → the hash work was the entire cost). Cell counts
+    * are identical either way: Σ per-bucket of per-item counts.
+    */
   def cells(items: DataFrame, itemCol: String, d: Int, w: Int): DataFrame =
     items
-      .select(col(itemCol).as("item"),
+      .select(col(itemCol).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("__n"))
+      .select(col("item"), col("__n"),
         explode(sequence(lit(0), lit(d - 1))).as("r"))
-      .select(col("r"), bucket(col("item"), col("r"), w).as("bucket"))
-      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+      .select(col("r"), bucket(col("item"), col("r"), w).as("bucket"),
+        col("__n"))
+      .groupBy("r", "bucket").agg(sum("__n").as("cnt"))
 
   /** Point-estimate every distinct item against a built sketch: melt to
     * (item, r, bucket), equi-join the broadcast cell grid, min over the d

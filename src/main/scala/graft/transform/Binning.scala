@@ -65,39 +65,80 @@ object Binning {
   * edges forced to the column min/max (house_predict.py:84-88).
   */
 object QuantileBinner {
-  def fit(df: DataFrame, column: String, nBins: Int): BinModel = {
-    val probs = (0 to nBins).map(i => i.toDouble / nBins)
-    val row = df
-      .agg(
-        expr(s"percentile($column, array(${probs.mkString(",")}))").as("qs"),
-        min(col(column)).cast("double").as("mn"),
-        max(col(column)).cast("double").as("mx"))
-      .head()
-    val qs = row.getSeq[Double](0).toArray
-    qs(0) = row.getDouble(1)
-    qs(qs.length - 1) = row.getDouble(2)
-    BinModel(column, Binning.atLeastOneBucket(Binning.dedupEdges(qs)))
-  }
+  import org.apache.spark.sql.expressions.Window
 
-  /** Batched fit: ONE wide aggregation fits every (column, nBins) spec at
-    * once — per-column `fit` calls cost one full scan each, which doesn't
-    * survive wide tables at 100 TB.
+  def fit(df: DataFrame, column: String, nBins: Int): BinModel =
+    fitMany(df, Seq(column -> nBins))(column)
+
+  /** Batched EXACT quantile fit over the DISTINCT-VALUE grid — one scan
+    * fits every (column, nBins) spec, and the heavy lifting distributes.
+    *
+    * Why not `percentile(...)`: Spark's exact Percentile aggregate keeps
+    * a value→count map per partial and merges every partition's map in
+    * ONE reducer — measured 147 s for 4 lineitem columns at 60M rows
+    * (sf10), all of it single-threaded merge+sort. The same statistic
+    * computed here: melt the spec columns in one pass (240M (col,value)
+    * rows), hash-aggregate to per-(col,value) counts WITH map-side
+    * combine (the grid is the compressed domain — 583k distinct prices
+    * in those same 60M rows), cumulative-count window per column (each
+    * sorts only its grid), and a broadcast rank-probe joins the ≤17
+    * target ranks per column against the grid. One action, distributed
+    * everywhere the data is big, single-task only on the grid.
+    *
+    * Output parity: identical doubles to Spark `percentile` (and so to
+    * the DuckDB `quantile_cont` oracles). Rank position k = p·(n−1);
+    * result = (ceil(k)−k)·v_lo + (k−floor(k))·v_hi with the same
+    * short-circuits (integral k, or equal bracketing values → v_lo) —
+    * operand-for-operand Percentile.getPercentile's interpolation.
+    * Grouping by the double-cast value is safe: numeric→double is
+    * monotone, and where two wide longs collapse to one double,
+    * Percentile's equal-key short-circuit returns that same double.
+    * BinningSpec pins edge-for-edge equality against `percentile` on
+    * real table columns; unbounded-domain streams at 100 TB use
+    * [[fitApprox]]/HistQuantile instead (the grid is only as small as
+    * the value domain).
     */
   def fitMany(df: DataFrame, specs: Seq[(String, Int)]): Map[String, BinModel] =
     if (specs.isEmpty) Map.empty
     else {
-      val aggs = specs.flatMap { case (c, k) =>
-        val probs = (0 to k).map(i => i.toDouble / k)
-        Seq(
-          expr(s"percentile($c, array(${probs.mkString(",")}))").as(s"${c}__qs"),
-          min(col(c)).cast("double").as(s"${c}__mn"),
-          max(col(c)).cast("double").as(s"${c}__mx"))
+      val kv = specs.flatMap { case (c, _) =>
+        Seq(lit(c), col(c).cast("double")) }
+      val melted = df.select(explode(map(kv: _*)).as(Seq("c", "v")))
+        .filter(col("v").isNotNull)
+      val byC = Window.partitionBy("c")
+      val cum = byC.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val grid = melted.groupBy("c", "v").agg(count(lit(1)).as("cnt"))
+        .select(col("c"), col("v"), col("cnt"),
+          (sum("cnt").over(cum) - col("cnt")).as("cb"),
+          sum("cnt").over(byC).as("n"))
+      val spark = df.sparkSession
+      import spark.implicits._
+      val probs = specs.flatMap { case (c, k) =>
+        (0 to k).map(i => (c, i, i.toDouble / k)) }
+        .toDF("c", "i", "p")
+      val coversLo = col("lo").between(col("cb"), col("cb") + col("cnt") - 1)
+      val coversHi = col("hi").between(col("cb"), col("cb") + col("cnt") - 1)
+      val rows = broadcast(probs).join(grid, Seq("c"))
+        .withColumn("k", col("p") * (col("n") - 1).cast("double"))
+        .withColumn("lo", floor(col("k")))
+        .withColumn("hi", ceil(col("k")))
+        .filter(coversLo || coversHi)
+        .groupBy("c", "i", "k")
+        .agg(max(when(coversLo, col("v"))).as("vlo"),
+          max(when(coversHi, col("v"))).as("vhi"))
+        .select(col("c"), col("i"),
+          when(floor(col("k")) === ceil(col("k")), col("vlo"))
+            .when(col("vlo") === col("vhi"), col("vlo"))
+            .otherwise((ceil(col("k")) - col("k")) * col("vlo") +
+              (col("k") - floor(col("k"))) * col("vhi")).as("q"))
+        .collect()
+      val edgesByCol = rows.groupBy(_.getString(0)).map { case (c, rs) =>
+        c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2))
       }
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
       specs.map { case (c, _) =>
-        val qs = row.getSeq[Double](row.fieldIndex(s"${c}__qs")).toArray
-        qs(0) = row.getDouble(row.fieldIndex(s"${c}__mn"))
-        qs(qs.length - 1) = row.getDouble(row.fieldIndex(s"${c}__mx"))
+        val qs = edgesByCol.getOrElse(c, throw new IllegalArgumentException(
+          s"no non-null rows to fit quantile bins for $c"))
         c -> BinModel(c, Binning.atLeastOneBucket(Binning.dedupEdges(qs)))
       }.toMap
     }

@@ -54,4 +54,31 @@ class BinningSpec extends AnyFunSuite with SparkTestSession {
       m.transform(df, "b").select("b").as[Int].collect().distinct.sorted
     assert(codes.toSeq == (0 until 8))
   }
+
+  test("grid fit is edge-for-edge identical to Spark percentile") {
+    // The distributed grid fit must reproduce `percentile`'s doubles
+    // EXACTLY (not approximately): same rank position p*(n-1), same
+    // (ceil(k)-k)*lo + (k-floor(k))*hi interpolation, same
+    // short-circuits. Pin on real table columns (ties, skew, nulls-free
+    // money grids) and an odd bin count whose probs are non-dyadic.
+    import org.apache.spark.sql.functions.expr
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    for ((c, k) <- Seq(("l_extendedprice", 8), ("l_quantity", 4),
+        ("l_discount", 6), ("l_tax", 3), ("l_extendedprice", 7))) {
+      val probs = (0 to k).map(i => i.toDouble / k)
+      val viaAgg = li
+        .agg(expr(s"percentile($c, array(${probs.mkString(",")}))"))
+        .head().getSeq[Double](0).toArray
+      val got = QuantileBinner.fit(li, c, k)
+      val want = BinModel(c,
+        Binning.atLeastOneBucket(Binning.dedupEdges(viaAgg)))
+      assert(got.edges.toSeq == want.edges.toSeq,
+        s"$c k=$k: ${got.edges.toSeq} != ${want.edges.toSeq}")
+    }
+    // null handling: percentile ignores nulls; so must the grid
+    val withNulls = Seq(Some(1.0), None, Some(2.0), Some(3.0), None)
+      .toDF("x")
+    val m = QuantileBinner.fit(withNulls, "x", 2)
+    assert(m.edges.toSeq == Seq(1.0, 2.0, 3.0))
+  }
 }
