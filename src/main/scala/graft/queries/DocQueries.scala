@@ -445,6 +445,86 @@ object DocQueries extends QueryPack {
         nBands = shBands, bandBits = shBandBits, maxDist = 3)
     }
 
+  /** LSH blocking QUALITY report — the evaluation a pipeline runs before
+    * trusting banded MinHash at scale: candidate pairs (est >= 0.5,
+    * restricted to the doc_id < 500 slice where exact truth is
+    * tractable) scored against the TRUE all-pairs Jaccard >= 0.5 set as
+    * precision (candidates that are real) and recall (real pairs the
+    * bands caught). Both sides are the memoized chains the registered
+    * dedup queries already share, so the report costs one outer join +
+    * one aggregation; the oracle replays candidates AND truth and
+    * re-derives the same counts. At 100 TB this exact-truth slice is the
+    * standard audit sample; the LSH side needs no change.
+    */
+  val lshQuality: GraftQuery = GraftQuery(
+    "lsh_quality_report",
+    (s, dir) => {
+      val cand = lshEdges(s, dir)
+        .filter(col("id_a") < 500 && col("id_b") < 500)
+        .select(col("id_a"), col("id_b"), lit(1L).as("c"))
+      val truth = allPairs05(s, dir)
+        .select(col("id_a"), col("id_b"), lit(1L).as("t"))
+      cand.join(truth, Seq("id_a", "id_b"), "full_outer")
+        .agg(sum("c").as("n_cand"), sum("t").as("n_true"),
+          sum(col("c") * col("t")).as("tp"))
+        .select(col("n_cand"), col("n_true"), col("tp"),
+          Q.r6(col("tp") * 1.0 / col("n_cand")).as("prec"),
+          Q.r6(col("tp") * 1.0 / col("n_true")).as("rec"))
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INTEGER), 3) AS sh
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 2)) AS i
+              FROM documents)),
+      base AS (
+        SELECT id,
+               CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT)
+                 % 2147483647 AS h
+        FROM sh),
+      perms(p, a, b) AS (VALUES $permValues),
+      mh AS (
+        SELECT id, p, MIN((a * h + b) % 2147483647) AS m
+        FROM base CROSS JOIN perms
+        GROUP BY id, p),
+      bk AS (
+        SELECT id, p // 8 AS band,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS bucket
+        FROM mh GROUP BY id, p // 8),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                               AND a.id < b.id),
+      est AS (
+        SELECT c.id_a, c.id_b,
+               SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 32.0 AS ej
+        FROM cand c
+        JOIN mh ma ON ma.id = c.id_a
+        JOIN mh mb ON mb.id = c.id_b AND mb.p = ma.p
+        GROUP BY c.id_a, c.id_b),
+      candf AS (
+        SELECT id_a, id_b FROM est
+        WHERE round(ej, 6) >= 0.5 AND id_a < 500 AND id_b < 500),
+      tsh AS (SELECT id, sh FROM sh WHERE id < 500),
+      tsz AS (SELECT id, COUNT(*) AS n FROM tsh GROUP BY id),
+      tint AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM tsh a JOIN tsh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY 1, 2),
+      truthf AS (
+        SELECT id_a, id_b
+        FROM tint
+        JOIN tsz sa ON sa.id = id_a
+        JOIN tsz sb ON sb.id = id_b
+        WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.5)
+      SELECT nc.n_cand, nt.n_true, j.tp,
+             round(j.tp * 1.0 / nc.n_cand, 6) AS prec,
+             round(j.tp * 1.0 / nt.n_true, 6) AS rec
+      FROM (SELECT COUNT(*) AS n_cand FROM candf) nc,
+           (SELECT COUNT(*) AS n_true FROM truthf) nt,
+           (SELECT COUNT(*) AS tp
+            FROM candf JOIN truthf USING (id_a, id_b)) j"""))
+
   val minhashLsh: GraftQuery = GraftQuery(
     "minhash_lsh_candidates",
     (s, dir) => lshEdges(s, dir).orderBy("id_a", "id_b"),
@@ -1164,7 +1244,7 @@ object DocQueries extends QueryPack {
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
     jaccardAdjacent, allPairsJaccard, dedupThresholdSweep, docCosine,
     fuzzyDedup, leakageMatrix,
-    minhashLsh, simhashDocs, simhashPairs, dedupClusters,
+    minhashLsh, lshQuality, simhashDocs, simhashPairs, dedupClusters,
     dedupComponentsBucket, dedupKeepBest, dedupDropList,
     packDocs, qualitySample, dedupStream, dedupWatermarkStream, trigramSearch,
     contamination, bloomPrefilter,

@@ -385,14 +385,19 @@ object SimQueries extends QueryPack {
       c$t AS (SELECT list AS clabel, list(mean ORDER BY pos) AS centroid
             FROM m$t GROUP BY list)"""
 
+  // the deterministic Lloyd fit is shared by ivf_ann_topk_vec0 and the
+  // recall report — memoized per (session, sfDir) like the dedup chains
+  private val ivfCache = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String), Similarity.IvfIndex]()
+  private def lloydIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): Similarity.IvfIndex =
+    ivfCache.getOrElseUpdate((s, dir), Similarity.ivfFitLloyd(
+      Tables(s, dir, "embeddings"), "vec_id", "embedding", nLists = 8,
+      iters = ivfIters))
+
   val ivfTopK: GraftQuery = GraftQuery(
     "ivf_ann_topk_vec0",
-    (s, dir) => {
-      val idx = Similarity.ivfFitLloyd(
-        Tables(s, dir, "embeddings"), "vec_id", "embedding", nLists = 8,
-        iters = ivfIters)
-      Similarity.ivfTopK(idx, 0L, 10, nProbe = 2)
-    },
+    (s, dir) => Similarity.ivfTopK(lloydIndex(s, dir), 0L, 10, nProbe = 2),
     Some(s"""
       WITH c0 AS (
         SELECT CAST(vec_id AS INTEGER) AS clabel,
@@ -420,6 +425,72 @@ object SimQueries extends QueryPack {
       nq AS (SELECT SUM(v * v) AS nq FROM qv)
       SELECT vec_id, round(dot / (sqrt(nd) * sqrt(nq)), 6) AS cos
       FROM agg, nq ORDER BY cos DESC, vec_id LIMIT 10"""))
+
+  /** ANN recall@10 report — the acceptance gate an ANN rollout runs
+    * before trading exactness for speed: the IVF (nProbe=2) top-10 for
+    * the probe vector scored against the EXACT brute-force cosine
+    * top-10. Both sides are deterministic (Lloyd fit + fixed
+    * tiebreaks), so even the quality METRIC is hash-replayable — the
+    * oracle re-derives both rankings and the overlap. The Lloyd index
+    * is the memoized one `ivf_ann_topk_vec0` already fits; the exact
+    * side is the `cosine_topk_vec0` scan. At 100 TB the exact side runs
+    * on an audit sample; the IVF side is the production path unchanged.
+    */
+  val annRecall: GraftQuery = GraftQuery(
+    "ann_recall_ivf_vec0",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+        .select("vec_id")
+      val ann = Similarity.ivfTopK(lloydIndex(s, dir), 0L, 10, nProbe = 2)
+        .select("vec_id")
+      exact.join(ann, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), col("n_overlap"),
+          Q.r6(col("n_overlap") / 10.0).as("recall_at_k"))
+    },
+    Some(s"""
+      WITH c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS clabel,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+        FROM embeddings WHERE vec_id < 8),
+      ${(1 to ivfIters).map(ivfAssignSql).mkString(",")},
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      pd AS (SELECT c.clabel,
+               list_sum(list_transform(list_zip(c.centroid, q.qe),
+                 p -> (p[1] - CAST(p[2] AS DOUBLE))
+                    * (p[1] - CAST(p[2] AS DOUBLE)))) AS dist2
+             FROM c$ivfIters c CROSS JOIN q),
+      probe AS (SELECT clabel FROM pd ORDER BY dist2, clabel LIMIT 2),
+      mem AS (SELECT a.vec_id FROM a$ivfIters a
+              JOIN probe p ON a.list = p.clabel
+              WHERE a.vec_id <> 0),
+      qv AS (SELECT generate_subscripts(qe, 1) AS pos,
+                    CAST(unnest(qe) AS DOUBLE) AS v FROM q),
+      dv AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                    CAST(unnest(embedding) AS DOUBLE) AS v
+             FROM embeddings WHERE vec_id IN (SELECT vec_id FROM mem)),
+      agg AS (SELECT dv.vec_id, SUM(dv.v * qv.v) AS dot,
+                     SUM(dv.v * dv.v) AS nd
+              FROM dv JOIN qv USING (pos) GROUP BY dv.vec_id),
+      nq AS (SELECT SUM(v * v) AS nq FROM qv),
+      itop AS (SELECT vec_id FROM (
+                 SELECT vec_id, round(dot / (sqrt(nd) * sqrt(nq)), 6) AS cos
+                 FROM agg, nq ORDER BY cos DESC, vec_id LIMIT 10)),
+      xdv AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings WHERE vec_id <> 0),
+      xagg AS (SELECT xdv.vec_id, SUM(xdv.v * qv.v) AS dot,
+                      SUM(xdv.v * xdv.v) AS nd
+               FROM xdv JOIN qv USING (pos) GROUP BY xdv.vec_id),
+      xtop AS (SELECT vec_id FROM (
+                 SELECT vec_id, round(dot / (sqrt(nd) * sqrt(nq)), 6) AS cos
+                 FROM xagg, nq ORDER BY cos DESC, vec_id LIMIT 10))
+      SELECT CAST(10 AS BIGINT) AS k,
+             (SELECT COUNT(*) FROM itop JOIN xtop USING (vec_id))
+               AS n_overlap,
+             round((SELECT COUNT(*) FROM itop JOIN xtop USING (vec_id))
+               / 10.0, 6) AS recall_at_k"""))
 
   /** Symmetric int8 quantization report over the embedding corpus —
     * scale, saturated codes, max reconstruction error per vector (all
@@ -617,6 +688,6 @@ object SimQueries extends QueryPack {
   override def queries: Seq[GraftQuery] =
     Seq(cosineTopK, knnVote, nearDup, semanticDedup, nearDupLsh, annTopK,
       annTopKSign,
-      centroids, assignCentroid, randomProjection, ivfTopK, quantizeInt8,
-      mmrDiverse, dimStats, pqTopK)
+      centroids, assignCentroid, randomProjection, ivfTopK, annRecall,
+      quantizeInt8, mmrDiverse, dimStats, pqTopK)
 }

@@ -57,7 +57,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // three 1-row attaches: the 3 KMV estimates, matches, exact count
     "kmv_overlap_custkeys",
     // 1-row attach: the (total-weight, pair-count) sparsification cut
-    "adamic_adar_trade_links")
+    "adamic_adar_trade_links",
+    // inherits cosine_topk/ivf_ann's 1-row query-vector attaches on
+    // BOTH of the rankings it compares
+    "ann_recall_ivf_vec0")
 
   test("no CartesianProduct / unexpected BroadcastNestedLoopJoin in any registered plan") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()
