@@ -709,8 +709,74 @@ object StatsQueries extends QueryPack {
              round(cov_n * cov_n / (var_xn * var_yn), 6) AS var_reduction
       FROM m"""))
 
+  /** Grouped EXACT quantiles in one distributed pass
+    * ([[graft.transform.GridQuantiles]]): per-group p25/p50/p75 of the
+    * price column over the distinct-value grid — the describe-by-group
+    * a profiling pass wants, in the shape that survives 100 TB (hash
+    * agg with map-side combine; the only single-task step sorts each
+    * group's value DOMAIN, not its rows — Spark's own exact
+    * `percentile` merges every partition's value map in one reducer).
+    * The oracle replays the grid arithmetic itself (integer cumulative
+    * ranks, one fixed interpolation expression on identical operands),
+    * so the comparison never depends on a built-in's interpolation
+    * order.
+    */
+  val groupedQuantiles: GraftQuery = GraftQuery(
+    "grouped_quantiles_returnflag",
+    (s, dir) => {
+      val kv = Tables(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("v"))
+      val probs = kv.select("g").distinct()
+        .select(col("g"),
+          org.apache.spark.sql.functions.posexplode(
+            org.apache.spark.sql.functions.array(
+              lit(0.25), lit(0.5), lit(0.75))).as(Seq("i", "p")))
+      graft.transform.GridQuantiles.quantiles(kv, probs)
+        .select(col("g").as("l_returnflag"), col("p"), Q.r6(col("q")).as("q"))
+        .orderBy("l_returnflag", "p")
+    },
+    Some("""
+      WITH kv AS (SELECT l_returnflag AS g,
+                         CAST(l_extendedprice AS DOUBLE) AS v
+                  FROM lineitem),
+      grid AS (SELECT g, v, COUNT(*) AS cnt FROM kv GROUP BY g, v),
+      cg AS (SELECT g, v, cnt,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+                 AS cb,
+               SUM(cnt) OVER (PARTITION BY g) AS n
+             FROM grid),
+      pr AS (SELECT g, i, p
+             FROM (SELECT DISTINCT g FROM kv),
+                  (VALUES (0, CAST(0.25 AS DOUBLE)),
+                          (1, CAST(0.5 AS DOUBLE)),
+                          (2, CAST(0.75 AS DOUBLE))) t(i, p)),
+      j AS (SELECT pr.g, pr.i, pr.p, pr.p * (cg.n - 1) AS k,
+                   FLOOR(pr.p * (cg.n - 1)) AS lo,
+                   CEIL(pr.p * (cg.n - 1)) AS hi,
+                   cg.v, cg.cb, cg.cnt
+            FROM pr JOIN cg ON pr.g = cg.g
+            WHERE FLOOR(pr.p * (cg.n - 1))
+                    BETWEEN cg.cb AND cg.cb + cg.cnt - 1
+               OR CEIL(pr.p * (cg.n - 1))
+                    BETWEEN cg.cb AND cg.cb + cg.cnt - 1),
+      a AS (SELECT g, i, p, k,
+              MAX(CASE WHEN lo BETWEEN cb AND cb + cnt - 1 THEN v END)
+                AS vlo,
+              MAX(CASE WHEN hi BETWEEN cb AND cb + cnt - 1 THEN v END)
+                AS vhi
+            FROM j GROUP BY g, i, p, k)
+      SELECT g AS l_returnflag, p,
+             round(CASE WHEN FLOOR(k) = CEIL(k) THEN vlo
+                        WHEN vlo = vhi THEN vlo
+                        ELSE (CEIL(k) - k) * vlo + (k - FLOOR(k)) * vhi
+                   END, 6) AS q
+      FROM a ORDER BY l_returnflag, p"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     profile, valueCounts, nullCounts, corrMatrix, crosstab, entropyGini,
     skewKurt, corrVsLabel, histQuantile, chi2, ksDrift, psiDrift, mutualInfo,
-    fdChecks, welchT, mannWhitney, olsByFlag, benford, madOutliersQ, cuped)
+    fdChecks, welchT, mannWhitney, olsByFlag, benford, madOutliersQ, cuped,
+    groupedQuantiles)
 }

@@ -65,7 +65,6 @@ object Binning {
   * edges forced to the column min/max (house_predict.py:84-88).
   */
 object QuantileBinner {
-  import org.apache.spark.sql.expressions.Window
 
   def fit(df: DataFrame, column: String, nBins: Int): BinModel =
     fitMany(df, Seq(column -> nBins))(column)
@@ -96,45 +95,23 @@ object QuantileBinner {
     * BinningSpec pins edge-for-edge equality against `percentile` on
     * real table columns; unbounded-domain streams at 100 TB use
     * [[fitApprox]]/HistQuantile instead (the grid is only as small as
-    * the value domain).
+    * the value domain). The grid+probe core is [[GridQuantiles]] —
+    * shared with the grouped-quantiles operator.
     */
   def fitMany(df: DataFrame, specs: Seq[(String, Int)]): Map[String, BinModel] =
     if (specs.isEmpty) Map.empty
     else {
-      val kv = specs.flatMap { case (c, _) =>
+      val kvCols = specs.flatMap { case (c, _) =>
         Seq(lit(c), col(c).cast("double")) }
-      val melted = df.select(explode(map(kv: _*)).as(Seq("c", "v")))
-        .filter(col("v").isNotNull)
-      val byC = Window.partitionBy("c")
-      val cum = byC.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val grid = melted.groupBy("c", "v").agg(count(lit(1)).as("cnt"))
-        .select(col("c"), col("v"), col("cnt"),
-          (sum("cnt").over(cum) - col("cnt")).as("cb"),
-          sum("cnt").over(byC).as("n"))
+      val melted = df.select(explode(map(kvCols: _*)).as(Seq("g", "v")))
       val spark = df.sparkSession
       import spark.implicits._
       val probs = specs.flatMap { case (c, k) =>
         (0 to k).map(i => (c, i, i.toDouble / k)) }
-        .toDF("c", "i", "p")
-      val coversLo = col("lo").between(col("cb"), col("cb") + col("cnt") - 1)
-      val coversHi = col("hi").between(col("cb"), col("cb") + col("cnt") - 1)
-      val rows = broadcast(probs).join(grid, Seq("c"))
-        .withColumn("k", col("p") * (col("n") - 1).cast("double"))
-        .withColumn("lo", floor(col("k")))
-        .withColumn("hi", ceil(col("k")))
-        .filter(coversLo || coversHi)
-        .groupBy("c", "i", "k")
-        .agg(max(when(coversLo, col("v"))).as("vlo"),
-          max(when(coversHi, col("v"))).as("vhi"))
-        .select(col("c"), col("i"),
-          when(floor(col("k")) === ceil(col("k")), col("vlo"))
-            .when(col("vlo") === col("vhi"), col("vlo"))
-            .otherwise((ceil(col("k")) - col("k")) * col("vlo") +
-              (col("k") - floor(col("k"))) * col("vhi")).as("q"))
-        .collect()
+        .toDF("g", "i", "p")
+      val rows = GridQuantiles.quantiles(melted, broadcast(probs)).collect()
       val edgesByCol = rows.groupBy(_.getString(0)).map { case (c, rs) =>
-        c -> rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+        c -> rs.sortBy(_.getAs[Int]("i")).map(_.getAs[Double]("q"))
       }
       specs.map { case (c, _) =>
         val qs = edgesByCol.getOrElse(c, throw new IllegalArgumentException(

@@ -81,4 +81,28 @@ class BinningSpec extends AnyFunSuite with SparkTestSession {
     val m = QuantileBinner.fit(withNulls, "x", 2)
     assert(m.edges.toSeq == Seq(1.0, 2.0, 3.0))
   }
+
+  test("grouped grid quantiles equal per-group Spark percentile exactly") {
+    import org.apache.spark.sql.functions.{array, col, expr, lit, posexplode}
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val kv = li.select(col("l_returnflag").as("g"),
+      col("l_extendedprice").cast("double").as("v"))
+    val probs = kv.select("g").distinct()
+      .select(col("g"),
+        posexplode(array(lit(0.25), lit(0.5), lit(0.75))).as(Seq("i", "p")))
+    val got = GridQuantiles.quantiles(kv, probs)
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Int]("i")) ->
+        r.getAs[Double]("q")).toMap
+    val want = li.groupBy(col("l_returnflag").as("g"))
+      .agg(expr("percentile(CAST(l_extendedprice AS DOUBLE)," +
+        " array(0.25, 0.5, 0.75))").as("qs"))
+      .collect()
+      .flatMap { r =>
+        r.getSeq[Double](1).zipWithIndex.map { case (q, i) =>
+          (r.getString(0), i) -> q
+        }
+      }.toMap
+    assert(got == want)
+  }
 }
