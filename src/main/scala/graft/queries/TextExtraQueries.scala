@@ -81,6 +81,116 @@ object TextExtraQueries extends QueryPack {
     },
     Some(cmsOracle))
 
+  /** CMS shard-merge proof — the sketch property that makes it the
+    * 100-TB primitive, pinned IN the output: per-source cell grids are
+    * built independently (one sketch per shard, the way a fleet of
+    * ingest jobs would), merged by cell-wise addition, and digested
+    * (md5 over the sorted (r,bucket,cnt) grid) next to the same digest
+    * of a direct global build. The merged and global rows must carry
+    * the IDENTICAL digest — any cell off by one breaks the hash. The
+    * oracle replays per-shard builds, the merge, the global build, and
+    * the digests.
+    */
+  val cmsMerge: GraftQuery = GraftQuery(
+    "cms_shard_merge_check",
+    (s, dir) => {
+      val d = 4
+      val w = 64
+      val toks = Tables(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("item"))
+      val perSrc = toks.groupBy("source", "item")
+        .agg(count(lit(1)).as("n"))
+        .select(col("source"), col("n"),
+          explode(sequence(lit(0), lit(d - 1))).as("r"),
+          col("item"))
+        .select(col("source"), col("r"),
+          graft.sketch.CountMin.bucket(col("item"), col("r"), w).as("bucket"),
+          col("n"))
+        .groupBy("source", "r", "bucket").agg(sum("n").as("cnt"))
+      val merged = perSrc.groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+      val global = graft.sketch.CountMin.cells(toks, "item", d, w)
+      def digest(part: String, cells: org.apache.spark.sql.DataFrame) =
+        cells
+          .select(concat_ws(",", col("r"), col("bucket"), col("cnt")).as("s"),
+            col("cnt"))
+          .agg(count(lit(1)).as("n_cells"), sum("cnt").as("mass"),
+            md5(concat_ws("|", sort_array(collect_list(col("s")))))
+              .as("grid_md5"))
+          .select(lit(part).as("part"), col("n_cells"), col("mass"),
+            col("grid_md5"))
+      val srcRows = perSrc
+        .select(col("source"),
+          concat_ws(",", col("r"), col("bucket"), col("cnt")).as("s"),
+          col("cnt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_cells"), sum("cnt").as("mass"),
+          md5(concat_ws("|", sort_array(collect_list(col("s")))))
+            .as("grid_md5"))
+        .select(col("source").as("part"), col("n_cells"), col("mass"),
+          col("grid_md5"))
+      srcRows
+        .unionByName(digest("zz_merged", merged))
+        .unionByName(digest("zz_global", global))
+        .orderBy("part")
+    },
+    Some("""
+      WITH toks AS MATERIALIZED (
+        SELECT source, unnest(string_split(text, ' ')) AS item
+        FROM documents),
+      pc AS MATERIALIZED (
+        SELECT source, item, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+      pb AS MATERIALIZED (
+        SELECT source, r,
+               CAST(concat('0x', substring(
+                 md5(item || '|' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 64 AS bucket,
+               n
+        FROM pc CROSS JOIN range(0, 4) t(r)),
+      ps AS MATERIALIZED (
+        SELECT source, r, bucket, SUM(n) AS cnt
+        FROM pb GROUP BY 1, 2, 3),
+      mg AS MATERIALIZED (
+        SELECT r, bucket, SUM(cnt) AS cnt FROM ps GROUP BY 1, 2),
+      gc AS MATERIALIZED (
+        SELECT item, COUNT(*) AS n FROM toks GROUP BY 1),
+      gb AS MATERIALIZED (
+        SELECT r,
+               CAST(concat('0x', substring(
+                 md5(item || '|' || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 64 AS bucket,
+               n
+        FROM gc CROSS JOIN range(0, 4) t(r)),
+      gl AS MATERIALIZED (
+        SELECT r, bucket, SUM(n) AS cnt FROM gb GROUP BY 1, 2),
+      srows AS (
+        SELECT source AS part, COUNT(*) AS n_cells, CAST(SUM(cnt) AS BIGINT) AS mass,
+               md5(string_agg(
+                 CAST(r AS VARCHAR) || ',' || CAST(bucket AS VARCHAR)
+                   || ',' || CAST(cnt AS VARCHAR), '|'
+                 ORDER BY CAST(r AS VARCHAR) || ',' || CAST(bucket AS VARCHAR)
+                   || ',' || CAST(cnt AS VARCHAR))) AS grid_md5
+        FROM ps GROUP BY source),
+      mrow AS (
+        SELECT 'zz_merged' AS part, COUNT(*) AS n_cells, CAST(SUM(cnt) AS BIGINT) AS mass,
+               md5(string_agg(
+                 CAST(r AS VARCHAR) || ',' || CAST(bucket AS VARCHAR)
+                   || ',' || CAST(cnt AS VARCHAR), '|'
+                 ORDER BY CAST(r AS VARCHAR) || ',' || CAST(bucket AS VARCHAR)
+                   || ',' || CAST(cnt AS VARCHAR))) AS grid_md5
+        FROM mg),
+      grow AS (
+        SELECT 'zz_global' AS part, COUNT(*) AS n_cells, CAST(SUM(cnt) AS BIGINT) AS mass,
+               md5(string_agg(
+                 CAST(r AS VARCHAR) || ',' || CAST(bucket AS VARCHAR)
+                   || ',' || CAST(cnt AS VARCHAR), '|'
+                 ORDER BY CAST(r AS VARCHAR) || ',' || CAST(bucket AS VARCHAR)
+                   || ',' || CAST(cnt AS VARCHAR))) AS grid_md5
+        FROM gl)
+      SELECT * FROM srows
+      UNION ALL SELECT * FROM mrow
+      UNION ALL SELECT * FROM grow
+      ORDER BY part"""))
+
   /** Linear-counting per-lang vocabulary estimate next to the exact
     * count: the report a curation pipeline uses to size vocabularies
     * without paying exact count-distinct's per-value shuffle at scale.
@@ -699,7 +809,8 @@ object TextExtraQueries extends QueryPack {
       ORDER BY n DESC, gram LIMIT 10"""))
 
   override def queries: Seq[GraftQuery] =
-    Seq(wordCount, cmsHeavyHitters, cmsStream, distinctEstimate, hllDistinct,
+    Seq(wordCount, cmsHeavyHitters, cmsStream, cmsMerge, distinctEstimate,
+      hllDistinct,
       gopherRules,
       describeStrings, monthly, chunkDocs, tfidfTop, topBigrams,
       repetitionScores, qualityGate, repetitionStream, lmScore,
