@@ -223,6 +223,51 @@ object CurationQueries extends QueryPack {
       FROM p JOIN tw ON tw.lang = p.lang CROSS JOIN tot
       ORDER BY p.lang"""))
 
+  /** Temperature-based multilingual mixing (the multilingual-LM
+    * standard: sample languages ∝ p^α to up-weight low-resource ones;
+    * α = 0.5 here so the weight is an IEEE-exactly-rounded sqrt —
+    * cross-engine bit-identical where a general pow is not). Exactness
+    * discipline: each language's weight is first quantized to integer
+    * MICRO-units (floor(sqrt(n)·1e6 + 0.5), one fixed expression), so
+    * the cross-language normalizing sum is an exact integer sum — no
+    * float-accumulation-order dependence — and every share/boost is one
+    * final division. Complements [[mixingPlan]]'s explicit-target plan
+    * with the derived-from-data variant.
+    */
+  val mixingTemperature: GraftQuery = GraftQuery(
+    "mixing_temperature_langs",
+    (s, dir) => {
+      val perLang = Tables(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_micro",
+          floor(sqrt(col("n_docs")) * 1e6 + 0.5).cast("long"))
+      val tot = perLang.agg(
+        sum("n_docs").as("total_docs"), sum("w_micro").as("total_w"))
+      perLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("w_micro"),
+          Q.r6(col("w_micro") * 1.0 / col("total_w")).as("sample_share"),
+          Q.r6(col("n_docs") * 1.0 / col("total_docs")).as("natural_share"),
+          Q.r6((col("w_micro") * 1.0 / col("total_w")) /
+            (col("n_docs") * 1.0 / col("total_docs"))).as("boost"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH p AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(floor(sqrt(COUNT(*)) * 1000000 + 0.5) AS BIGINT)
+                 AS w_micro
+        FROM documents GROUP BY lang),
+      t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+                   CAST(SUM(w_micro) AS BIGINT) AS total_w
+            FROM p)
+      SELECT lang, n_docs, w_micro,
+             round(w_micro * 1.0 / total_w, 6) AS sample_share,
+             round(n_docs * 1.0 / total_docs, 6) AS natural_share,
+             round((w_micro * 1.0 / total_w)
+               / (n_docs * 1.0 / total_docs), 6) AS boost
+      FROM p CROSS JOIN t
+      ORDER BY lang"""))
+
   /** Text cleaning / normalization gate (the Common-Crawl-style first
     * pass): the synthetic corpus is already clean, so the query first
     * wraps each document in deterministic dirt (an HTML tag pair, a tab,
@@ -751,6 +796,7 @@ object CurationQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] =
     Seq(piiRedact, shardAssign, samplePerGroup, weightedSample, mixingPlan,
+      mixingTemperature,
       cleanNormalize, qualityQuartileGate, curationPipeline, budgetCurve,
       corpusSummary, classBalance, kAnonymity, hllOverlap, kmvOverlap)
 }

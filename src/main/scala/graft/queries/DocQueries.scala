@@ -450,17 +450,25 @@ object DocQueries extends QueryPack {
     * restricted to the doc_id < 500 slice where exact truth is
     * tractable) scored against the TRUE all-pairs Jaccard >= 0.5 set as
     * precision (candidates that are real) and recall (real pairs the
-    * bands caught). Both sides are the memoized chains the registered
-    * dedup queries already share, so the report costs one outer join +
-    * one aggregation; the oracle replays candidates AND truth and
-    * re-derives the same counts. At 100 TB this exact-truth slice is the
-    * standard audit sample; the LSH side needs no change.
+    * bands caught). A doc's band signature depends only on its own
+    * shingles, so a pair collides in the sliced corpus iff it collides
+    * in the full one — the audit runs the SAME MinHash+LSH chain on the
+    * slice and gets exactly the production candidate pairs inside it at
+    * slice cost (running the full-corpus chain and filtering after is
+    * output-identical but pays the whole corpus: at sf10 that is the
+    * documented quadratic duplicate-mass regime). Truth is the memoized
+    * all-pairs frame the 0.8-threshold query shares; the oracle replays
+    * candidates AND truth and re-derives the same counts.
     */
   val lshQuality: GraftQuery = GraftQuery(
     "lsh_quality_report",
     (s, dir) => {
-      val cand = lshEdges(s, dir)
-        .filter(col("id_a") < 500 && col("id_b") < 500)
+      val sliced = Dedup.shingleSet(
+        Tables(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", 3)
+      val cand = Dedup.lshCandidates(
+          Dedup.minhashSignaturesPerm(sliced, 32), 4, sqlBuckets = true)
+        .filter(col("est_jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"), lit(1L).as("c"))
       val truth = allPairs05(s, dir)
         .select(col("id_a"), col("id_b"), lit(1L).as("t"))
@@ -476,7 +484,7 @@ object DocQueries extends QueryPack {
         SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INTEGER), 3) AS sh
         FROM (SELECT doc_id, text,
                      unnest(generate_series(1, length(text) - 2)) AS i
-              FROM documents)),
+              FROM documents WHERE doc_id < 500)),
       base AS (
         SELECT id,
                CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT)
@@ -503,9 +511,8 @@ object DocQueries extends QueryPack {
         JOIN mh mb ON mb.id = c.id_b AND mb.p = ma.p
         GROUP BY c.id_a, c.id_b),
       candf AS (
-        SELECT id_a, id_b FROM est
-        WHERE round(ej, 6) >= 0.5 AND id_a < 500 AND id_b < 500),
-      tsh AS (SELECT id, sh FROM sh WHERE id < 500),
+        SELECT id_a, id_b FROM est WHERE round(ej, 6) >= 0.5),
+      tsh AS (SELECT id, sh FROM sh),
       tsz AS (SELECT id, COUNT(*) AS n FROM tsh GROUP BY id),
       tint AS (
         SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
