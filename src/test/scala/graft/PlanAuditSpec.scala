@@ -45,6 +45,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "priority_abs_deviation", "quality_sample_docs", "lm_score_docs",
     "hist_quantile_totalprice", "bloom_contamination_prefilter",
     "incremental_dedup_shard", "mixing_plan_langs",
+    "mixing_temperature_langs",
     "embedding_assign_centroid", "lm_ppl_holdout", "pmi_collocations",
     "class_balance_downsample", "schema_drift_report", "join_size_profile",
     "seasonality_index_monthly", "basket_brand_pairs_lift",
@@ -80,6 +81,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("BroadcastHashJoin"),
       "region/nation/customer dims must broadcast, not shuffle")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("grouped quantiles prunes the lineitem scan to its two columns") {
+    val q = SparkEntry.allQueries
+      .find(_.name == "grouped_quantiles_returnflag").get
+    val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+    val readSchemas = plan.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchemas.contains("l_returnflag") &&
+      readSchemas.contains("l_extendedprice"),
+      s"expected both operand columns in the scan schema:\n$readSchemas")
+    // a scan that still reads the full 16-column lineitem row for a
+    // 2-column statistic has lost column pruning
+    assert(!readSchemas.contains("l_comment") &&
+      !readSchemas.contains("l_partkey"),
+      s"scan reads columns the query never touches:\n$readSchemas")
   }
 
   test("q1 pushes its shipdate filter into the parquet scan") {
