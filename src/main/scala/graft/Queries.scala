@@ -31,9 +31,12 @@ object Q {
   def cents(name: String): Column = cents(col(name))
 
   /** Half-away-from-zero decimal rounding, bit-identical to DuckDB's
-    * `round(x, d)` for identical input doubles (validated over 800k
-    * adversarial values incl. exact ties). Spark's own `round` uses
-    * BigDecimal-on-shortest-repr semantics which disagrees on ties.
+    * `round(x, d)` for identical input doubles (round-8 revalidation:
+    * 900k adversarial values — log-uniform magnitudes 1e-3..1e18, the
+    * formerly-Long-clamped band above 9.2e12, the [2^52, 2^53)
+    * half-even band, and exact (n+0.5)/1e6 ties — 0 mismatches).
+    * Spark's own `round` uses BigDecimal-on-shortest-repr semantics
+    * which disagrees on ties.
     *
     * Past |x|·scale ≥ 2^52 every double is already integral, so
     * DuckDB's `round(x*p)/p` reduces to `(x*p)/p` — the guard replays
