@@ -569,6 +569,93 @@ object DocQueries extends QueryPack {
       SELECT id_a, id_b, round(ej, 6) AS est_jaccard
       FROM est WHERE round(ej, 6) >= 0.5 ORDER BY id_a, id_b"""))
 
+  /** MinHash ESTIMATOR calibration — the third leg of the dedup
+    * evaluation layer (blocking quality: `lsh_quality_report`; ANN
+    * recall: `ann_recall_ivf_vec0`; estimator error: this). For every
+    * adjacent-id pair in the doc_id < 2000 slice (the planted near-dup
+    * probe set `ngram_jaccard_adjacent` uses), the 32-perm signature
+    * agreement count is compared against the EXACT 3-gram Jaccard, one
+    * calibration row per agreement count: pair count, how many pairs
+    * land within the ±4/32 band (~1 binomial std error at J=0.5), and
+    * the exact-Jaccard range observed at that estimate. A signature
+    * depends only on its own doc's shingles, so the slice audit equals
+    * the full-corpus audit on the same pairs at slice cost (the
+    * `lsh_quality_report` scale lesson). Pairs with an empty shingle
+    * intersection are out of scope (exact Jaccard 0 by construction;
+    * [[Dedup.jaccardForPairs]] drops them), which the oracle replays
+    * with its inner intersection join.
+    */
+  val minhashCalibration: GraftQuery = GraftQuery(
+    "minhash_estimate_error",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id") < 2000)
+      val sh = Dedup.shingleSet(d, "doc_id", "text", 3)
+      val sigs = Dedup.minhashSignaturesPerm(sh, 32)
+      val pairs = d.select(
+        col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.jaccardForPairs(sh, pairs)
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
+          Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
+          Seq("id_b"))
+        .select(col("jaccard"),
+          expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y)," +
+            " z -> z))").as("matches"))
+        .groupBy("matches")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(abs(col("matches") / 32.0 - col("jaccard")) <= 0.125, 1L)
+            .otherwise(0L)).as("n_within_4_32"),
+          min("jaccard").as("min_exact"),
+          max("jaccard").as("max_exact"))
+        .select(col("matches"), Q.r6(col("matches") / 32.0).as("est_jaccard"),
+          col("n_pairs"), col("n_within_4_32"),
+          col("min_exact"), col("max_exact"))
+        .orderBy("matches")
+    },
+    Some(s"""
+      WITH sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INTEGER), 3) AS sh
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 2)) AS i
+              FROM documents WHERE doc_id < 2000)),
+      base AS MATERIALIZED (
+        SELECT id,
+               CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT)
+                 % 2147483647 AS h
+        FROM sh),
+      perms(p, a, b) AS (VALUES $permValues),
+      mh AS MATERIALIZED (
+        SELECT id, p, MIN((a * h + b) % 2147483647) AS m
+        FROM base CROSS JOIN perms
+        GROUP BY id, p),
+      sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+      inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON b.id = a.id + 1 AND a.sh = b.sh
+        GROUP BY 1, 2),
+      ex AS (
+        SELECT id_a, id_b,
+               round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.id = id_a
+        JOIN sz sb ON sb.id = id_b),
+      mt AS (
+        SELECT e.id_a, e.jaccard,
+               CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT)
+                 AS matches
+        FROM ex e
+        JOIN mh ma ON ma.id = e.id_a
+        JOIN mh mb ON mb.id = e.id_b AND mb.p = ma.p
+        GROUP BY e.id_a, e.id_b, e.jaccard)
+      SELECT matches, round(matches / 32.0, 6) AS est_jaccard,
+             COUNT(*) AS n_pairs,
+             CAST(SUM(CASE WHEN abs(matches / 32.0 - jaccard) <= 0.125
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_within_4_32,
+             MIN(jaccard) AS min_exact,
+             MAX(jaccard) AS max_exact
+      FROM mt GROUP BY matches ORDER BY matches"""))
+
   /** Near-dup CLUSTERS, end to end: MinHash(32) + LSH candidates
     * (est_jaccard >= 0.5) as edges, connected components by min-label
     * propagation, one row per clustered doc with its canonical (minimum)
@@ -1251,7 +1338,8 @@ object DocQueries extends QueryPack {
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
     jaccardAdjacent, allPairsJaccard, dedupThresholdSweep, docCosine,
     fuzzyDedup, leakageMatrix,
-    minhashLsh, lshQuality, simhashDocs, simhashPairs, dedupClusters,
+    minhashLsh, lshQuality, minhashCalibration, simhashDocs, simhashPairs,
+    dedupClusters,
     dedupComponentsBucket, dedupKeepBest, dedupDropList,
     packDocs, qualitySample, dedupStream, dedupWatermarkStream, trigramSearch,
     contamination, bloomPrefilter,

@@ -205,6 +205,99 @@ object StatsQueries extends QueryPack {
       FROM sel JOIN ex ON sel.prob = ex.prob CROSS JOIN mm
       ORDER BY prob"""))
 
+  /** Shard-merge equality for the fixed-grid histogram sketch — the
+    * [[graft.sketch.HistQuantile]] analogue of `cms_shard_merge_check`:
+    * per-shard histograms built on the SHARED global grid (lo/width
+    * from the one-row bounds pass — itself a mergeable min/max), merged
+    * cell-wise, must equal the single-pass global histogram cell for
+    * cell; digest equality implies every quantile read off the merged
+    * grid equals the global one. One row per shard (cell count, mass,
+    * md5 grid digest) plus the merged and global digests. At 100 TB the
+    * shards are executors or daily partitions and only b-row grids move
+    * — the same pre-aggregation shape the CMS check pins.
+    */
+  private val hqmBins = 256
+  val histMergeCheck: GraftQuery = GraftQuery(
+    "hist_quantile_merge_check",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val o = Tables(s, dir, "orders").select(
+        (col("o_orderkey") % 8).as("shard"),
+        Q.cents(col("o_totalprice")).as("v"))
+      val mm = o.agg(min("v").as("lo"), max("v").as("hi")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val w = ((hi - lo) / hqmBins) + 1
+      def bCol = expr(s"(v - ${lo}L) DIV ${w}L")
+      val perShard = o.groupBy(col("shard"), bCol.as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val merged = perShard.groupBy("b").agg(sum("cnt").as("cnt"))
+      val global = o.groupBy(bCol.as("b")).agg(count(lit(1)).as("cnt"))
+      def digest(part: String, cells: org.apache.spark.sql.DataFrame) =
+        cells
+          .select(concat_ws(",", col("b"), col("cnt")).as("s"), col("cnt"))
+          .agg(count(lit(1)).as("n_cells"), sum("cnt").as("mass"),
+            md5(concat_ws("|", sort_array(collect_list(col("s")))))
+              .as("grid_md5"))
+          .select(lit(part).as("part"), col("n_cells"), col("mass"),
+            col("grid_md5"))
+      val shardRows = perShard
+        .select(col("shard"),
+          concat_ws(",", col("b"), col("cnt")).as("s"), col("cnt"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_cells"), sum("cnt").as("mass"),
+          md5(concat_ws("|", sort_array(collect_list(col("s")))))
+            .as("grid_md5"))
+        .select(concat(lit("shard_"), col("shard").cast("string")).as("part"),
+          col("n_cells"), col("mass"), col("grid_md5"))
+      shardRows
+        .unionByName(digest("zz_merged", merged))
+        .unionByName(digest("zz_global", global))
+        .orderBy("part")
+    },
+    Some(s"""
+      WITH v AS MATERIALIZED (
+        SELECT o_orderkey % 8 AS shard,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders),
+      mm AS MATERIALIZED (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v),
+      pw AS MATERIALIZED (
+        SELECT lo, ((hi - lo) // $hqmBins) + 1 AS w FROM mm),
+      ps AS MATERIALIZED (
+        SELECT shard, (v - lo) // w AS b, COUNT(*) AS cnt
+        FROM v, pw GROUP BY 1, 2),
+      mg AS MATERIALIZED (
+        SELECT b, CAST(SUM(cnt) AS BIGINT) AS cnt FROM ps GROUP BY 1),
+      gl AS MATERIALIZED (
+        SELECT (v - lo) // w AS b, COUNT(*) AS cnt FROM v, pw GROUP BY 1),
+      srows AS (
+        SELECT 'shard_' || CAST(shard AS VARCHAR) AS part,
+               COUNT(*) AS n_cells, CAST(SUM(cnt) AS BIGINT) AS mass,
+               md5(string_agg(
+                 CAST(b AS VARCHAR) || ',' || CAST(cnt AS VARCHAR), '|'
+                 ORDER BY CAST(b AS VARCHAR) || ',' || CAST(cnt AS VARCHAR)))
+                 AS grid_md5
+        FROM ps GROUP BY shard),
+      mrow AS (
+        SELECT 'zz_merged' AS part, COUNT(*) AS n_cells,
+               CAST(SUM(cnt) AS BIGINT) AS mass,
+               md5(string_agg(
+                 CAST(b AS VARCHAR) || ',' || CAST(cnt AS VARCHAR), '|'
+                 ORDER BY CAST(b AS VARCHAR) || ',' || CAST(cnt AS VARCHAR)))
+                 AS grid_md5
+        FROM mg),
+      grow AS (
+        SELECT 'zz_global' AS part, COUNT(*) AS n_cells,
+               CAST(SUM(cnt) AS BIGINT) AS mass,
+               md5(string_agg(
+                 CAST(b AS VARCHAR) || ',' || CAST(cnt AS VARCHAR), '|'
+                 ORDER BY CAST(b AS VARCHAR) || ',' || CAST(cnt AS VARCHAR)))
+                 AS grid_md5
+        FROM gl)
+      SELECT * FROM srows
+      UNION ALL SELECT * FROM mrow
+      UNION ALL SELECT * FROM grow
+      ORDER BY part"""))
+
   /** Chi-square independence + Cramér's V over the returnflag ×
     * linestatus contingency table — the categorical-association /
     * drift primitive ([[Stats.chiSquare]]).
@@ -776,7 +869,8 @@ object StatsQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] = Seq(
     profile, valueCounts, nullCounts, corrMatrix, crosstab, entropyGini,
-    skewKurt, corrVsLabel, histQuantile, chi2, ksDrift, psiDrift, mutualInfo,
+    skewKurt, corrVsLabel, histQuantile, histMergeCheck, chi2, ksDrift,
+    psiDrift, mutualInfo,
     fdChecks, welchT, mannWhitney, olsByFlag, benford, madOutliersQ, cuped,
     groupedQuantiles)
 }
