@@ -131,4 +131,78 @@ object Metrics {
         Q.r6(col("ssq") / 1000000.0 / col("n")).as("brier"))
       .orderBy("bin")
   }
+
+  /** Precision–recall curve + average precision, the threshold-choice
+    * companion to [[rocAuc]] (PR is the right lens when positives are
+    * rare — class-imbalanced quality gates, contamination screens).
+    * Same scale shape as rocAuc: scores quantize to the 1e-6 grid, ONE
+    * hash aggregation collapses the input to the bounded distinct-score
+    * frame, and the cumulative window runs over that small grid only.
+    *
+    * AP is the sklearn step-wise sum Σ (R_i − R_{i−1})·P_i over
+    * descending thresholds. Each term is a double expression over exact
+    * integer counts (identical in both engines), rounded to integer
+    * micro-units per threshold and then SUMMED AS INTEGERS, so the
+    * total is independent of partitioning/accumulation order.
+    *
+    * @return one row per distinct score, descending: (score, n_pos,
+    *         cum_tp, cum_fp, precision, recall, term_micro, ap_micro)
+    *         with ap_micro constant across rows (AP·1e6).
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = df.groupBy(Q.r6(col(scoreCol)).as("score"))
+      .agg(
+        sum(col(labelCol).cast("long")).as("np"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("nn"))
+    val w = Window.orderBy(desc("score"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    val c = g.select(col("score"), col("np"),
+      sum("np").over(w).as("ctp"), sum("nn").over(w).as("cfp"),
+      sum("np").over(all).as("tp"))
+    val prec = col("ctp") * 1.0 / (col("ctp") + col("cfp"))
+    c.select(col("score"), col("np").as("n_pos"),
+        col("ctp").as("cum_tp"), col("cfp").as("cum_fp"),
+        Q.r6(prec).as("precision"),
+        Q.r6(col("ctp") * 1.0 / col("tp")).as("recall"),
+        floor(col("np") * 1.0 / col("tp") * prec * 1e6 + 0.5)
+          .cast("long").as("term_micro"))
+      .withColumn("ap_micro", sum("term_micro").over(all))
+      .orderBy(desc("score"))
+  }
+
+  /** Decile gains/lift table: rows ranked by score (unique `keyCol`
+    * tiebreak so the order — and therefore how tied scores split across
+    * decile boundaries — is fully deterministic), cut into 10
+    * equal-population rank deciles, each reporting its positive rate,
+    * cumulative capture of all positives, and lift over the base rate.
+    * The campaign-targeting / quality-threshold readout between the
+    * full [[prCurve]] and a single AUC number.
+    *
+    * Rank window runs over the scored frame (same parity-mode shape as
+    * the Pareto decile report — at extreme scale, bucket scores via
+    * `GridQuantiles` edges first and forgo tie-splitting). All rates are
+    * exact integer counts divided once.
+    */
+  def liftDeciles(
+      df: DataFrame, scoreCol: Column, labelCol: Column,
+      keyCol: Column): DataFrame = {
+    val w = Window.orderBy(desc("s"), col("id"))
+    val all = Window.partitionBy()
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(scoreCol.as("s"), labelCol.cast("long").as("y"),
+        keyCol.as("id"))
+      .select(col("y"), row_number().over(w).as("rn"),
+        count(lit(1)).over(all).as("nr"), sum("y").over(all).as("tp"))
+      .groupBy(expr("(rn - 1) * 10 div nr").as("decile"))
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        max("nr").as("nr"), max("tp").as("tp"))
+      .select(col("decile"), col("n"), col("n_pos"),
+        Q.r6(col("n_pos") * 1.0 / col("n")).as("pos_rate"),
+        Q.r6(sum("n_pos").over(cum) * 1.0 / col("tp")).as("cum_capture"),
+        Q.r6((col("n_pos") * 1.0 / col("n")) /
+          (col("tp") * 1.0 / col("nr"))).as("lift"))
+      .orderBy("decile")
+  }
 }

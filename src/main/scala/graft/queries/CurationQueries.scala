@@ -794,9 +794,51 @@ object CurationQueries extends QueryPack {
              exact_common
       FROM est"""))
 
+  /** Per-source frequency cap: keep at most `cap` docs per source
+    * (seeded-md5 order, doc_id tiebreak — reproducible across runs and
+    * engines), the C4/RefinedWeb-style per-domain cap that stops a
+    * single crawl host from dominating the training mix. One window per
+    * source partition — hash-partitioned top-k, no global sort; at
+    * 100 TB each source's rank window is local to its shuffle partition
+    * and the output is the per-source summary, never the row set.
+    */
+  val sourceCap: GraftQuery = GraftQuery(
+    "source_frequency_cap",
+    (s, dir) => {
+      val cap = 15
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(graft.dedup.Dedup.md5Hash60(col("doc_id").cast("string"), 11),
+          col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("keep", col("rk") <= cap)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH r AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY CAST(concat('0x', substring(
+                     md5(CAST(doc_id AS VARCHAR) || '|11'), 1, 15)) AS BIGINT),
+                   doc_id) AS rk
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN rk > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             CAST(SUM(CASE WHEN rk <= 15 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars
+      FROM r GROUP BY source ORDER BY source"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(piiRedact, shardAssign, samplePerGroup, weightedSample, mixingPlan,
       mixingTemperature,
       cleanNormalize, qualityQuartileGate, curationPipeline, budgetCurve,
-      corpusSummary, classBalance, kAnonymity, hllOverlap, kmvOverlap)
+      corpusSummary, classBalance, kAnonymity, hllOverlap, kmvOverlap,
+      sourceCap)
 }

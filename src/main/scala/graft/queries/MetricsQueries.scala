@@ -169,7 +169,69 @@ object MetricsQueries extends QueryPack {
              n - CAST(ceil(n * 0.8) AS BIGINT) AS n FROM c
       ORDER BY label, split"""))
 
+  /** PR curve + step-wise average precision over the same synthetic
+    * scored frame as `roc_auc_synth` — per-threshold terms round to
+    * integer micro-units before the (integer, order-independent) total.
+    */
+  val prCurve: GraftQuery = GraftQuery(
+    "pr_curve_synth",
+    (s, dir) => Metrics.prCurve(labeled(s, dir), "score", "label"),
+    Some(s"""
+      WITH d AS ($labeledSql),
+      g AS (SELECT round(score, 6) AS score,
+                   CAST(SUM(label) AS BIGINT) AS np,
+                   CAST(COUNT(*) - SUM(label) AS BIGINT) AS nn
+            FROM d GROUP BY round(score, 6)),
+      c AS (SELECT score, np,
+                   SUM(np) OVER (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+                   SUM(nn) OVER (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfp,
+                   SUM(np) OVER () AS tp
+            FROM g),
+      t AS (SELECT score, np AS n_pos,
+                   CAST(ctp AS BIGINT) AS cum_tp, CAST(cfp AS BIGINT) AS cum_fp,
+                   round(ctp * 1.0 / (ctp + cfp), 6) AS "precision",
+                   round(ctp * 1.0 / tp, 6) AS recall,
+                   CAST(floor(np * 1.0 / tp * (ctp * 1.0 / (ctp + cfp))
+                     * 1000000 + 0.5) AS BIGINT) AS term_micro
+            FROM c)
+      SELECT score, n_pos, cum_tp, cum_fp, "precision", recall, term_micro,
+             CAST(SUM(term_micro) OVER () AS BIGINT) AS ap_micro
+      FROM t ORDER BY score DESC"""))
+
+  /** Decile gains/lift table on the order frame: orders ranked by
+    * totalprice cents (orderkey tiebreak), label = fully-shipped status.
+    */
+  val liftDeciles: GraftQuery = GraftQuery(
+    "lift_gains_deciles",
+    (s, dir) => Metrics.liftDeciles(
+      Tables(s, dir, "orders"),
+      Q.cents("o_totalprice"),
+      when(col("o_orderstatus") === "F", 1).otherwise(0),
+      col("o_orderkey")),
+    Some("""
+      WITH d AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               o_orderkey AS id
+        FROM orders),
+      w AS (SELECT y, row_number() OVER (ORDER BY s DESC, id) AS rn,
+                   COUNT(*) OVER () AS nr, SUM(y) OVER () AS tp
+            FROM d),
+      g AS (SELECT (rn - 1) * 10 // nr AS decile, COUNT(*) AS n,
+                   CAST(SUM(y) AS BIGINT) AS n_pos,
+                   MAX(nr) AS nr, CAST(MAX(tp) AS BIGINT) AS tp
+            FROM w GROUP BY 1)
+      SELECT decile, n, n_pos,
+             round(n_pos * 1.0 / n, 6) AS pos_rate,
+             round(SUM(n_pos) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * 1.0 / tp, 6) AS cum_capture,
+             round((n_pos * 1.0 / n) / (tp * 1.0 / nr), 6) AS lift
+      FROM g ORDER BY decile"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     accuracy, confusion, perClass, macroF1, weighted, rocAuc, calibration,
-    hashFold, stratified)
+    hashFold, stratified, prCurve, liftDeciles)
 }

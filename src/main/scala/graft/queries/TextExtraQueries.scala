@@ -808,11 +808,83 @@ object TextExtraQueries extends QueryPack {
       FROM g GROUP BY gram HAVING COUNT(*) >= 2
       ORDER BY n DESC, gram LIMIT 10"""))
 
+  /** Jensen–Shannon divergence between two sources' unigram
+    * distributions — the symmetric, bounded ([0,1] in bits) companion to
+    * the PSI/KS drift screens, the standard "did this shard drift from
+    * the corpus" check over token space. One explode + hash aggregation
+    * collapses both corpora to the shared-vocabulary count frame; each
+    * token's contribution is a double over exact integer counts
+    * (identical in both engines — log2 spelled ln/ln(2) so neither
+    * engine's log2 intrinsic enters), micro-rounded and integer-summed,
+    * so the total is accumulation-order independent. Output: the top-15
+    * diverging tokens with the full-vocabulary total attached.
+    */
+  val jsdUnigrams: GraftQuery = GraftQuery(
+    "jsd_source_unigrams",
+    (s, dir) => {
+      val g = Tables(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok")
+        .agg(
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
+      val all = Window.partitionBy()
+      val p = col("ca") * 1.0 / col("na")
+      val q = col("cb") * 1.0 / col("nb")
+      val ln2 = log(lit(2.0))
+      def half(x: org.apache.spark.sql.Column) =
+        when(x > 0, x * (log(x * 2.0 / (p + q)) / ln2) / 2.0).otherwise(0.0)
+      val contrib = half(p) + half(q)
+      g.select(col("tok"), col("ca"), col("cb"),
+          sum("ca").over(all).as("na"), sum("cb").over(all).as("nb"))
+        .select(col("tok"), col("ca"), col("cb"),
+          (floor(abs(contrib) * 1e6 + 0.5).cast("long") *
+            when(contrib > 0, 1L).when(contrib < 0, -1L).otherwise(0L))
+            .as("contrib_micro"))
+        .withColumn("jsd_micro", sum("contrib_micro").over(all))
+        .orderBy(desc("contrib_micro"), col("tok"))
+        .limit(15)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE source IN ('src0', 'src1')),
+      g AS (
+        SELECT tok,
+               CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM toks GROUP BY tok),
+      t AS (
+        SELECT tok, ca, cb,
+               SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        FROM g),
+      c AS (
+        SELECT tok, ca, cb,
+               (CASE WHEN ca * 1.0 / na > 0
+                     THEN (ca * 1.0 / na) * (ln((ca * 1.0 / na) * 2.0
+                       / (ca * 1.0 / na + cb * 1.0 / nb)) / ln(2)) / 2.0
+                     ELSE 0.0 END
+                + CASE WHEN cb * 1.0 / nb > 0
+                       THEN (cb * 1.0 / nb) * (ln((cb * 1.0 / nb) * 2.0
+                         / (ca * 1.0 / na + cb * 1.0 / nb)) / ln(2)) / 2.0
+                       ELSE 0.0 END) AS contrib
+        FROM t),
+      m AS (
+        SELECT tok, ca, cb,
+               CAST(floor(abs(contrib) * 1e6 + 0.5) AS BIGINT)
+                 * CASE WHEN contrib > 0 THEN 1
+                        WHEN contrib < 0 THEN -1 ELSE 0 END AS contrib_micro
+        FROM c)
+      SELECT tok, ca, cb, contrib_micro,
+             CAST(SUM(contrib_micro) OVER () AS BIGINT) AS jsd_micro
+      FROM m ORDER BY contrib_micro DESC, tok LIMIT 15"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(wordCount, cmsHeavyHitters, cmsStream, cmsMerge, distinctEstimate,
       hllDistinct,
       gopherRules,
       describeStrings, monthly, chunkDocs, tfidfTop, topBigrams,
       repetitionScores, qualityGate, repetitionStream, lmScore,
-      lmPplHoldout, vocabOov, pmiCollocations, boilerplate)
+      lmPplHoldout, vocabOov, pmiCollocations, boilerplate, jsdUnigrams)
 }
