@@ -38,7 +38,20 @@ object Bench {
     // SPARK_GRAFT_DEBUG_REPS=1 prints every rep's time to stderr (dev
     // attribution aid: cold-vs-warm rep split, adjacency effects)
     val debugReps = sys.env.get("SPARK_GRAFT_DEBUG_REPS").contains("1")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_SHUFFLE_ORDER=<seed> runs the sweep in a seeded-random
+    // order instead of alphabetical. Rounds 7 and 8 both chased per-query
+    // regressions that turned out to be sweep-adjacency artifacts (GC
+    // debt / state-store shadow from whatever ran just before); rerunning
+    // with a different seed moves every neighbor, so a timing that
+    // survives two seeds is a plan property and one that doesn't is a
+    // neighbor effect. The output JSON stays name-keyed, so downstream
+    // comparison is order-blind.
+    val shuffleSeed = sys.env.get("SPARK_GRAFT_SHUFFLE_ORDER").map(_.toLong)
+    val alpha = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = shuffleSeed.fold(alpha) { seed =>
+      new scala.util.Random(seed).shuffle(alpha)
+    }
+    val results = ordered
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val reps = if (gateOnce(name)) 1 else repeat

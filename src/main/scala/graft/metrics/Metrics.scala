@@ -143,7 +143,12 @@ object Metrics {
     * descending thresholds. Each term is a double expression over exact
     * integer counts (identical in both engines), rounded to integer
     * micro-units per threshold and then SUMMED AS INTEGERS, so the
-    * total is independent of partitioning/accumulation order.
+    * total is independent of partitioning/accumulation order. The
+    * per-threshold rounding costs up to 0.5 micro each, so `ap_micro`
+    * can drift from round(AP*1e6) by up to T/2 micro over T distinct
+    * scores (~1e3 micro on a dense 1e-6 grid with ~2M thresholds) —
+    * order-independence is bought at that documented error bound; do
+    * not treat `ap_micro` as exact to 1e-6 on dense score grids.
     *
     * @return one row per distinct score, descending: (score, n_pos,
     *         cum_tp, cum_fp, precision, recall, term_micro, ap_micro)
@@ -195,7 +200,10 @@ object Metrics {
         keyCol.as("id"))
       .select(col("y"), row_number().over(w).as("rn"),
         count(lit(1)).over(all).as("nr"), sum("y").over(all).as("tp"))
-      .groupBy(expr("(rn - 1) * 10 div nr").as("decile"))
+      // rn is IntegerType: cast before the *10 so the product is 64-bit
+      // (silent 32-bit overflow past ~214M rows; the DuckDB twin already
+      // computes this in BIGINT)
+      .groupBy(expr("(CAST(rn AS BIGINT) - 1) * 10 div nr").as("decile"))
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
         max("nr").as("nr"), max("tp").as("tp"))
       .select(col("decile"), col("n"), col("n_pos"),

@@ -802,10 +802,15 @@ object CurationQueries extends QueryPack {
     * 100 TB each source's rank window is local to its shuffle partition
     * and the output is the per-source summary, never the row set.
     */
+  /** Single cap constant shared by the Spark plan and its DuckDB twin —
+    * interpolated into the SQL so changing it cannot break oracle parity.
+    */
+  private val SourceCapLimit = 15
+
   val sourceCap: GraftQuery = GraftQuery(
     "source_frequency_cap",
     (s, dir) => {
-      val cap = 15
+      val cap = SourceCapLimit
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source")
         .orderBy(graft.dedup.Dedup.md5Hash60(col("doc_id").cast("string"), 11),
@@ -820,7 +825,7 @@ object CurationQueries extends QueryPack {
           sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
         .orderBy("source")
     },
-    Some("""
+    Some(s"""
       WITH r AS (
         SELECT source, n_chars,
                row_number() OVER (PARTITION BY source
@@ -829,9 +834,9 @@ object CurationQueries extends QueryPack {
                    doc_id) AS rk
         FROM documents)
       SELECT source, COUNT(*) AS n_docs,
-             CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-             CAST(SUM(CASE WHEN rk > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-             CAST(SUM(CASE WHEN rk <= 15 THEN n_chars ELSE 0 END) AS BIGINT)
+             CAST(SUM(CASE WHEN rk <= $SourceCapLimit THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN rk > $SourceCapLimit THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             CAST(SUM(CASE WHEN rk <= $SourceCapLimit THEN n_chars ELSE 0 END) AS BIGINT)
                AS kept_chars
       FROM r GROUP BY source ORDER BY source"""))
 

@@ -370,14 +370,15 @@ object TextExtraQueries extends QueryPack {
       val o = Tables(s, dir, "orders")
       Seq("o_orderstatus", "o_orderpriority").map { c =>
         val counts = o.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
-        val top = counts
-          .withColumn("rk", row_number().over(
-            Window.partitionBy().orderBy(desc("n"), col("v"))))
-          .filter(col("rk") === 1)
+        // top value via orderBy+limit (TakeOrderedAndProject: per-partition
+        // top-1 merged on the driver) — a global-window rank here would
+        // single-task-sort the whole value vocabulary at high cardinality
+        val top = counts.orderBy(desc("n"), col("v")).limit(1)
         o.agg(
           count(col(c)).as("n_rows"),
           countDistinct(col(c)).as("n_distinct"))
-          .crossJoin(top.select(col("v").as("top"), col("n").as("top_freq")))
+          .crossJoin(broadcast(
+            top.select(col("v").as("top"), col("n").as("top_freq"))))
           .select(lit(c).as("column"), col("n_rows"), col("n_distinct"),
             col("top"), col("top_freq"))
       }.reduce(_.unionByName(_)).orderBy("column")
@@ -818,6 +819,14 @@ object TextExtraQueries extends QueryPack {
     * engine's log2 intrinsic enters), micro-rounded and integer-summed,
     * so the total is accumulation-order independent. Output: the top-15
     * diverging tokens with the full-vocabulary total attached.
+    *
+    * The vocab count frame is checkpointed once (the corpus explode is
+    * the only expensive job) and the two corpus totals + the JSD total
+    * attach as broadcast 1-row aggregates — at 100 TB the unigram vocab
+    * is ~1e8 rows, so a `Window.partitionBy()` total here would funnel
+    * the whole vocabulary through one task; the broadcast-attach shape
+    * keeps every stage hash-partitioned (same pattern as
+    * `Stats.valueCounts`).
     */
   val jsdUnigrams: GraftQuery = GraftQuery(
     "jsd_source_unigrams",
@@ -829,20 +838,21 @@ object TextExtraQueries extends QueryPack {
         .agg(
           sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
           sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
-      val all = Window.partitionBy()
+        .localCheckpoint()
+      val totals = g.agg(sum("ca").as("na"), sum("cb").as("nb"))
       val p = col("ca") * 1.0 / col("na")
       val q = col("cb") * 1.0 / col("nb")
       val ln2 = log(lit(2.0))
       def half(x: org.apache.spark.sql.Column) =
         when(x > 0, x * (log(x * 2.0 / (p + q)) / ln2) / 2.0).otherwise(0.0)
+      // Each term p·log2(2p/(p+q))/2 + q·log2(2q/(p+q))/2 is non-negative
+      // by the log-sum inequality; abs() only guards FP noise near p==q
+      // (|contrib| < 1e-16 rounds to 0 micro either way).
       val contrib = half(p) + half(q)
-      g.select(col("tok"), col("ca"), col("cb"),
-          sum("ca").over(all).as("na"), sum("cb").over(all).as("nb"))
+      val c = g.crossJoin(broadcast(totals))
         .select(col("tok"), col("ca"), col("cb"),
-          (floor(abs(contrib) * 1e6 + 0.5).cast("long") *
-            when(contrib > 0, 1L).when(contrib < 0, -1L).otherwise(0L))
-            .as("contrib_micro"))
-        .withColumn("jsd_micro", sum("contrib_micro").over(all))
+          floor(abs(contrib) * 1e6 + 0.5).cast("long").as("contrib_micro"))
+      c.crossJoin(broadcast(c.agg(sum("contrib_micro").as("jsd_micro"))))
         .orderBy(desc("contrib_micro"), col("tok"))
         .limit(15)
     },
@@ -872,9 +882,7 @@ object TextExtraQueries extends QueryPack {
         FROM t),
       m AS (
         SELECT tok, ca, cb,
-               CAST(floor(abs(contrib) * 1e6 + 0.5) AS BIGINT)
-                 * CASE WHEN contrib > 0 THEN 1
-                        WHEN contrib < 0 THEN -1 ELSE 0 END AS contrib_micro
+               CAST(floor(abs(contrib) * 1e6 + 0.5) AS BIGINT) AS contrib_micro
         FROM c)
       SELECT tok, ca, cb, contrib_micro,
              CAST(SUM(contrib_micro) OVER () AS BIGINT) AS jsd_micro

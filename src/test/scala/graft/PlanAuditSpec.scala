@@ -59,6 +59,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "kmv_overlap_custkeys",
     // 1-row attach: the (total-weight, pair-count) sparsification cut
     "adamic_adar_trade_links",
+    // two 1-row attaches: the (na, nb) corpus token totals, then the
+    // full-vocabulary jsd_micro sum
+    "jsd_source_unigrams",
     // inherits cosine_topk/ivf_ann's 1-row query-vector attaches on
     // BOTH of the rankings it compares
     "ann_recall_ivf_vec0")
@@ -73,6 +76,49 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
         bad += s"${q.name}: BroadcastNestedLoopJoin outside the 1-row-attach whitelist"
     }
     assert(bad.isEmpty, s"scale-hostile plans: ${bad.mkString("; ")}")
+  }
+
+  /** Queries allowed an UNPARTITIONED window (single-task sort of the
+    * whole frame). Every entry is one of: (a) a fixed small grid —
+    * digit/class/cell/bin/decile-edge frames (benford, chi2, entropy,
+    * mutual-info, psi, woe, token-budget curve points, hist buckets,
+    * rollup rows); (b) a calendar frame bounded by elapsed days/months
+    * (cusum, autocorr, growth); (c) a distinct-value or micro-rounded
+    * score grid (roc/pr midranks, ks, mann-whitney); (d) a size-gated
+    * vocab rank (label-encode fits); or (e) a DOCUMENTED data-scale rank
+    * whose scaladoc names the GridQuantiles bucketing escape hatch for
+    * extreme scale (lift deciles, pareto deciles, rfm quintiles, skyline,
+    * session profile, z-order rank, oof target-encode fold ranks,
+    * priority deviation). A new query that introduces a global window
+    * must either justify its bound here or use the 1-row-agg +
+    * broadcast-attach pattern (`Stats.valueCounts`) instead.
+    */
+  private val boundedGlobalWindow = Set(
+    "benford_digit_audit", "chi2_flag_status", "cusum_changepoint_daily",
+    "entropy_gini_returnflag", "hist_quantile_totalprice",
+    "ks_drift_totalprice", "label_encode_nation", "label_encode_unseen",
+    "lift_gains_deciles", "mann_whitney_totalprice",
+    "mutual_info_priority_status", "pareto_revenue_deciles",
+    "pr_curve_synth", "priority_abs_deviation", "psi_drift_totalprice",
+    "revenue_autocorr_daily", "revenue_growth_monthly", "rfm_segments",
+    "roc_auc_synth", "rollup_share_report", "session_duration_profile",
+    "skyline_parts_size_price", "target_encode_oof_priority",
+    "token_budget_curve", "woe_iv_priority", "zorder_layout_orders")
+
+  test("no unpartitioned window outside the bounded-frame whitelist") {
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.allQueries.filterNot(q => skip(q.name)).foreach { q =>
+      val globals = q.run(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      if (globals.nonEmpty && !boundedGlobalWindow(q.name))
+        bad += s"${q.name} (${globals.size} global windows)"
+    }
+    assert(bad.isEmpty,
+      s"global-window plans outside the documented whitelist: " +
+        s"${bad.mkString("; ")} — single-task sort at scale; use the " +
+        "1-row-agg + broadcast-attach shape or whitelist with a bound")
   }
 
   test("q5 joins its dimension tables via BroadcastHashJoin") {
