@@ -55,6 +55,15 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val reps = if (gateOnce(name)) 1 else repeat
+        // MLlib gates are the sweep's GC amplifiers: they allocate GBs of
+        // fit state on a heap already carrying ~170 queries of debt, and
+        // their garbage then shadows whatever runs next (r8: the sweep
+        // charged sol2_pipeline_gate 46.6 s vs 26-28 s isolated on a
+        // box-adjusted basis, and span_dedup_coverage — two slots after
+        // it alphabetically — 11.3 s vs 1.9 s isolated). Collect BEFORE
+        // the gate so its fits start on a clean heap; the matching
+        // collect AFTER runs below, also outside every timer.
+        if (gateOnce(name)) System.gc()
         val dt = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -85,6 +94,8 @@ object Bench {
           catch { case _: Throwable => () }
           System.gc()
         }
+        // ... and clear the gate's own fit garbage before the next timer
+        if (gateOnce(name)) System.gc()
         name -> dt
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

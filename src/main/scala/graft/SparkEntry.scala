@@ -13,7 +13,7 @@ object SparkEntry {
     CoreQueries, StatsQueries, TransformQueries, MetricsQueries, DocQueries,
     EventQueries, SimQueries, TreeQueries, ModelQueries, MiscQueries,
     JoinWindowQueries, ProfilingQueries, TextExtraQueries, PipelineQueries,
-    CurationQueries, GraphQueries, EnsembleQueries)
+    CurationQueries, GraphQueries, EnsembleQueries, CvTwinQueries)
 
   lazy val allQueries: Seq[GraftQuery] = {
     val qs = packs.flatMap(_.queries)

@@ -62,6 +62,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // two 1-row attaches: the (na, nb) corpus token totals, then the
     // full-vocabulary jsd_micro sum
     "jsd_source_unigrams",
+    // 1-row attach: the argmax-config (best_depth) frame onto the 6-row
+    // checkpointed CV result
+    "cv_grid_tree_select",
     // inherits cosine_topk/ivf_ann's 1-row query-vector attaches on
     // BOTH of the rankings it compares
     "ann_recall_ivf_vec0")
