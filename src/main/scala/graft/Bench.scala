@@ -10,9 +10,27 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitioning is a per-deployment knob, not a constant: at
+    // sf<=0.1 one partition per core is right, but a 600M-row shuffle in
+    // 32 partitions is ~19M rows each — past executor memory, so the
+    // sort spills and the plan goes superlinear (measured at sf100:
+    // q18 93.8 s at 32 partitions). Real cluster jobs size this so each
+    // shuffle partition lands ~100-200MB; SPARK_GRAFT_SHUFFLE_PARTITIONS
+    // exposes the same knob to the scale rungs. AQE coalesces small
+    // partitions back down, so oversizing is cheap.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Input-split sizing, same reasoning: the scale rungs ship some
+    // tables as ONE parquet file (the nanos events table), so the
+    // default 128MB split gives a 1.2GB file only ~10 scan tasks on a
+    // 32-core box. Smaller splits restore scan parallelism; on a real
+    // cluster the input is many files and the default is fine.
+    val maxPartitionBytes =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -66,7 +84,14 @@ object Bench {
         if (gateOnce(name)) System.gc()
         val dt = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          // SPARK_GRAFT_RETHROW=1 surfaces per-query failures (dev
+          // attribution aid — a swallowed exception reads as an
+          // impossibly fast timing in the sweep otherwise).
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              if (sys.env.get("SPARK_GRAFT_RETHROW").contains("1")) throw e
+              -1L
+          }
           val t = (System.nanoTime() - t0) / 1e9
           if (debugReps) System.err.println(f"[reps] $name $t%.3f")
           // Isolate runs: leftover cached / localCheckpoint blocks must
