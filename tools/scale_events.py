@@ -29,9 +29,11 @@ def main() -> int:
     import os
     outdir = f"{dst}/events.parquet"
     os.makedirs(outdir, exist_ok=True)
-    # ~8M rows (~100 MB) per part file: big enough to avoid a tiny-file
-    # explosion at factor=1000, small enough that every core gets work.
-    rows_per_file = 8_000_000
+    # ~2M rows (~25 MB) per part file: big enough to avoid a tiny-file
+    # explosion at factor=1000 (50 files), small enough that a 32-core
+    # scan gets a split per core (parquet splits at file granularity
+    # below maxPartitionBytes).
+    rows_per_file = 2_000_000
     total, nfile, pending = 0, 0, []
     for c in range(factor):
         shifted = t.set_column(
