@@ -388,9 +388,7 @@ object Dedup {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val docs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet") // source needs a dir
-      .parquet(sfDir)
+    val docs = graft.sources.StreamRead.table(spark, sfDir, "documents", schema)
     val sq = docs
       .select(col("lang"), md5(col("text").cast("binary")).as("fp"))
       .dropDuplicates("lang", "fp")

@@ -409,9 +409,7 @@ object TransformQueries extends QueryPack {
         StructField("o_orderdate", TimestampType), // timestamp[ms] parquet
         StructField("o_orderpriority", StringType)))
       val name = "graft_latest_status_stream"
-      val sq = s.readStream.schema(schema)
-        .option("pathGlobFilter", "orders.parquet")
-        .parquet(dir)
+      val sq = graft.sources.StreamRead.table(s, dir, "orders", schema)
         .groupBy(col("o_custkey").as("custkey"))
         .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
           col("o_orderstatus"))).as("m"))

@@ -100,9 +100,7 @@ object CountMin {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val docs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet") // source needs a dir
-      .parquet(sfDir)
+    val docs = graft.sources.StreamRead.table(spark, sfDir, "documents", schema)
     val cellStream = docs
       .select(explode(split(col("text"), " ")).as("item"))
       .select(col("item"), explode(sequence(lit(0), lit(d - 1))).as("r"))

@@ -303,9 +303,10 @@ object EventOps {
   def streamingEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(fileSchema)
-      .option("pathGlobFilter", "events.parquet") // source needs a directory
-      .parquet(sfDir)
+    // Layout-aware read — the glob form against a directory-shaped
+    // events table silently streams an EMPTY source (see StreamRead).
+    val stream =
+      graft.sources.StreamRead.table(spark, sfDir, "events", fileSchema)
     fileSchema("ts").dataType match {
       case LongType => stream
       case _ => stream.withColumn(

@@ -88,9 +88,7 @@ object Repetition {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val docs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet") // source needs a dir
-      .parquet(sfDir)
+    val docs = graft.sources.StreamRead.table(spark, sfDir, "documents", schema)
     // The file source parallelizes at FILE granularity, so a single-file
     // batch scores every document in one task while the sort+fold
     // projection is the expensive part. Rebalance the micro-batch across
