@@ -87,7 +87,20 @@ object Bench {
           // SPARK_GRAFT_RETHROW=1 surfaces per-query failures (dev
           // attribution aid — a swallowed exception reads as an
           // impossibly fast timing in the sweep otherwise).
-          try { fn(spark, sfDir).count() } catch {
+          // SPARK_GRAFT_FORCE_FULL=1 executes the FULL physical plan
+          // (toRdd) instead of count(): for pure-projection queries
+          // Catalyst collapses count() to a parquet metadata count and
+          // the default timing measures the scan stats, not the
+          // projection work (any SQL engine's count pushdown does the
+          // same). The default stays count() for cross-round
+          // comparability; use the flag when the projection cost itself
+          // is the measurement target.
+          try {
+            val df = fn(spark, sfDir)
+            if (sys.env.get("SPARK_GRAFT_FORCE_FULL").contains("1"))
+              df.queryExecution.toRdd.count()
+            else df.count()
+          } catch {
             case e: Throwable =>
               if (sys.env.get("SPARK_GRAFT_RETHROW").contains("1")) throw e
               -1L
