@@ -13,6 +13,12 @@ import org.apache.spark.sql.types.StructType
   * looks impossibly fast and a result that is wrong, not failing.
   */
 object StreamRead {
+  /** NOTE: the layout probe is a local-filesystem check because the
+    * harness data is local. On an object store / HDFS deployment tables
+    * are always directory-shaped — pass the directory path straight to
+    * `readStream.parquet` (the single-file + glob form exists only for
+    * the harness's single-file driver tables).
+    */
   def table(
       spark: SparkSession, sfDir: String, name: String,
       schema: StructType): DataFrame = {
