@@ -14,7 +14,8 @@ B4=exact_dedup_prefix,simhash_docs,cms_heavy_hitters_tokens,minhash_estimate_err
 B5=dedup_components_bucket,span_dedup_coverage
 B6=ivf_ann_topk_vec0,pq_ann_topk_vec0,embedding_assign_centroid
 B7=hll_distinct_shingles
-for B in $B1 $B2 $B3 $B4 $B5 $B6 $B7; do
+B8=events_hourly_stream,sessionize_stream,hll_users_stream,dedup_distinct_stream,events_sliding_stream,interval_join_stream,cms_heavy_hitters_stream
+for B in $B1 $B2 $B3 $B4 $B5 $B6 $B7 $B8; do
   echo "=== batch $B ===" >> "$LOG"
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPEAT=1 \
   SPARK_GRAFT_ONLY="$B" \
