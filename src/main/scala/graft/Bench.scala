@@ -34,6 +34,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed-table queries write real table data: pin the warehouse
+      // to a controlled location instead of ./spark-warehouse under
+      // whatever cwd spark-submit ran from (multi-GB at sf100)
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+          "/root/repo/target/scale/warehouse"))
       .getOrCreate()
     // ERROR, not WARN: every saved log line is budget for the JSON tail
     spark.sparkContext.setLogLevel("ERROR")

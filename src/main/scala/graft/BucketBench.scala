@@ -7,17 +7,23 @@ import org.apache.spark.sql.functions._
   * .Bucketing): pre-shuffle lineitem and orders ONCE at write time,
   * bucketed+sorted by orderkey, then run the q3-shape fact-fact join
   * off the bucketed tables — SortMergeJoin with no Exchange on either
-  * side. This is the 100-TB answer to the shuffle cost the plain rung
-  * measures on q3/q18: a fact table is written once and joined many
-  * times, so the per-query shuffle disappears into the (amortized)
-  * layout.
+  * side — and the q5 shape (fact-fact join, per-custkey pre-aggregation,
+  * customer join + broadcast dims). This is the 100-TB answer to the
+  * shuffle cost the plain rung measures on q3/q18/q5: a fact table is
+  * written once and joined many times, so the per-query shuffle
+  * disappears into the (amortized) layout.
   *
   * Prints one JSON line:
   *   {"bucketed_write_s":…,"bucketed_join_s":…,"plain_join_s":…,
-  *    "join_exchanges":N,"rows":N}
-  * `join_exchanges` counts Exchange nodes in the bucketed join's
-  * executed plan — 0 proves co-location (the single post-agg exchange
-  * for the final order-by is excluded by counting before the sort).
+  *    "join_exchanges":N,"rows":N,
+  *    "bucketed_q5_s":…,"plain_q5_s":…,"q5_exchanges":N,"q5_rows":N}
+  * `join_exchanges` counts `Exchange hashpartitioning` nodes in the
+  * q3-shape join's EXECUTED plan (the same physical plan the timing ran,
+  * via toRdd — not a pre-execution print of a different Dataset) — 0
+  * proves co-location. `q5_exchanges` counts the same for the bucketed
+  * q5 shape: the expected value is 2 (the per-custkey re-aggregation and
+  * the customer join of the PRE-AGGREGATED ≤|customer| frame), with the
+  * 600M-row lineitem⋈orders itself exchange-free.
   *
   * Usage: spark-submit --class graft.BucketBench <jar>
   *   env SPARK_GRAFT_SF_DIR (rung dir), SPARK_GRAFT_CPUS,
@@ -86,20 +92,59 @@ object BucketBench {
 
     val bl = spark.table("bb_lineitem")
     val bo = spark.table("bb_orders")
-    val bucketedQ = q3Shape(bl, bo)
-    val (bRows, tB) = time { bucketedQ.count() }
-    // Count Exchange nodes feeding the join (co-location proof): walk
-    // the executed plan below the first aggregate.
-    val planStr = bucketedQ.queryExecution.executedPlan.toString
-    val exchanges = planStr.sliding("Exchange hashpartitioning".length)
-      .count(_ == "Exchange hashpartitioning")
 
-    val (pRows, tP) = time { q3Shape(lineitem, orders).count() }
+    // Execute via toRdd so the timed run IS the plan we then inspect
+    // (count() builds a different Dataset whose execution never touches
+    // this one's executedPlan, and would also collapse to metadata
+    // counts on simpler shapes).
+    def runAndCountExchanges(
+        df: org.apache.spark.sql.DataFrame): (Long, Double, Int) = {
+      val qe = df.queryExecution
+      val t0 = System.nanoTime()
+      val rows = qe.toRdd.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      // post-execution: AQE has finalized the plan that actually ran
+      val planStr = qe.executedPlan.toString
+      val exchanges = planStr.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning")
+      (rows, t, exchanges)
+    }
+
+    val (bRows, tB, exchanges) = runAndCountExchanges(q3Shape(bl, bo))
+    val (pRows, tP, _) = runAndCountExchanges(q3Shape(lineitem, orders))
     require(bRows == pRows, s"bucketed $bRows != plain $pRows")
+
+    // The q5 shape: fact-fact join off the layout, pre-aggregate revenue
+    // per custkey (≤|customer| rows), then join customer + broadcast
+    // nation/region — the bucketed answer to q5's dominant shuffle.
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_nationkey")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select("n_nationkey", "n_regionkey", "n_name")
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+      .select("r_regionkey", "r_name")
+    def q5Shape(
+        l: org.apache.spark.sql.DataFrame,
+        o: org.apache.spark.sql.DataFrame) =
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_custkey"))
+        .agg(sum(Q.cents(l("l_extendedprice")) *
+          (lit(100L) - Q.cents(l("l_discount")))).as("rev_e4"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum("rev_e4").as("revenue_e4"))
+
+    val (q5bRows, tQ5b, q5Exchanges) = runAndCountExchanges(q5Shape(bl, bo))
+    val (q5pRows, tQ5p, _) = runAndCountExchanges(q5Shape(lineitem, orders))
+    require(q5bRows == q5pRows, s"bucketed q5 $q5bRows != plain $q5pRows")
 
     val json = f"""{"bucketed_write_s":${(wL + wO)}%.3f,""" +
       f""""bucketed_join_s":$tB%.3f,"plain_join_s":$tP%.3f,""" +
-      s""""join_exchanges":$exchanges,"rows":$bRows}"""
+      s""""join_exchanges":$exchanges,"rows":$bRows,""" +
+      f""""bucketed_q5_s":$tQ5b%.3f,"plain_q5_s":$tQ5p%.3f,""" +
+      s""""q5_exchanges":$q5Exchanges,"q5_rows":$q5bRows}"""
     println(json)
     System.err.println(json)
     spark.sql("DROP TABLE IF EXISTS bb_lineitem")

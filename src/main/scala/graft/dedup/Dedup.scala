@@ -394,7 +394,7 @@ object Dedup {
       .dropDuplicates("lang", "fp")
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
-    try sq.processAllAvailable() finally sq.stop()
+    try { sq.processAllAvailable(); graft.streaming.StreamMetrics.dump(sq) } finally sq.stop()
     spark.table(name)
       .groupBy("lang").agg(count(lit(1)).as("n_distinct"))
       .orderBy("lang")
@@ -418,7 +418,7 @@ object Dedup {
       .dropDuplicatesWithinWatermark("event_type", "user_id")
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
-    try sq.processAllAvailable() finally sq.stop()
+    try { sq.processAllAvailable(); graft.streaming.StreamMetrics.dump(sq) } finally sq.stop()
     spark.table(name)
       .groupBy("event_type").agg(count(lit(1)).as("n_users"))
       .orderBy("event_type")

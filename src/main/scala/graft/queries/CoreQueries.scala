@@ -350,10 +350,11 @@ object CoreQueries extends QueryPack {
 
   /** Revenue-concentration (Pareto) report: customers ranked by order
     * revenue, grouped into rank deciles, each decile's share of total.
-    * The rank window runs over the per-customer AGGREGATE frame (one row
-    * per customer — the same bounded-grid argument as Stats.ksStatistic;
-    * at extreme scale, bucket revenues first). All shares are exact
-    * integer cents divided once.
+    * The rank runs DISTRIBUTED over the per-customer aggregate frame
+    * ([[graft.transform.DistRank]]: revenue-bucketed parallel local
+    * sorts + exact prefix offsets — no single-task global window), with
+    * the count/total attached as a broadcast 1-row aggregate. All shares
+    * are exact integer cents divided once.
     */
   val paretoRevenue: GraftQuery = GraftQuery(
     "pareto_revenue_deciles",
@@ -361,11 +362,9 @@ object CoreQueries extends QueryPack {
       val rev = Tables(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(sum(Q.cents("o_totalprice")).as("rev"))
-      val w = Window.orderBy(desc("rev"), col("o_custkey"))
-      val n = Window.partitionBy()
-      rev
-        .select(col("rev"), row_number().over(w).as("rn"),
-          count(lit(1)).over(n).as("nc"), sum("rev").over(n).as("tot"))
+      graft.transform.DistRank.withRowNumber(
+          rev, negate(col("rev")), Seq(desc("rev"), col("o_custkey")),
+          totalCountCol = Some("nc"), totalSumCols = Seq("rev" -> "tot"))
         .groupBy(expr("(rn - 1) * 10 div nc").as("decile"))
         .agg(
           count(lit(1)).as("n_customers"),
@@ -700,9 +699,73 @@ object CoreQueries extends QueryPack {
       GROUP BY o_year, o_orderpriority
       ORDER BY o_year, o_orderpriority"""))
 
+  /** Q5 on the bucketed layout — the scale answer to q5's one remaining
+    * heavy shuffle (the 600M-row lineitem⋈orders at sf100, ~65 s after
+    * the broadcast dial). Both facts are written bucketed+sorted by
+    * orderkey, so the fact-fact join runs exchange-free off the layout;
+    * revenue is then PRE-AGGREGATED per custkey (the frame drops from
+    * |lineitem| to ≤|customer| rows — at sf100, 600M→10M) before the
+    * customer join, and nation/region broadcast. Same bytes as
+    * q5_region_nation_revenue's oracle (grouped by region/nation, no
+    * share columns); `graft.BucketBench` measures the q5 shape at sf100.
+    */
+  val bucketedQ5: GraftQuery = GraftQuery(
+    "bucketed_q5_region_revenue",
+    (s, dir) => {
+      // clear orphan table dirs from a previous session (see bucketedJoin)
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq("graft_bkt5_lineitem", "graft_bkt5_orders").foreach { t =>
+        if (!s.catalog.tableExists(t)) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(s"$wh/$t"))
+        }
+      }
+      val l = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      graft.sources.Bucketing.writeBucketed(
+        l.repartition(8, col("l_orderkey")), "graft_bkt5_lineitem",
+        "l_orderkey", 8)
+      graft.sources.Bucketing.writeBucketed(
+        o.repartition(8, col("o_orderkey")), "graft_bkt5_orders",
+        "o_orderkey", 8)
+      val revPerCust = s.table("graft_bkt5_lineitem")
+        .join(s.table("graft_bkt5_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(Q.cents("l_extendedprice") *
+          (lit(100L) - Q.cents("l_discount"))).as("rev_e4"))
+      revPerCust
+        .join(Tables(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")
+          .select("n_nationkey", "n_regionkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")
+          .select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum("rev_e4").as("revenue_e4"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS revenue_e4
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(flagship, pricingSummary, topOrders, regionRevenue, returnedRevenue,
       promoRevenue, largeVolume, paretoRevenue, rollupShares, sqlApiTwin,
       gridHistogram, aboveAvgOrders, newVsRepeat, hhiConcentration,
-      tradeBalance, bucketedJoin)
+      tradeBalance, bucketedJoin, bucketedQ5)
 }

@@ -419,10 +419,12 @@ object CurationQueries extends QueryPack {
   /** Data-budget curve: rank documents by (rounded) quality descending
     * and report the cumulative token cost of keeping the top 25/50/75/
     * 100% — the "how many tokens does a quality cutoff buy" planning
-    * table. The rank window runs over the per-doc (quality, tokens)
-    * frame — one row per document, the bounded-aggregate-frame pattern;
-    * all sums are exact integers. Quartile positions are the ranks at
-    * ceil(q * n).
+    * table. The rank AND the running token sum run DISTRIBUTED over the
+    * per-doc (quality, tokens) frame ([[graft.transform.DistRank]]:
+    * quality-bucketed parallel local sorts + exact prefix offsets for
+    * both the row number and the cumulative sum — no single-task global
+    * window); all sums are exact integers. Quartile positions are the
+    * ranks at ceil(q * n).
     */
   val budgetCurve: GraftQuery = GraftQuery(
     "token_budget_curve",
@@ -431,16 +433,9 @@ object CurationQueries extends QueryPack {
       val perDoc = Tables(s, dir, "documents")
         .select(col("doc_id"), q.as("q"),
           TextOps.tokenCount(col("text")).cast("long").as("toks"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(desc("q"), col("doc_id"))
-      perDoc
-        .select(col("q"), col("toks"),
-          row_number().over(w).cast("long").as("rn"),
-          count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy()).as("n"),
-          sum("toks").over(w.rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
-            .as("cum_toks"))
+      graft.transform.DistRank.withRowNumber(
+          perDoc, negate(col("q")), Seq(desc("q"), col("doc_id")),
+          cums = Seq("toks" -> "cum_toks"), totalCountCol = Some("n"))
         .filter(col("rn") === ceil(col("n") * 0.25) ||
           col("rn") === ceil(col("n") * 0.5) ||
           col("rn") === ceil(col("n") * 0.75) || col("rn") === col("n"))

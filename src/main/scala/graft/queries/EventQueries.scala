@@ -617,7 +617,11 @@ object EventQueries extends QueryPack {
     * cumulative new-session-flag technique — two different session
     * constructions, one duration distribution. Ranks use the explicit
     * value-at-ceil(p*n) discrete quantile (integer-exact, as in
-    * interarrival_profile).
+    * interarrival_profile), computed DISTRIBUTED over the session frame
+    * ([[graft.transform.DistRank]]: duration-bucketed parallel local
+    * sorts + exact prefix offsets — no single-task global window; ties
+    * share a bucket, and the picked value at a rank is the duration
+    * itself, so arbitrary tie order cannot change the output).
     */
   val sessionDurations: GraftQuery = GraftQuery(
     "session_duration_profile",
@@ -629,10 +633,9 @@ object EventQueries extends QueryPack {
         .agg(count(lit(1)).as("n_events"))
         .select((unix_micros(col("session_window.end")) -
           unix_micros(col("session_window.start")) - gapUs).as("dur_us"))
-      val w = Window.orderBy("dur_us")
-      sess
-        .select(col("dur_us"), row_number().over(w).as("rn"),
-          count(lit(1)).over(Window.partitionBy()).as("n"))
+      graft.transform.DistRank.withRowNumber(
+          sess, col("dur_us"), Seq(col("dur_us")),
+          totalCountCol = Some("n"))
         .agg(
           max("n").as("n_sessions"),
           max(when(col("rn") === ceil(col("n") * 0.5), col("dur_us")))

@@ -168,10 +168,15 @@ object MiscQueries extends QueryPack {
     * rows are assigned to 16 "files" in Z-value order and each file
     * reports its min/max rectangle in BOTH dimensions — narrow ranges
     * on both axes are what make parquet row-group stats prune scans for
-    * either predicate at 100 TB. ntile emulates the file assignment
-    * deterministically for the oracle; the production write is
+    * either predicate at 100 TB. The file assignment is the exact
+    * SQL-standard ntile(16) over (z, orderkey) — computed DISTRIBUTED:
+    * [[graft.transform.DistRank]] gives the global row number from
+    * z-bucketed parallel local sorts + exact prefix offsets, and ntile's
+    * first-(n mod k)-buckets-get-one-extra rule is replayed
+    * arithmetically from (rn, n). The production write is
     * `repartitionByRange(n, z).sortWithinPartitions(z).write`, which
-    * needs no global window.
+    * needs no rank at all; this query keeps the rank so the oracle can
+    * replay the identical assignment.
     */
   val zorderLayout: GraftQuery = GraftQuery(
     "zorder_layout_orders",
@@ -179,12 +184,21 @@ object MiscQueries extends QueryPack {
       val day = datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
         .cast("long")
       val z = graft.sources.Layout.zValue(col("o_custkey"), day, 16)
-      Tables(s, dir, "orders")
+      val base = Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), day.as("day_idx"),
           z.as("z"))
-        .withColumn("file_id",
-          ntile(16).over(Window.orderBy(col("z"), col("o_orderkey")))
-            .cast("long"))
+      graft.transform.DistRank.withRowNumber(
+          base, col("z"), Seq(col("z"), col("o_orderkey")),
+          totalCountCol = Some("n"))
+        // ntile(16): q = n div 16 rows per file, the first r = n mod 16
+        // files take one extra row (for n < 16: q = 0, every row falls in
+        // the first branch and file_id = rn — same as ntile)
+        .withColumn("file_id", expr(
+          """CASE WHEN rn <= (n % 16) * (n div 16 + 1)
+                  THEN (rn - 1) div (n div 16 + 1)
+                  ELSE n % 16 + (rn - 1 - (n % 16) * (n div 16 + 1))
+                       div (n div 16)
+             END + 1""").cast("long"))
         .groupBy("file_id")
         .agg(count(lit(1)).as("n_rows"),
           min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
@@ -383,9 +397,14 @@ object MiscQueries extends QueryPack {
       FROM m, t ORDER BY m"""))
 
   /** RFM segmentation: recency / frequency / monetary terciles per
-    * customer, assigned by explicit rank over the (bounded, one row per
-    * customer) aggregate frame with key tiebreaks — fully deterministic,
-    * no quantile interpolation. Output: one row per populated segment.
+    * customer, assigned by explicit rank over the per-customer aggregate
+    * frame with key tiebreaks — fully deterministic, no quantile
+    * interpolation. Each of the three ranks runs DISTRIBUTED
+    * ([[graft.transform.DistRank]]: metric-bucketed parallel local sorts
+    * + exact prefix offsets — no single-task global window); the three
+    * rank frames re-join the persisted base 1:1 on custkey and the
+    * customer count attaches as a broadcast 1-row aggregate. Output: one
+    * row per populated segment.
     */
   val rfmSegments: GraftQuery = GraftQuery(
     "rfm_segments",
@@ -395,20 +414,28 @@ object MiscQueries extends QueryPack {
         .agg(max("o_orderdate").as("last_dt"),
           count(lit(1)).as("freq"),
           sum(Q.cents("o_totalprice")).as("monetary_cents"))
-      val n = Window.partitionBy()
-      val withT = base
-        .withColumn("n", count(lit(1)).over(n))
-        // recency: later last order = better; rank ascending by date
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("last_dt"), col("custkey"))))
-        .withColumn("r_t", expr("((rk - 1) * 3) div n"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("freq"), col("custkey"))))
-        .withColumn("f_t", expr("((rk - 1) * 3) div n"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("monetary_cents"), col("custkey"))))
-        .withColumn("m_t", expr("((rk - 1) * 3) div n"))
-      withT.groupBy("r_t", "f_t", "m_t")
+        .persist() // read by 3 rank chains + the final join; Bench's
+                   // post-query clearCache releases it
+      def rankOf(key: org.apache.spark.sql.Column,
+          ord: Seq[org.apache.spark.sql.Column], out: String) =
+        graft.transform.DistRank.withRowNumber(base, key, ord, rnCol = out)
+          .select(col("custkey"), col(out))
+      // recency: later last order = better; rank ascending by date
+      // (bucket key = epoch seconds under the session's UTC zone — any
+      // monotone numeric image of the order key works)
+      val r = rankOf(col("last_dt").cast("timestamp").cast("long"),
+        Seq(col("last_dt"), col("custkey")), "rk_r")
+      val f = rankOf(col("freq"), Seq(col("freq"), col("custkey")), "rk_f")
+      val m = rankOf(col("monetary_cents"),
+        Seq(col("monetary_cents"), col("custkey")), "rk_m")
+      base.select(col("custkey"), col("monetary_cents"))
+        .join(r, Seq("custkey")).join(f, Seq("custkey")).join(m, Seq("custkey"))
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
+        .select(expr("((rk_r - 1) * 3) div n").as("r_t"),
+          expr("((rk_f - 1) * 3) div n").as("f_t"),
+          expr("((rk_m - 1) * 3) div n").as("m_t"),
+          col("monetary_cents"))
+        .groupBy("r_t", "f_t", "m_t")
         .agg(count(lit(1)).as("n_customers"),
           sum("monetary_cents").as("segment_cents"))
         .orderBy("r_t", "f_t", "m_t")

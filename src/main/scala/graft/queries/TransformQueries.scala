@@ -415,7 +415,7 @@ object TransformQueries extends QueryPack {
           col("o_orderstatus"))).as("m"))
         .writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
-      try sq.processAllAvailable() finally sq.stop()
+      try { sq.processAllAvailable(); graft.streaming.StreamMetrics.dump(sq) } finally sq.stop()
       s.table(name)
         .select(col("custkey"), col("m.o_orderstatus").as("status"))
         .orderBy("custkey")

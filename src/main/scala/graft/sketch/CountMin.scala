@@ -108,7 +108,7 @@ object CountMin {
       .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
     val sq = cellStream.writeStream.format("memory").queryName(queryName)
       .outputMode("complete").start()
-    try sq.processAllAvailable() finally sq.stop()
+    try { sq.processAllAvailable(); graft.streaming.StreamMetrics.dump(sq) } finally sq.stop()
     spark.table(queryName)
   }
 }

@@ -95,7 +95,7 @@ object Hll {
       .groupBy("reg").agg(max("rho0").as("rho"))
       .writeStream.format("memory").queryName(queryName)
       .outputMode("complete").start()
-    try sq.processAllAvailable() finally sq.stop()
+    try { sq.processAllAvailable(); graft.streaming.StreamMetrics.dump(sq) } finally sq.stop()
     spark.table(queryName)
   }
 

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -13,17 +14,22 @@ import org.apache.spark.sql.types.StructType
   * looks impossibly fast and a result that is wrong, not failing.
   */
 object StreamRead {
-  /** NOTE: the layout probe is a local-filesystem check because the
-    * harness data is local. On an object store / HDFS deployment tables
-    * are always directory-shaped — pass the directory path straight to
-    * `readStream.parquet` (the single-file + glob form exists only for
-    * the harness's single-file driver tables).
+  /** Layout probe via the Hadoop FileSystem API, so it answers correctly
+    * for hdfs:// and object-store URIs too (a java.io.File check is
+    * always false there and would silently route a directory-shaped
+    * table into the empty-matching glob branch). A source that resolves
+    * to nothing fails fast instead of streaming an empty table.
     */
   def table(
       spark: SparkSession, sfDir: String, name: String,
       schema: StructType): DataFrame = {
     val base = s"$sfDir/$name.parquet"
-    if (new java.io.File(base).isDirectory)
+    val path = new Path(base)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path),
+      s"stream source $base matches nothing — refusing to stream an " +
+        "empty table")
+    if (fs.getFileStatus(path).isDirectory)
       spark.readStream.schema(schema).parquet(base)
     else
       spark.readStream.schema(schema)

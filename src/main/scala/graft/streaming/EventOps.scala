@@ -187,7 +187,7 @@ object EventOps {
       try joined.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try sq.processAllAvailable() finally sq.stop()
+    try { sq.processAllAvailable(); graft.streaming.StreamMetrics.dump(sq) } finally sq.stop()
     spark.table(name)
       .groupBy(col("e_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
@@ -269,7 +269,7 @@ object EventOps {
     val sq = streamingHourly(spark, sfDir)
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
-    try sq.processAllAvailable() finally sq.stop()
+    try { sq.processAllAvailable(); graft.streaming.StreamMetrics.dump(sq) } finally sq.stop()
     spark.table(name).orderBy("hour", "event_type")
   }
 
@@ -289,7 +289,7 @@ object EventOps {
     val sq = statefulSessionCounts(evs, gapUs)
       .writeStream.format("memory").queryName(name)
       .outputMode("update").start()
-    try sq.processAllAvailable() finally sq.stop()
+    try { sq.processAllAvailable(); graft.streaming.StreamMetrics.dump(sq) } finally sq.stop()
     spark.table(name).groupBy("user_id")
       .agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
       .orderBy("user_id")
@@ -329,7 +329,7 @@ object EventOps {
       .agg(count(lit(1)).as("n"), sum(Q.cents("value")).as("sum_value_cents"))
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
-    try sq.processAllAvailable() finally sq.stop()
+    try { sq.processAllAvailable(); graft.streaming.StreamMetrics.dump(sq) } finally sq.stop()
     spark.table(name).orderBy("c_mktsegment")
   }
 
@@ -358,7 +358,7 @@ object EventOps {
     val sq = streamingSliding(spark, sfDir)
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
-    try sq.processAllAvailable() finally sq.stop()
+    try { sq.processAllAvailable(); graft.streaming.StreamMetrics.dump(sq) } finally sq.stop()
     spark.table(name).orderBy("win_start", "event_type")
   }
 
@@ -390,7 +390,7 @@ object EventOps {
       .groupBy("day").agg(count(lit(1)).as("dau"))
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
-    try sq.processAllAvailable() finally sq.stop()
+    try { sq.processAllAvailable(); graft.streaming.StreamMetrics.dump(sq) } finally sq.stop()
     spark.table(name).orderBy("day")
   }
 
@@ -476,7 +476,7 @@ object EventOps {
     val sq = statefulFunnel(evs, st1, st2, st3)
       .writeStream.format("memory").queryName(name)
       .outputMode("update").start()
-    try sq.processAllAvailable() finally sq.stop()
+    try { sq.processAllAvailable(); graft.streaming.StreamMetrics.dump(sq) } finally sq.stop()
     val unset = Long.MaxValue
     spark.table(name).groupBy("user_id")
       .agg(min("s1").as("s1"), min("s2").as("s2"), min("s3").as("s3"))

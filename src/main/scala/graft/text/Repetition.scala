@@ -100,7 +100,7 @@ object Repetition {
       .select(col("doc_id") +: scoreColumns(col("text")): _*)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
-    try sq.processAllAvailable() finally sq.stop()
+    try { sq.processAllAvailable(); graft.streaming.StreamMetrics.dump(sq) } finally sq.stop()
     spark.table(name)
   }
 

@@ -67,7 +67,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "cv_grid_tree_select",
     // inherits cosine_topk/ivf_ann's 1-row query-vector attaches on
     // BOTH of the rankings it compares
-    "ann_recall_ivf_vec0")
+    "ann_recall_ivf_vec0",
+    // the DistRank-de-globalized ranks: each attaches its grand totals
+    // (count / sum) as a broadcast 1-row aggregate
+    "pareto_revenue_deciles", "rfm_segments", "session_duration_profile",
+    "token_budget_curve", "zorder_layout_orders")
 
   test("no CartesianProduct / unexpected BroadcastNestedLoopJoin in any registered plan") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()
@@ -89,24 +93,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     * (cusum, autocorr, growth); (c) a distinct-value or micro-rounded
     * score grid (roc/pr midranks, ks, mann-whitney); (d) a size-gated
     * vocab rank (label-encode fits); or (e) a DOCUMENTED data-scale rank
-    * whose scaladoc names the GridQuantiles bucketing escape hatch for
-    * extreme scale (lift deciles, pareto deciles, rfm quintiles, skyline,
-    * session profile, z-order rank, oof target-encode fold ranks,
-    * priority deviation). A new query that introduces a global window
-    * must either justify its bound here or use the 1-row-agg +
-    * broadcast-attach pattern (`Stats.valueCounts`) instead.
+    * whose scaladoc names the escape hatch for extreme scale (lift
+    * deciles over an eval set, skyline's dominance frontier, oof
+    * target-encode fold ranks, priority deviation's 5-row frame). A new
+    * query that introduces a global window must either justify its bound
+    * here or rank with `graft.transform.DistRank` (bucketed parallel
+    * local sorts + exact prefix offsets — the shape the former (e)
+    * members pareto/rfm/session-profile/token-budget/z-order now use) /
+    * the 1-row-agg + broadcast-attach pattern (`Stats.valueCounts`).
     */
   private val boundedGlobalWindow = Set(
     "benford_digit_audit", "chi2_flag_status", "cusum_changepoint_daily",
     "entropy_gini_returnflag", "hist_quantile_totalprice",
     "ks_drift_totalprice", "label_encode_nation", "label_encode_unseen",
     "lift_gains_deciles", "mann_whitney_totalprice",
-    "mutual_info_priority_status", "pareto_revenue_deciles",
+    "mutual_info_priority_status",
     "pr_curve_synth", "priority_abs_deviation", "psi_drift_totalprice",
-    "revenue_autocorr_daily", "revenue_growth_monthly", "rfm_segments",
-    "roc_auc_synth", "rollup_share_report", "session_duration_profile",
+    "revenue_autocorr_daily", "revenue_growth_monthly",
+    "roc_auc_synth", "rollup_share_report",
     "skyline_parts_size_price", "target_encode_oof_priority",
-    "token_budget_curve", "woe_iv_priority", "zorder_layout_orders")
+    "woe_iv_priority")
 
   test("no unpartitioned window outside the bounded-frame whitelist") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()

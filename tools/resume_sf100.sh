@@ -10,6 +10,7 @@ run() {
     --class graft.Bench /tmp/graft-classes.jar 2>/dev/null \
     | grep '"metric"' >> "$LOG"
 }
+echo "=== batch dedup_components_bucket,span_dedup_coverage ===" >> "$LOG"
 run dedup_components_bucket,span_dedup_coverage
 echo "=== batch ivf_ann_topk_vec0,pq_ann_topk_vec0,embedding_assign_centroid ===" >> "$LOG"
 run ivf_ann_topk_vec0,pq_ann_topk_vec0,embedding_assign_centroid

@@ -27,7 +27,13 @@ def main() -> int:
     # single-file vs 22.3 s once splits were shrunk to 32 MB — see
     # SCALE.md). Multi-file layout removes the need for the split knob.
     import os
+    import shutil
     outdir = f"{dst}/events.parquet"
+    # clear stale part files first: re-running with a smaller factor
+    # would otherwise leave old part-NNNNN files mixed in, silently
+    # inflating the table (both engines read the same inflated data, so
+    # oracle parity would stay green and mask it)
+    shutil.rmtree(outdir, ignore_errors=True)
     os.makedirs(outdir, exist_ok=True)
     # ~2M rows (~25 MB) per part file: big enough to avoid a tiny-file
     # explosion at factor=1000 (50 files), small enough that a 32-core
