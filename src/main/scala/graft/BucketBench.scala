@@ -16,14 +16,21 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line:
   *   {"bucketed_write_s":…,"bucketed_join_s":…,"plain_join_s":…,
   *    "join_exchanges":N,"rows":N,
-  *    "bucketed_q5_s":…,"plain_q5_s":…,"q5_exchanges":N,"q5_rows":N}
+  *    "bucketed_q5_s":…,"plain_q5_s":…,"q5_exchanges":N,"q5_rows":N,
+  *    "bucketed_q18_s":…,"plain_q18_s":…,"q18_exchanges":N(required 0),
+  *    "q18_rows":N}
   * `join_exchanges` counts `Exchange hashpartitioning` nodes in the
-  * q3-shape join's EXECUTED plan (the same physical plan the timing ran,
-  * via toRdd — not a pre-execution print of a different Dataset) — 0
-  * proves co-location. `q5_exchanges` counts the same for the bucketed
-  * q5 shape: the expected value is 2 (the per-custkey re-aggregation and
-  * the customer join of the PRE-AGGREGATED ≤|customer| frame), with the
-  * 600M-row lineitem⋈orders itself exchange-free.
+  * q3-shape join's EXECUTED plan's Final Plan section (the same physical
+  * plan the timing ran, via toRdd — not a pre-execution print of a
+  * different Dataset, and truncated before AQE's "== Initial Plan =="
+  * echo so nothing double-counts) — required 0: co-location proven.
+  * `q5_exchanges` counts the same for the bucketed q5 shape: expected 3
+  * (the per-custkey re-aggregation, the customer-join alignment of the
+  * PRE-AGGREGATED ≤|customer| frame, and the final region/nation
+  * re-aggregation), with the 600M-row lineitem⋈orders itself
+  * exchange-free; AQE may broadcast-convert the customer join at small
+  * SF, so the require is ≤3, and the 0-exchange fact-fact property is
+  * what the q3-shape requirement pins exactly.
   *
   * Usage: spark-submit --class graft.BucketBench <jar>
   *   env SPARK_GRAFT_SF_DIR (rung dir), SPARK_GRAFT_CPUS,
@@ -103,8 +110,13 @@ object BucketBench {
       val t0 = System.nanoTime()
       val rows = qe.toRdd.count()
       val t = (System.nanoTime() - t0) / 1e9
-      // post-execution: AQE has finalized the plan that actually ran
+      // post-execution: AQE has finalized the plan that actually ran.
+      // The toString of an executed AdaptiveSparkPlan prints the Final
+      // Plan AND an "== Initial Plan ==" section — truncate before
+      // counting, or every exchange double-counts (r10 logged
+      // q5_exchanges:6 for a 3-exchange final plan).
       val planStr = qe.executedPlan.toString
+        .split("== Initial Plan ==")(0)
       val exchanges = planStr.sliding("Exchange hashpartitioning".length)
         .count(_ == "Exchange hashpartitioning")
       (rows, t, exchanges)
@@ -139,12 +151,45 @@ object BucketBench {
     val (q5bRows, tQ5b, q5Exchanges) = runAndCountExchanges(q5Shape(bl, bo))
     val (q5pRows, tQ5p, _) = runAndCountExchanges(q5Shape(lineitem, orders))
     require(q5bRows == q5pRows, s"bucketed q5 $q5bRows != plain $q5pRows")
+    require(exchanges == 0,
+      s"bucketed q3-shape join must be exchange-free, saw $exchanges")
+    require(q5Exchanges <= 3,
+      s"bucketed q5 shape should need <=3 exchanges (re-agg, customer " +
+        s"align, final agg), saw $q5Exchanges")
+
+    // The q18 shape: group lineitem by orderkey (the bucket key — no
+    // shuffle), HAVING-filter, join orders (both sides bucket-aligned —
+    // no shuffle), then only the few qualifying orders hit the broadcast
+    // customer dim. EVERY hash exchange in q18 sits on the bucket key,
+    // so the bucketed plan is required to have ZERO (the final orderBy
+    // is a range exchange on a tiny qualifying set, not counted).
+    val customerDim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_name")
+    def q18Shape(
+        l: org.apache.spark.sql.DataFrame,
+        o: org.apache.spark.sql.DataFrame) =
+      l.groupBy(l("l_orderkey"))
+        .agg(sum(Q.cents(l("l_quantity"))).as("qty_cents"))
+        .filter(col("qty_cents") > 250L * 100L)
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(customerDim), o("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), o("o_orderkey"),
+          o("o_orderdate"), Q.cents(o("o_totalprice")).as("totalprice_cents"),
+          col("qty_cents"))
+        .orderBy(desc("qty_cents"), o("o_orderkey"))
+    val (q18bRows, tQ18b, q18Exchanges) = runAndCountExchanges(q18Shape(bl, bo))
+    val (q18pRows, tQ18p, _) = runAndCountExchanges(q18Shape(lineitem, orders))
+    require(q18bRows == q18pRows, s"bucketed q18 $q18bRows != plain $q18pRows")
+    require(q18Exchanges == 0,
+      s"bucketed q18 shape must be hash-exchange-free, saw $q18Exchanges")
 
     val json = f"""{"bucketed_write_s":${(wL + wO)}%.3f,""" +
       f""""bucketed_join_s":$tB%.3f,"plain_join_s":$tP%.3f,""" +
       s""""join_exchanges":$exchanges,"rows":$bRows,""" +
       f""""bucketed_q5_s":$tQ5b%.3f,"plain_q5_s":$tQ5p%.3f,""" +
-      s""""q5_exchanges":$q5Exchanges,"q5_rows":$q5bRows}"""
+      s""""q5_exchanges":$q5Exchanges,"q5_rows":$q5bRows,""" +
+      f""""bucketed_q18_s":$tQ18b%.3f,"plain_q18_s":$tQ18p%.3f,""" +
+      s""""q18_exchanges":$q18Exchanges,"q18_rows":$q18bRows}"""
     println(json)
     System.err.println(json)
     spark.sql("DROP TABLE IF EXISTS bb_lineitem")

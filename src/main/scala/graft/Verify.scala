@@ -33,6 +33,10 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           e.printStackTrace()
         }
+        // release per-query persists (e.g. rfm_segments' base frame) so
+        // they don't stay pinned for the rest of the run — mirrors
+        // Bench's post-query clearCache
+        spark.catalog.clearCache()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

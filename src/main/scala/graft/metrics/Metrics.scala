@@ -184,31 +184,33 @@ object Metrics {
     * The campaign-targeting / quality-threshold readout between the
     * full [[prCurve]] and a single AUC number.
     *
-    * Rank window runs over the scored frame (same parity-mode shape as
-    * the Pareto decile report — at extreme scale, bucket scores via
-    * `GridQuantiles` edges first and forgo tie-splitting). All rates are
-    * exact integer counts divided once.
+    * The descending rank runs DISTRIBUTED over the scored frame
+    * ([[graft.transform.DistRank]]: score-bucketed parallel local sorts
+    * + exact prefix offsets — no single-task global window), which also
+    * carries the per-row running positive count, so cum_capture is the
+    * decile's max running count and needs no window over the decile
+    * frame either. The row count and positive total attach as a
+    * broadcast 1-row aggregate. All rates are exact integer counts
+    * divided once. `scoreCol` must be non-null numeric (DistRank's
+    * bucket-key contract).
     */
   def liftDeciles(
       df: DataFrame, scoreCol: Column, labelCol: Column,
       keyCol: Column): DataFrame = {
-    val w = Window.orderBy(desc("s"), col("id"))
-    val all = Window.partitionBy()
-    val cum = Window.orderBy("decile")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    df.select(scoreCol.as("s"), labelCol.cast("long").as("y"),
-        keyCol.as("id"))
-      .select(col("y"), row_number().over(w).as("rn"),
-        count(lit(1)).over(all).as("nr"), sum("y").over(all).as("tp"))
-      // rn is IntegerType: cast before the *10 so the product is 64-bit
-      // (silent 32-bit overflow past ~214M rows; the DuckDB twin already
-      // computes this in BIGINT)
-      .groupBy(expr("(CAST(rn AS BIGINT) - 1) * 10 div nr").as("decile"))
+    val sel = df.select(scoreCol.as("s"), labelCol.cast("long").as("y"),
+      keyCol.as("id"))
+    graft.transform.DistRank.withRowNumber(
+        sel, negate(col("s")), Seq(desc("s"), col("id")),
+        cums = Seq("y" -> "cy"),
+        totalCountCol = Some("nr"), totalSumCols = Seq("y" -> "tp"))
+      // rn is already BIGINT (DistRank), so the *10 stays 64-bit — the
+      // DuckDB twin computes the same product in BIGINT
+      .groupBy(expr("(rn - 1) * 10 div nr").as("decile"))
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
-        max("nr").as("nr"), max("tp").as("tp"))
+        max("cy").as("cum_pos"), max("nr").as("nr"), max("tp").as("tp"))
       .select(col("decile"), col("n"), col("n_pos"),
         Q.r6(col("n_pos") * 1.0 / col("n")).as("pos_rate"),
-        Q.r6(sum("n_pos").over(cum) * 1.0 / col("tp")).as("cum_capture"),
+        Q.r6(col("cum_pos") * 1.0 / col("tp")).as("cum_capture"),
         Q.r6((col("n_pos") * 1.0 / col("n")) /
           (col("tp") * 1.0 / col("nr"))).as("lift"))
       .orderBy("decile")

@@ -763,9 +763,72 @@ object CoreQueries extends QueryPack {
       GROUP BY r_name, n_name
       ORDER BY r_name, n_name"""))
 
+  /** Q18 on the bucketed layout — the scale answer to the heaviest
+    * remaining core shape (93.8 s default / 63.0 s tuned at sf100):
+    * BOTH of q18's exchanges sit on the bucket key, so off the layout
+    * the whole query runs exchange-free until the tiny qualifying set.
+    * The lineitem group-by-orderkey aggregation reads pre-partitioned
+    * buckets (no shuffle), its HAVING output is already partitioned
+    * like the bucketed orders table (no shuffle on either join side),
+    * and only the few qualifying orders touch the broadcast customer
+    * dim. Same bytes as q18_large_volume_customers' oracle on the
+    * ORIGINAL parquet; `graft.BucketBench`'s q3-shape requirement pins
+    * the exchange-free property class, and the sf100 run records this
+    * query's own executed-plan exchange count.
+    */
+  val bucketedQ18: GraftQuery = GraftQuery(
+    "bucketed_q18_large_volume",
+    (s, dir) => {
+      // clear orphan table dirs from a previous session (see bucketedJoin)
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq("graft_bkt18_lineitem", "graft_bkt18_orders").foreach { t =>
+        if (!s.catalog.tableExists(t)) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(s"$wh/$t"))
+        }
+      }
+      val l = Tables(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val o = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      graft.sources.Bucketing.writeBucketed(
+        l.repartition(8, col("l_orderkey")), "graft_bkt18_lineitem",
+        "l_orderkey", 8)
+      graft.sources.Bucketing.writeBucketed(
+        o.repartition(8, col("o_orderkey")), "graft_bkt18_orders",
+        "o_orderkey", 8)
+      val big = s.table("graft_bkt18_lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(Q.cents("l_quantity")).as("qty_cents"))
+        .filter(col("qty_cents") > 250L * 100L)
+      val c = Tables(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(s.table("graft_bkt18_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), Q.cents("o_totalprice").as("totalprice_cents"),
+          col("qty_cents"))
+        .orderBy(desc("qty_cents"), col("o_orderkey"))
+    },
+    Some("""
+      WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                 AS qty_cents
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 25000)
+      SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+             qty_cents
+      FROM big
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY qty_cents DESC, o_orderkey"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(flagship, pricingSummary, topOrders, regionRevenue, returnedRevenue,
       promoRevenue, largeVolume, paretoRevenue, rollupShares, sqlApiTwin,
       gridHistogram, aboveAvgOrders, newVsRepeat, hhiConcentration,
-      tradeBalance, bucketedJoin, bucketedQ5)
+      tradeBalance, bucketedJoin, bucketedQ5, bucketedQ18)
 }

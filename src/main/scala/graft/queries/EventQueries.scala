@@ -426,11 +426,14 @@ object EventQueries extends QueryPack {
 
   /** Inter-arrival latency profile: per event type, the exact DISCRETE
     * p50/p95 of the per-user same-type arrival gaps. Quantiles are
-    * "value at rank ceil(p*n)" computed with an explicit row_number —
-    * identical integer semantics in any engine (no interpolated doubles
-    * at 1e12 magnitude). The rank window partitions by event type; at
-    * corpus scale, quantize gaps and rank the distinct-value frame as
-    * ksStatistic does.
+    * "value at rank ceil(p*n)" — identical integer semantics in any
+    * engine (no interpolated doubles at 1e12 magnitude) — realized as
+    * "smallest gap whose cumulative count reaches the target rank" over
+    * the per-DISTINCT-GAP count frame ([[graft.stats.Stats.ksStatistic]]
+    * 's shape): gaps are discrete microseconds with heavy repetition, so
+    * the ordered window runs over distinct gap values per type, bounded
+    * by gap cardinality, never over data rows. One shuffle builds the
+    * (type, gap) counts; everything after is grid-sized.
     */
   val interarrival: GraftQuery = GraftQuery(
     "interarrival_profile",
@@ -442,17 +445,20 @@ object EventQueries extends QueryPack {
           col("event_id"))
         .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(uw))
         .filter(col("gap").isNotNull)
-      val tw = Window.partitionBy("event_type").orderBy("gap")
-      gaps
+      val per = gaps.groupBy("event_type", "gap")
+        .agg(count(lit(1)).as("c"))
+      val cum = Window.partitionBy("event_type").orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = Window.partitionBy("event_type")
+      per
         .select(col("event_type"), col("gap"),
-          row_number().over(tw).as("rn"),
-          count(lit(1)).over(Window.partitionBy("event_type")).as("n"))
+          sum("c").over(cum).as("cc"), sum("c").over(tot).as("n"))
         .groupBy("event_type")
         .agg(
           max("n").as("n_gaps"),
-          max(when(col("rn") === ceil(col("n") * 0.5), col("gap")))
+          min(when(col("cc") >= ceil(col("n") * 0.5), col("gap")))
             .as("p50_gap_us"),
-          max(when(col("rn") === ceil(col("n") * 0.95), col("gap")))
+          min(when(col("cc") >= ceil(col("n") * 0.95), col("gap")))
             .as("p95_gap_us"))
         .orderBy("event_type")
     },

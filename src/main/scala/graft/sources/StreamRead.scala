@@ -29,11 +29,19 @@ object StreamRead {
     require(fs.exists(path),
       s"stream source $base matches nothing — refusing to stream an " +
         "empty table")
+    // SPARK_GRAFT_STREAM_MAX_FILES=N rate-limits ingestion to N files
+    // per micro-batch (a measurement knob, like SPARK_GRAFT_STREAM
+    // _METRICS): processAllAvailable over a finite table otherwise
+    // ingests EVERYTHING as one micro-batch, which makes a watermarked
+    // join/aggregate hold its worst-case state — the bounded-trigger
+    // run is how the watermark's steady-state bound is demonstrated
+    // rather than argued. Results are trigger-invariant (same oracle).
+    val rd0 = spark.readStream.schema(schema)
+    val rd = sys.env.get("SPARK_GRAFT_STREAM_MAX_FILES")
+      .fold(rd0)(n => rd0.option("maxFilesPerTrigger", n.toInt))
     if (fs.getFileStatus(path).isDirectory)
-      spark.readStream.schema(schema).parquet(base)
+      rd.parquet(base)
     else
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", s"$name.parquet")
-        .parquet(sfDir)
+      rd.option("pathGlobFilter", s"$name.parquet").parquet(sfDir)
   }
 }

@@ -69,8 +69,16 @@ object DistRank {
       .distinct.sorted
     val edges = Double.NegativeInfinity +: inner.toSeq :+ Double.PositiveInfinity
     val nB = edges.length - 1
+    // Fail fast on null/NaN keys (CutBucket maps them to bucket -1,
+    // which would inflate every offset while itself ranking from 0 —
+    // silently corrupting ALL global ranks). The scaladoc contract is
+    // enforced in-plan, per the repo's fail-fast-not-wrong convention.
     val bucketed = keyed
-      .withColumn("__dr_b", CutBucket.cutBucket(col("__dr_k"), edges))
+      .withColumn("__dr_b",
+        when(col("__dr_k").isNull || isnan(col("__dr_k")),
+          raise_error(lit(
+            "DistRank: bucketKey must be non-null and non-NaN")))
+          .otherwise(CutBucket.cutBucket(col("__dr_k"), edges)))
       .drop("__dr_k")
     // Per-bucket count + sums for every column any caller output needs.
     val sumSrcs = (cums.map(_._1) ++ totalSumCols.map(_._1)).distinct

@@ -71,7 +71,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // the DistRank-de-globalized ranks: each attaches its grand totals
     // (count / sum) as a broadcast 1-row aggregate
     "pareto_revenue_deciles", "rfm_segments", "session_duration_profile",
-    "token_budget_curve", "zorder_layout_orders")
+    "token_budget_curve", "zorder_layout_orders", "lift_gains_deciles")
 
   test("no CartesianProduct / unexpected BroadcastNestedLoopJoin in any registered plan") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()
@@ -93,9 +93,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     * (cusum, autocorr, growth); (c) a distinct-value or micro-rounded
     * score grid (roc/pr midranks, ks, mann-whitney); (d) a size-gated
     * vocab rank (label-encode fits); or (e) a DOCUMENTED data-scale rank
-    * whose scaladoc names the escape hatch for extreme scale (lift
-    * deciles over an eval set, skyline's dominance frontier, oof
-    * target-encode fold ranks, priority deviation's 5-row frame). A new
+    * whose scaladoc names the escape hatch for extreme scale (skyline's
+    * dominance frontier, oof target-encode fold ranks, priority
+    * deviation's 5-row frame). A new
     * query that introduces a global window must either justify its bound
     * here or rank with `graft.transform.DistRank` (bucketed parallel
     * local sorts + exact prefix offsets — the shape the former (e)
@@ -106,7 +106,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "benford_digit_audit", "chi2_flag_status", "cusum_changepoint_daily",
     "entropy_gini_returnflag", "hist_quantile_totalprice",
     "ks_drift_totalprice", "label_encode_nation", "label_encode_unseen",
-    "lift_gains_deciles", "mann_whitney_totalprice",
+    "mann_whitney_totalprice",
     "mutual_info_priority_status",
     "pr_curve_synth", "priority_abs_deviation", "psi_drift_totalprice",
     "revenue_autocorr_daily", "revenue_growth_monthly",
