@@ -253,8 +253,16 @@ object TextExtraQueries extends QueryPack {
       // not once per occurrence (the same duplicate-insensitivity
       // identity that took cms_heavy_hitters 211.7→1.7 s at sf100;
       // bit-identical output, the oracle keeps hashing duplicates and
-      // lands on the same registers).
-      val dsh = sh.distinct()
+      // lands on the same registers). The distinct frame is PERSISTED:
+      // it is ~|sources|x|3-gram domain| rows (tiny) but its recompute
+      // is the full 15B-row explode+dedup, and FOUR subtrees consume it
+      // (registers, merged registers, per-source exact, __all__ exact)
+      // — without the cache the dedup pass re-runs per subtree, which
+      // measured WORSE than the pre-r11 two-pass form (323.8 vs
+      // 281.9 s at sf100). This is the narrow persist()-wins case of
+      // the round-10 cache study: many rereads of a small frame with
+      // an expensive lineage (Bench/Verify clearCache releases it).
+      val dsh = sh.distinct().persist()
       val regsSrc =
         graft.sketch.Hll.registers(dsh, col("sh"), Seq(col("source")))
       val regsAll = regsSrc.groupBy("reg").agg(max("rho").as("rho"))
