@@ -102,4 +102,27 @@ class DistRankSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(globals.isEmpty, "DistRank must not plan a global window")
   }
+
+  test("null bucket key fails fast instead of corrupting ranks") {
+    // CutBucket maps null/NaN to bucket -1, which would inflate every
+    // offset while itself ranking from 0 — DistRank now raises in-plan
+    // (fail-fast-not-wrong; the scaladoc contract, enforced).
+    val withNull = li.withColumn("k",
+      when(col("l_linenumber") === 1, lit(null).cast("double"))
+        .otherwise(col("l_extendedprice")))
+    // consume rn: a bare count() lets Catalyst ELIMINATE the offset
+    // join (its right side is unique on the aggregate key) and prune
+    // __dr_b — so the guard, like the ranks, only evaluates on plans
+    // that actually read the rank output
+    val ex = intercept[Exception] {
+      DistRank.withRowNumber(withNull, col("k"),
+        Seq(col("k"), col("l_orderkey"), col("l_linenumber")), buckets = 5)
+        .agg(sum("rn")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("non-null")),
+      s"expected the DistRank raise_error, got: $ex")
+  }
 }
