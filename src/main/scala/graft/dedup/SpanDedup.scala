@@ -19,9 +19,20 @@ import org.apache.spark.sql.functions._
   * (id, pos, fp) — ~n_tokens rows, never materializing the text cross
   * product — one groupBy fp, one window per doc for interval union.
   *
-  * The fingerprint is md5 of the joined window so the whole pipeline
-  * replays verbatim in the DuckDB oracle (same contract as
-  * [[Dedup.md5Hash60]]).
+  * The fingerprint is the first 60 bits of the window's md5, parsed to
+  * BIGINT — [[Dedup.md5Hash60]]'s cross-engine contract, so the whole
+  * pipeline replays verbatim in the DuckDB oracle. 60 bits admits the
+  * same theoretical-collision trade every md5Hash60 pipeline in this
+  * repo makes (expected collisions at 5B spans: single digits, each
+  * marking one span spuriously duplicated in BOTH engines identically);
+  * the narrow integer is what the corpus-wide shuffle carries — an
+  * 8-byte key instead of a 32-char string on BOTH heavy exchanges (the
+  * dup aggregation and the span join). Measured at sf100: 281.4→156.9 s
+  * at the default 32 shuffle partitions, and the query LEFT the
+  * needs-more-partitions sizing class — 256 partitions (the old best,
+  * 173.0 s with string keys) now measures WORSE (207.5 s) because the
+  * smaller payload no longer spills at 32 and extra partitions only add
+  * partial-agg state to merge.
   */
 object SpanDedup {
 
@@ -40,8 +51,10 @@ object SpanDedup {
           when(size(col("toks")) >= k,
             transform(
               sequence(lit(1), size(col("toks")) - (k - 1)),
-              i => md5(array_join(slice(col("toks"), i, lit(k)), " "))))
-            .otherwise(array())).as(Seq("p0", "fp")))
+              i => conv(substring(
+                md5(array_join(slice(col("toks"), i, lit(k)), " ")),
+                1, 15), 16, 10).cast("long")))
+            .otherwise(array().cast("array<long>"))).as(Seq("p0", "fp")))
       .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("fp"))
   }
 

@@ -1287,9 +1287,11 @@ object DocQueries extends QueryPack {
   /** Span-level exact substring dedup (Lee et al. ACL 2022, ExactSubstr
     * for a fixed window): every 8-token window fingerprinted, windows
     * whose fingerprint occurs in >=2 documents unioned into per-doc
-    * coverage intervals. Shuffle is on 32-char fingerprints, never text;
-    * the interval union is one bounded window per doc — the shape holds
-    * at corpus scale. Entire pipeline (tokenize, fingerprint, dup
+    * coverage intervals. Shuffle is on 60-bit integer fingerprints
+    * (md5Hash60 form, r11 — was 32-char md5 strings; 8-byte keys on
+    * both heavy exchanges), never text; the interval union is one
+    * bounded window per doc — the shape holds at corpus scale. Entire
+    * pipeline (tokenize, fingerprint incl. the 60-bit truncation, dup
     * detection, interval union) replays verbatim in the oracle.
     */
   private val spanK = 8
@@ -1304,7 +1306,7 @@ object DocQueries extends QueryPack {
         SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       w AS MATERIALIZED (
         SELECT doc_id, CAST(i AS BIGINT) AS pos,
-               md5(array_to_string(l[CAST(i AS INTEGER):CAST(i AS INTEGER) + ${spanK - 1}], ' ')) AS fp
+               CAST(concat('0x', substring(md5(array_to_string(l[CAST(i AS INTEGER):CAST(i AS INTEGER) + ${spanK - 1}], ' ')), 1, 15)) AS BIGINT) AS fp
         FROM t, LATERAL unnest(generate_series(1, len(l) - ${spanK - 1})) AS u(i)),
       dupfp AS MATERIALIZED (
         SELECT fp, MIN(doc_id) AS keep_id FROM w
