@@ -48,6 +48,72 @@ object MiscQueries extends QueryPack {
              MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** JSONL round-trip gate: documents out through the sharded
+    * newline-delimited-JSON sink and back through the explicit-schema
+    * JSON scan — the interchange format document corpora actually ship
+    * in (one object per line; a 100-TB crawl arrives as millions of
+    * .jsonl shards, each line-splittable so the scan parallelizes
+    * without a format-aware splitter). The md5 content checksum makes
+    * any escaping/encoding mangling in either direction break the hash
+    * vs the parquet original.
+    */
+  val jsonlRoundtrip: GraftQuery = GraftQuery(
+    "jsonl_roundtrip_docs",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = Tables(s, dir, "documents")
+      val path = "/tmp/graft_jsonl_roundtrip/" +
+        dir.replaceAll("[^A-Za-z0-9]+", "_")
+      graft.sources.Sources.writeJsonl(
+        docs.select("doc_id", "text", "lang", "source", "n_chars"), path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      graft.sources.Sources.readJsonl(s, path, schema)
+        .groupBy("source").agg(
+          count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"),
+          sum(graft.dedup.Dedup.md5Base(col("text"))).as("text_checksum"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
+    },
+    Some("""
+      SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+                      % 2147483647) AS BIGINT) AS text_checksum,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  /** ORC round-trip gate: the second native columnar format (typed
+    * pages, pushdown + pruning like parquet). Same checksum contract as
+    * the CSV/JSONL gates; exercises the orc writer/reader pair so a
+    * deployment standardized on ORC (common in Hive-lineage lakes) has
+    * the same verified fidelity as the parquet path.
+    */
+  val orcRoundtrip: GraftQuery = GraftQuery(
+    "orc_roundtrip_docs",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val path = "/tmp/graft_orc_roundtrip/" +
+        dir.replaceAll("[^A-Za-z0-9]+", "_")
+      graft.sources.Sources.writeOrc(
+        docs.select("doc_id", "text", "lang", "source", "n_chars"), path)
+      graft.sources.Sources.readOrc(s, path)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"),
+          sum(graft.dedup.Dedup.md5Base(col("text"))).as("text_checksum"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang")
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+                      % 2147483647) AS BIGINT) AS text_checksum,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   /** Fixed-work load canary (no table input): a pure-CPU 20M-row modular
     * sum whose cost is independent of the scale factor, so cross-round
     * bench diffs can separate box load from plan regressions — in r4
@@ -619,6 +685,7 @@ object MiscQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] =
     Seq(unionConcat, topkPerBrand, absRank, setOps, csvRoundtrip,
+      jsonlRoundtrip, orcRoundtrip,
       calibration, zorderLayout, revenueGrowth, partitionedRoundtrip,
       revenueAutocorr, skewSalted, seasonality, rfmSegments, basketLift,
       skyline, cusumDaily)

@@ -30,4 +30,27 @@ object Sources {
 
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** JSONL (newline-delimited JSON) scan with an explicit schema — the
+    * interchange format real document corpora ship in. Schema-on-read is
+    * mandatory for the same reason as S1: inference double-scans and
+    * type-promotes nondeterministically, and at corpus scale a JSON
+    * inference pass over 100 TB is a full extra read.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Sharded JSONL sink (one object per line per row). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** ORC scan/sink — the second columnar format Spark ships natively;
+    * typed round-trip like parquet (predicate pushdown + column pruning
+    * both apply, same as the parquet path).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }
