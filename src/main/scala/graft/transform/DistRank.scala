@@ -69,22 +69,31 @@ object DistRank {
       .distinct.sorted
     val edges = Double.NegativeInfinity +: inner.toSeq :+ Double.PositiveInfinity
     val nB = edges.length - 1
-    // Fail fast on null/NaN keys (CutBucket maps them to bucket -1,
-    // which would inflate every offset while itself ranking from 0 —
-    // silently corrupting ALL global ranks). The scaladoc contract is
-    // enforced in-plan, per the repo's fail-fast-not-wrong convention.
     val bucketed = keyed
-      .withColumn("__dr_b",
-        when(col("__dr_k").isNull || isnan(col("__dr_k")),
-          raise_error(lit(
-            "DistRank: bucketKey must be non-null and non-NaN")))
-          .otherwise(CutBucket.cutBucket(col("__dr_k"), edges)))
+      .withColumn("__dr_b", CutBucket.cutBucket(col("__dr_k"), edges))
       .drop("__dr_k")
     // Per-bucket count + sums for every column any caller output needs.
     val sumSrcs = (cums.map(_._1) ++ totalSumCols.map(_._1)).distinct
     val aggCols = count(lit(1)).as("__dr_c") +:
       sumSrcs.map(src => sum(col(src)).as(s"__dr_s_$src"))
+    // Fail fast on null/NaN keys (CutBucket maps them to bucket -1,
+    // which would inflate every offset while itself ranking from 0 —
+    // silently corrupting ALL global ranks). The scaladoc contract is
+    // enforced in-plan, per the repo's fail-fast-not-wrong convention —
+    // but on the POST-aggregation frame: with -Inf/+Inf sentinel edges
+    // the only negative bucket is the null/NaN sentinel -1, so a
+    // `__dr_b = -1` row in the tiny per-bucket frame (<= nB+1 rows)
+    // proves a bad key existed. Guarding `__dr_c` here (a column every
+    // downstream branch — offsets AND totals — consumes) costs O(nB)
+    // instead of the per-row when/raise_error wrapper that regressed
+    // zorder_layout_orders 0.91 -> 3.13 s by breaking codegen on the
+    // data-sized projection. The broadcast offset side is built before
+    // any join probe, so the raise still precedes any emitted row.
     val per = bucketed.groupBy("__dr_b").agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("__dr_c",
+        when(col("__dr_b") < 0, raise_error(lit(
+          "DistRank: bucketKey must be non-null and non-NaN")))
+          .otherwise(col("__dr_c")))
     // Exclusive prefix per bucket: bucket i contributes to every j > i.
     // nB^2 tiny rows; no window, no collect. DELIBERATELY no filter on
     // the per-bucket frame: a predicate on __dr_b (a grouping-key
