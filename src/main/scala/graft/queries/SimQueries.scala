@@ -685,9 +685,135 @@ object SimQueries extends QueryPack {
       SELECT vec_id, adc_d2_micro, adc_d2_micro / 1000000.0 AS adc_dist2
       FROM adc ORDER BY adc_d2_micro, vec_id LIMIT 10"""))
 
+  // shared exact-cosine-top-10 oracle tail for the recall audits: the
+  // query vector's norm, every other vector's dot/norm, the top-10 by
+  // (cos desc, vec_id) — the same xtop block ann_recall_ivf_vec0 uses.
+  private val exactTopSqlTail = """
+      qe0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      qv0 AS (SELECT generate_subscripts(qe, 1) AS pos,
+                     CAST(unnest(qe) AS DOUBLE) AS v FROM qe0),
+      nq0 AS (SELECT SUM(v * v) AS nq FROM qv0),
+      xdv AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings WHERE vec_id <> 0),
+      xagg AS (SELECT xdv.vec_id, SUM(xdv.v * qv0.v) AS dot,
+                      SUM(xdv.v * xdv.v) AS nd
+               FROM xdv JOIN qv0 USING (pos) GROUP BY xdv.vec_id),
+      xtop AS (SELECT vec_id FROM (
+                 SELECT vec_id,
+                        round(dot / (sqrt(nd) * sqrt(nq0.nq)), 6) AS cos
+                 FROM xagg, nq0 ORDER BY cos DESC, vec_id LIMIT 10))"""
+
+  private def recallSelectSql(annTop: String): String = s"""
+      SELECT CAST(10 AS BIGINT) AS k,
+             (SELECT COUNT(*) FROM $annTop JOIN xtop USING (vec_id))
+               AS n_overlap,
+             round((SELECT COUNT(*) FROM $annTop JOIN xtop USING (vec_id))
+               / 10.0, 6) AS recall_at_k"""
+
+  /** Recall@10 audit for the PQ/ADC index — the quality gate the
+    * top-k parity oracle (`pq_ann_topk_vec0`) cannot provide: that
+    * oracle replays the same codebooks, so a fit regression that
+    * degrades recall would still hash-match. Scoring the ADC top-10
+    * against the EXACT brute-force cosine top-10 pins the quality
+    * itself. Both sides deterministic (Lloyd fit + fixed tiebreaks),
+    * so the metric hash-replays. At 100 TB the exact side runs on an
+    * audit sample; the PQ side is the production path unchanged.
+    */
+  val annRecallPq: GraftQuery = GraftQuery(
+    "ann_recall_pq_vec0",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+        .select("vec_id")
+      val ann = Similarity.pqTopKAdc(emb, "vec_id", "embedding", 0L, 10,
+        m = pqM, subDim = pqSubDim, kSub = pqKSub, iters = pqIters)
+        .select("vec_id")
+      exact.join(ann, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), col("n_overlap"),
+          Q.r6(col("n_overlap") / 10.0).as("recall_at_k"))
+    },
+    Some(s"""
+      WITH sv AS MATERIALIZED (
+        SELECT vec_id, sub,
+               list_slice(embedding, sub * $pqSubDim + 1,
+                 sub * $pqSubDim + $pqSubDim) AS subvec
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(0, ${pqM - 1})) AS sub) g),
+      pc0 AS (
+        SELECT sub, CAST(vec_id AS INTEGER) AS clabel,
+               list_transform(subvec, x -> CAST(x AS DOUBLE)) AS centroid
+        FROM sv WHERE vec_id < $pqKSub),
+      ${(1 to pqIters).map(pqAssignSql).mkString(",")},
+      q AS (SELECT sub, subvec FROM sv WHERE vec_id = 0),
+      tbl AS (SELECT c.sub, c.clabel,
+               CAST(floor(list_sum(list_transform(
+                 list_zip(q.subvec, c.centroid),
+                 p -> (CAST(p[1] AS DOUBLE) - p[2])
+                    * (CAST(p[1] AS DOUBLE) - p[2]))) * 1000000.0 + 0.5)
+                 AS BIGINT) AS d2_micro
+              FROM pc$pqIters c JOIN q ON q.sub = c.sub),
+      adc AS (SELECT a.vec_id, CAST(SUM(t.d2_micro) AS BIGINT)
+                       AS adc_d2_micro
+              FROM pa$pqIters a
+              JOIN tbl t ON t.sub = a.sub AND t.clabel = a.code
+              WHERE a.vec_id <> 0
+              GROUP BY a.vec_id),
+      ptop AS (SELECT vec_id FROM (
+                 SELECT vec_id FROM adc
+                 ORDER BY adc_d2_micro, vec_id LIMIT 10)),
+      $exactTopSqlTail
+      ${recallSelectSql("ptop")}"""))
+
+  /** Recall@10 audit for the sign-bit-bucketed ANN — same rationale as
+    * the PQ audit: `ann_sign_topk_vec0`'s oracle replays the same
+    * buckets, so only a recall-vs-exact-truth gate can catch a quality
+    * regression in the blocking itself. With 4 sign planes the bucket
+    * holds ~1/16 of the corpus, so recall well below 1.0 is the
+    * EXPECTED trade — the report pins it rather than asserting it high.
+    */
+  val annRecallSign: GraftQuery = GraftQuery(
+    "ann_recall_sign_vec0",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+        .select("vec_id")
+      val ann = Similarity.annTopKSign(emb, "vec_id", "embedding", 0L, 10,
+        nPlanes = annSignPlanes)
+        .select("vec_id")
+      exact.join(ann, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), col("n_overlap"),
+          Q.r6(col("n_overlap") / 10.0).as("recall_at_k"))
+    },
+    Some(s"""
+      WITH bk AS (SELECT vec_id,
+                         CAST($annSignBucketSql AS BIGINT) AS bucket
+                  FROM embeddings),
+      qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+      cand AS (SELECT bk.vec_id FROM bk JOIN qb USING (bucket)
+               WHERE bk.vec_id <> 0),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      qv AS (SELECT generate_subscripts(qe, 1) AS pos,
+                    CAST(unnest(qe) AS DOUBLE) AS v FROM q),
+      dv AS (SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS pos,
+                    CAST(unnest(e.embedding) AS DOUBLE) AS v
+             FROM embeddings e JOIN cand USING (vec_id)),
+      agg AS (SELECT dv.vec_id, SUM(dv.v * qv.v) AS dot,
+                     SUM(dv.v * dv.v) AS nd
+              FROM dv JOIN qv USING (pos) GROUP BY dv.vec_id),
+      nq AS (SELECT SUM(v * v) AS nq FROM qv),
+      stop_ AS (SELECT vec_id FROM (
+                 SELECT vec_id, round(dot / (sqrt(nd) * sqrt(nq)), 6) AS cos
+                 FROM agg, nq ORDER BY cos DESC, vec_id LIMIT 10)),
+      $exactTopSqlTail
+      ${recallSelectSql("stop_")}"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(cosineTopK, knnVote, nearDup, semanticDedup, nearDupLsh, annTopK,
       annTopKSign,
       centroids, assignCentroid, randomProjection, ivfTopK, annRecall,
+      annRecallPq, annRecallSign,
       quantizeInt8, mmrDiverse, dimStats, pqTopK)
 }
