@@ -723,23 +723,49 @@ object DocQueries extends QueryPack {
     */
   val dedupComponentsBucket: GraftQuery = GraftQuery(
     "dedup_components_bucket",
-    (s, dir) => {
-      val edges = memo(s, dir, "bucket_star_edges") {
-        val sh = Dedup.shingleSet(
-          Tables(s, dir, "documents"), "doc_id", "text", 3)
-        Dedup.lshBucketStarEdges(
-          Dedup.minhashSignaturesPerm(sh, 32), 4, sqlBuckets = true)
-      }
-      Dedup.connectedComponents(edges)
-        .select(col("id"), col("comp").as("component"))
-        .orderBy("id")
-    },
-    Some(s"""
+    (s, dir) => bucketCc(s, dir, "bucket_star_edges",
+      Tables(s, dir, "documents")),
+    Some(bucketCcSql("")))
+
+  /** Truth-slice twin of `dedup_components_bucket` for sf100
+    * value-level evidence: the full oracle disk-killed DuckDB at 373 s /
+    * 57 GB (r10 bound), so this runs the SAME star-edge CC operator over
+    * the deterministic `doc_id % 10 = 7` tenth of the corpus. The
+    * semantics are INDUCED-SUBGRAPH components — both engines bucket,
+    * star-reduce, and propagate over the identical sliced corpus — NOT
+    * the restriction of the full-corpus components (a cross-slice
+    * near-dup edge is dropped on both sides by construction, so two
+    * sliced docs joined only through an unsliced doc land in different
+    * components than a full run would put them). That restriction
+    * cannot be sliced soundly; what this gate pins is the operator
+    * itself — hashing, banding, bucket-star reduction, min-label
+    * propagation — at sf100 data characteristics.
+    */
+  val dedupComponentsSlice: GraftQuery = GraftQuery(
+    "dedup_components_slice",
+    (s, dir) => bucketCc(s, dir, "bucket_star_edges_slice",
+      Tables(s, dir, "documents").filter(col("doc_id") % 10 === 7)),
+    Some(bucketCcSql(" WHERE doc_id % 10 = 7")))
+
+  private def bucketCc(
+      s: SparkSession, dir: String, memoKey: String,
+      docs: DataFrame): DataFrame = {
+    val edges = memo(s, dir, memoKey) {
+      val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
+      Dedup.lshBucketStarEdges(
+        Dedup.minhashSignaturesPerm(sh, 32), 4, sqlBuckets = true)
+    }
+    Dedup.connectedComponents(edges)
+      .select(col("id"), col("comp").as("component"))
+      .orderBy("id")
+  }
+
+  private def bucketCcSql(where: String): String = s"""
       WITH RECURSIVE sh AS (
         SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INTEGER), 3) AS sh
         FROM (SELECT doc_id, text,
                      unnest(generate_series(1, length(text) - 2)) AS i
-              FROM documents)),
+              FROM documents$where)),
       base AS (
         SELECT id,
                CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT)
@@ -765,7 +791,7 @@ object DocQueries extends QueryPack {
         SELECT DISTINCT s, s FROM sym
         UNION
         SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id)
-      SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id"""))
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id"""
 
   /** Keep-BEST dedup policy over the LSH near-dup clusters: each
     * component keeps its longest member (doc id as tiebreak) instead of
@@ -1342,7 +1368,7 @@ object DocQueries extends QueryPack {
     fuzzyDedup, leakageMatrix,
     minhashLsh, lshQuality, minhashCalibration, simhashDocs, simhashPairs,
     dedupClusters,
-    dedupComponentsBucket, dedupKeepBest, dedupDropList,
+    dedupComponentsBucket, dedupComponentsSlice, dedupKeepBest, dedupDropList,
     packDocs, qualitySample, dedupStream, dedupWatermarkStream, trigramSearch,
     contamination, bloomPrefilter,
     incrementalDedup, spanDedup)

@@ -234,13 +234,34 @@ object TextExtraQueries extends QueryPack {
     */
   val hllDistinct: GraftQuery = GraftQuery(
     "hll_distinct_shingles",
-    (s, dir) => {
+    (s, dir) => hllShingleReport(Tables(s, dir, "documents")),
+    Some(hllShingleSql("")))
+
+  /** Truth-slice twin of `hll_distinct_shingles` for sf100 value-level
+    * evidence: the full oracle disk-killed DuckDB at 457.6 s (r11 bound
+    * — it re-hashes every shingle OCCURRENCE where Spark dedupes
+    * first), so this runs the SAME operator over a deterministic
+    * 2-of-20 source subset. Per-source registers depend only on that
+    * source's rows, so slice parity is exact for the retained sources;
+    * the `__all__` row becomes the merge over the two retained
+    * register sets — the shard-merge path is still exercised, just
+    * over a smaller shard set. Both engines compute over the identical
+    * subset, so the check is value-level, not timing-only.
+    */
+  val hllDistinctSlice: GraftQuery = GraftQuery(
+    "hll_shingles_slice",
+    (s, dir) => hllShingleReport(Tables(s, dir, "documents")
+      .filter(col("source").isin("src3", "src7"))),
+    Some(hllShingleSql(" WHERE source IN ('src3', 'src7')")))
+
+  private def hllShingleReport(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       // per-doc array_distinct before the explode: HLL registers and the
       // distinct counts are duplicate-insensitive, and this corpus
       // repeats shingles heavily within a doc, so it cuts the md5-hash
       // volume several-fold with bit-identical output (the oracle keeps
       // hashing duplicates and lands on the same registers)
-      val sh = Tables(s, dir, "documents").select(
+      val sh = docs.select(
         col("source"),
         explode(array_distinct(
           expr("transform(sequence(1, greatest(length(text) - 2, 0))," +
@@ -277,8 +298,9 @@ object TextExtraQueries extends QueryPack {
         .select(col("source"), col("zero_registers"),
           Q.r6(col("est_hll")).as("est_hll"), col("exact_distinct"))
         .orderBy("source")
-    },
-    Some(s"""
+    }
+
+  private def hllShingleSql(where: String): String = s"""
       WITH b AS MATERIALIZED (
         SELECT source,
                CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT) AS h,
@@ -286,7 +308,7 @@ object TextExtraQueries extends QueryPack {
         FROM (SELECT source, substr(text, CAST(i AS INTEGER), 3) AS sh
               FROM (SELECT source, text,
                            unnest(generate_series(1, length(text) - 2)) AS i
-                    FROM documents))),
+                    FROM documents$where))),
       r AS MATERIALIZED (
         SELECT source, h % 256 AS reg,
                MAX(CASE WHEN h // 256 = 0 THEN 53
@@ -310,7 +332,7 @@ object TextExtraQueries extends QueryPack {
                AS est_hll,
              ex.exact_distinct
       FROM agg a JOIN ex ON ex.source = a.source
-      ORDER BY a.source"""))
+      ORDER BY a.source"""
 
   /** Gopher-rule corpus gate: per-rule pass counts over the five
     * document-quality rules plus the all-rules conjunction — the report
@@ -320,9 +342,29 @@ object TextExtraQueries extends QueryPack {
     */
   val gopherRules: GraftQuery = GraftQuery(
     "gopher_quality_rules",
-    (s, dir) => {
+    (s, dir) => gopherReport(Tables(s, dir, "documents")),
+    Some(gopherSql("")))
+
+  /** Truth-slice twin of `gopher_quality_rules` for sf100 value-level
+    * evidence: the full oracle disk-killed DuckDB at 323.5 s (r11 bound
+    * — the per-token materializations Spark's single-pass aggregation
+    * never builds), so this runs the SAME operator over the
+    * deterministic `doc_id % 10 = 7` tenth of the corpus. Every rule is
+    * per-doc, so slice parity is exact: the sliced report IS the full
+    * report restricted to (and re-counted over) the sliced docs. Both
+    * engines compute over the identical subset — a value-level check at
+    * sf100 data characteristics, not timing-only.
+    */
+  val gopherRulesSlice: GraftQuery = GraftQuery(
+    "gopher_rules_slice",
+    (s, dir) => gopherReport(Tables(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 7)),
+    Some(gopherSql(" WHERE doc_id % 10 = 7")))
+
+  private def gopherReport(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val flags = graft.text.TextOps.gopherRules(
-        Tables(s, dir, "documents"), "doc_id", "text", Seq("the", "a"))
+        docs, "doc_id", "text", Seq("the", "a"))
       val rules = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
         "r_stopword", "r_repetition")
       val unpivoted = flags.select(
@@ -337,8 +379,9 @@ object TextExtraQueries extends QueryPack {
         .withColumn("pass_rate",
           Q.r6(col("n_pass").cast("double") / col("n_docs")))
         .orderBy("rule")
-    },
-    Some("""
+    }
+
+  private def gopherSql(where: String): String = s"""
       WITH b AS MATERIALIZED (
         SELECT doc_id,
                len(string_split(text, ' ')) AS nt,
@@ -348,12 +391,12 @@ object TextExtraQueries extends QueryPack {
                    x -> x IN ('the', 'a'))) AS nstop,
                length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS nsym,
                length(text) AS len
-        FROM documents),
+        FROM documents$where),
       tc AS (
         SELECT doc_id, MAX(c) AS maxc
         FROM (SELECT doc_id, tok, COUNT(*) AS c
               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                    FROM documents)
+                    FROM documents$where)
               GROUP BY doc_id, tok)
         GROUP BY doc_id),
       f AS (
@@ -377,7 +420,7 @@ object TextExtraQueries extends QueryPack {
              CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
              round(CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
                    / COUNT(*), 6) AS pass_rate
-      FROM u GROUP BY rule ORDER BY rule"""))
+      FROM u GROUP BY rule ORDER BY rule"""
 
   /** describe(include='all') for string columns: count, distinct, top
     * value, top frequency (pandas semantics; ties -> lexicographically
@@ -909,8 +952,8 @@ object TextExtraQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] =
     Seq(wordCount, cmsHeavyHitters, cmsStream, cmsMerge, distinctEstimate,
-      hllDistinct,
-      gopherRules,
+      hllDistinct, hllDistinctSlice,
+      gopherRules, gopherRulesSlice,
       describeStrings, monthly, chunkDocs, tfidfTop, topBigrams,
       repetitionScores, qualityGate, repetitionStream, lmScore,
       lmPplHoldout, vocabOov, pmiCollocations, boilerplate, jsdUnigrams)

@@ -27,3 +27,4 @@ run target/scale/sf1   zorder_layout_orders
 run target/scale/sf10  zorder_layout_orders
 run target/scale/sf100 zorder_layout_orders SPARK_GRAFT_SHUFFLE_PARTITIONS=256
 echo "r12_scale done" >> "$LOG"
+
