@@ -7,6 +7,13 @@ import org.apache.spark.sql.functions._
   * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query
   * over the same tables. Column names MUST match between the two — the
   * driver sorts columns by name before hashing values.
+  *
+  * Harness contract: runners (Bench, Verify, tests) call
+  * `spark.catalog.clearCache()` between queries. A query MAY therefore
+  * `persist()` an intermediate frame without unpersisting it (e.g.
+  * `hll_distinct_shingles` / `hll_shingles_slice` cache their tiny
+  * distinct-shingle frames, whose recompute is the full corpus explode)
+  * — a runner that omits clearCache leaks those frames for the session.
   */
 final case class GraftQuery(
     name: String,

@@ -730,7 +730,16 @@ object DocQueries extends QueryPack {
   /** Truth-slice twin of `dedup_components_bucket` for sf100
     * value-level evidence: the full oracle disk-killed DuckDB at 373 s /
     * 57 GB (r10 bound), so this runs the SAME star-edge CC operator over
-    * the deterministic `doc_id % 10 = 7` tenth of the corpus. The
+    * the deterministic `doc_id % 100 = 7` hundredth of the corpus. The
+    * slice must be this thin because the oracle's transitive-closure
+    * CTE materializes component-size^2 (id, root) pairs and the sf100
+    * corpus has a giant near-dup component: the 10% slice was MEASURED
+    * to OOM DuckDB on a single 32 GiB allocation (r12) — near-identical
+    * docs share identical band buckets, so the giant component survives
+    * slicing proportionally. At 1% the largest sliced component is
+    * small enough to close. (At sf0.001/0.01 the slice keeps only ~5
+    * docs — the FULL twin `dedup_components_bucket` is the small-sf
+    * gate; this query exists for sf100.) The
     * semantics are INDUCED-SUBGRAPH components — both engines bucket,
     * star-reduce, and propagate over the identical sliced corpus — NOT
     * the restriction of the full-corpus components (a cross-slice
@@ -744,8 +753,8 @@ object DocQueries extends QueryPack {
   val dedupComponentsSlice: GraftQuery = GraftQuery(
     "dedup_components_slice",
     (s, dir) => bucketCc(s, dir, "bucket_star_edges_slice",
-      Tables(s, dir, "documents").filter(col("doc_id") % 10 === 7)),
-    Some(bucketCcSql(" WHERE doc_id % 10 = 7")))
+      Tables(s, dir, "documents").filter(col("doc_id") % 100 === 7)),
+    Some(bucketCcSql(" WHERE doc_id % 100 = 7")))
 
   private def bucketCc(
       s: SparkSession, dir: String, memoKey: String,

@@ -23,8 +23,7 @@ object MiscQueries extends QueryPack {
     (s, dir) => {
       import org.apache.spark.sql.types._
       val docs = Tables(s, dir, "documents")
-      val path = "/tmp/graft_csv_roundtrip/" +
-        dir.replaceAll("[^A-Za-z0-9]+", "_")
+      val path = graft.sources.Sources.scratchDir(s, "csv", dir)
       graft.sources.Sources.writeSubmissionCsv(
         docs, path,
         cols = Seq("doc_id", "text", "lang", "source", "n_chars"),
@@ -62,8 +61,7 @@ object MiscQueries extends QueryPack {
     (s, dir) => {
       import org.apache.spark.sql.types._
       val docs = Tables(s, dir, "documents")
-      val path = "/tmp/graft_jsonl_roundtrip/" +
-        dir.replaceAll("[^A-Za-z0-9]+", "_")
+      val path = graft.sources.Sources.scratchDir(s, "jsonl", dir)
       graft.sources.Sources.writeJsonl(
         docs.select("doc_id", "text", "lang", "source", "n_chars"), path)
       val schema = StructType(Seq(
@@ -95,8 +93,7 @@ object MiscQueries extends QueryPack {
     "orc_roundtrip_docs",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val path = "/tmp/graft_orc_roundtrip/" +
-        dir.replaceAll("[^A-Za-z0-9]+", "_")
+      val path = graft.sources.Sources.scratchDir(s, "orc", dir)
       graft.sources.Sources.writeOrc(
         docs.select("doc_id", "text", "lang", "source", "n_chars"), path)
       graft.sources.Sources.readOrc(s, path)
@@ -336,8 +333,7 @@ object MiscQueries extends QueryPack {
     "partitioned_roundtrip_docs",
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val path = "/tmp/graft_part_roundtrip/" +
-        dir.replaceAll("[^A-Za-z0-9]+", "_")
+      val path = graft.sources.Sources.scratchDir(s, "part", dir)
       docs.write.mode("overwrite").partitionBy("lang").parquet(path)
       s.read.parquet(path)
         .filter(col("lang") === "en")

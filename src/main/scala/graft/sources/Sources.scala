@@ -53,4 +53,36 @@ object Sources {
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
+
+  // -------------------------------------------------------------------
+  // Scratch dirs for the round-trip gates.
+  // -------------------------------------------------------------------
+  private val scratchRoots =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  private lazy val cleanupHook: Unit =
+    sys.addShutdownHook {
+      scratchRoots.forEach { root =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }
+    }: Unit
+
+  /** Per-run scratch dir for a round-trip gate: salted with the Spark
+    * applicationId so concurrent runs against the same data dir (e.g.
+    * bench and verify overlapping in tmux) never clobber each other's
+    * shards mid-read, and deleted recursively on JVM exit so a
+    * Bench+Verify cycle leaves no `/tmp/graft_*_roundtrip` residue.
+    * (mode=overwrite already handles delete-on-rerun within a JVM.)
+    */
+  def scratchDir(spark: SparkSession, kind: String, dataDir: String): String = {
+    val root =
+      s"/tmp/graft_${kind}_roundtrip/${spark.sparkContext.applicationId}"
+    cleanupHook
+    scratchRoots.add(root): Unit
+    s"$root/${dataDir.replaceAll("[^A-Za-z0-9]+", "_")}"
+  }
 }

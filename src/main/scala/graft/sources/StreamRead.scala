@@ -35,7 +35,19 @@ object StreamRead {
     // ingests EVERYTHING as one micro-batch, which makes a watermarked
     // join/aggregate hold its worst-case state — the bounded-trigger
     // run is how the watermark's steady-state bound is demonstrated
-    // rather than argued. Results are trigger-invariant (same oracle).
+    // rather than argued. Trigger-invariance caveat: non-watermarked
+    // operators (the CMS cell grid, append-only projections) produce
+    // the same result under any trigger split, but WATERMARKED ones
+    // (the sliding/hourly aggregates, the click-error interval join,
+    // dropDuplicatesWithinWatermark) advance the watermark BETWEEN
+    // micro-batches — an event arriving more than the configured delay
+    // behind the watermark in a later batch is dropped or re-emitted,
+    // so bounded-trigger results can diverge from the single-batch
+    // oracle when real lateness exceeds the delay (watermark_lateness
+    // shows that is a live possibility in this corpus). Knob-on runs
+    // of watermarked streams must therefore re-verify oracle equality
+    // once per corpus before quoting knob-on numbers (the r11/r12
+    // sf100 runbooks do exactly that).
     val rd0 = spark.readStream.schema(schema)
     val rd = sys.env.get("SPARK_GRAFT_STREAM_MAX_FILES")
       .fold(rd0)(n => rd0.option("maxFilesPerTrigger", n.toInt))

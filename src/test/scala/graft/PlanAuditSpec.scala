@@ -65,9 +65,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // 1-row attach: the argmax-config (best_depth) frame onto the 6-row
     // checkpointed CV result
     "cv_grid_tree_select",
-    // inherits cosine_topk/ivf_ann's 1-row query-vector attaches on
-    // BOTH of the rankings it compares
-    "ann_recall_ivf_vec0",
+    // inherit cosine_topk/ivf_ann/pq/sign's 1-row query-vector attaches
+    // on BOTH of the rankings each compares
+    "ann_recall_ivf_vec0", "ann_recall_pq_vec0", "ann_recall_sign_vec0",
     // the DistRank-de-globalized ranks: each attaches its grand totals
     // (count / sum) as a broadcast 1-row aggregate
     "pareto_revenue_deciles", "rfm_segments", "session_duration_profile",
