@@ -810,10 +810,54 @@ object SimQueries extends QueryPack {
       $exactTopSqlTail
       ${recallSelectSql("stop_")}"""))
 
+  /** Recall@10 audit for the seeded-hyperplane-bucketed ANN — closes
+    * the recall-gate family over all four ANN paths (IVF, PQ, sign,
+    * seeded-LSH). Same rationale: `ann_lsh_topk_vec0`'s oracle replays
+    * the same hyperplanes, so only recall-vs-exact-truth catches a
+    * blocking-quality regression.
+    */
+  val annRecallLsh: GraftQuery = GraftQuery(
+    "ann_recall_lsh_vec0",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+        .select("vec_id")
+      val ann = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 10,
+        nPlanes = 4)
+        .select("vec_id")
+      exact.join(ann, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), col("n_overlap"),
+          Q.r6(col("n_overlap") / 10.0).as("recall_at_k"))
+    },
+    Some(s"""
+      WITH bk AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(${hyperBucketSql(annLshPlanes)} AS BIGINT) AS bucket
+        FROM embeddings),
+      qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+      cand AS (SELECT bk.vec_id FROM bk JOIN qb USING (bucket)
+               WHERE bk.vec_id <> 0),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      qv AS (SELECT generate_subscripts(qe, 1) AS pos,
+                    CAST(unnest(qe) AS DOUBLE) AS v FROM q),
+      dv AS (SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS pos,
+                    CAST(unnest(e.embedding) AS DOUBLE) AS v
+             FROM embeddings e JOIN cand USING (vec_id)),
+      agg AS (SELECT dv.vec_id, SUM(dv.v * qv.v) AS dot,
+                     SUM(dv.v * dv.v) AS nd
+              FROM dv JOIN qv USING (pos) GROUP BY dv.vec_id),
+      nq AS (SELECT SUM(v * v) AS nq FROM qv),
+      ltop AS (SELECT vec_id FROM (
+                 SELECT vec_id, round(dot / (sqrt(nd) * sqrt(nq)), 6) AS cos
+                 FROM agg, nq ORDER BY cos DESC, vec_id LIMIT 10)),
+      $exactTopSqlTail
+      ${recallSelectSql("ltop")}"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(cosineTopK, knnVote, nearDup, semanticDedup, nearDupLsh, annTopK,
       annTopKSign,
       centroids, assignCentroid, randomProjection, ivfTopK, annRecall,
-      annRecallPq, annRecallSign,
+      annRecallPq, annRecallSign, annRecallLsh,
       quantizeInt8, mmrDiverse, dimStats, pqTopK)
 }

@@ -68,6 +68,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // inherit cosine_topk/ivf_ann/pq/sign's 1-row query-vector attaches
     // on BOTH of the rankings each compares
     "ann_recall_ivf_vec0", "ann_recall_pq_vec0", "ann_recall_sign_vec0",
+    "ann_recall_lsh_vec0",
     // the DistRank-de-globalized ranks: each attaches its grand totals
     // (count / sum) as a broadcast 1-row aggregate
     "pareto_revenue_deciles", "rfm_segments", "session_duration_profile",
