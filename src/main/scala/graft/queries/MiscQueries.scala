@@ -444,7 +444,14 @@ object MiscQueries extends QueryPack {
       val tot = m.agg(sum("rev_cents").as("tot"))
       m.crossJoin(broadcast(tot))
         .select(col("m"), col("rev_cents"),
-          expr("(rev_cents * 12000000L) div tot").as("index_micro"))
+          // rev_cents * 12e6 overflows BIGINT at sf100 (monthly cents
+          // ~2e15 over 150M orders -> product ~2.4e22 > 2^63; caught by
+          // the r12 sf100 sweep under ANSI mode). The multiply runs in
+          // decimal(38,0) — exact 128-bit integer math, same floor
+          // division — and only the ≤1.2e7-scale quotient returns to
+          // BIGINT. The oracle mirrors with HUGEINT.
+          expr("(cast(rev_cents as decimal(38,0)) * 12000000) div tot")
+            .as("index_micro"))
         .orderBy("m")
     },
     Some("""
@@ -455,7 +462,8 @@ object MiscQueries extends QueryPack {
         FROM orders GROUP BY 1),
       t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot FROM m)
       SELECT m, rev_cents,
-             CAST((rev_cents * 12000000) // tot AS BIGINT) AS index_micro
+             CAST((CAST(rev_cents AS HUGEINT) * 12000000) // tot
+               AS BIGINT) AS index_micro
       FROM m, t ORDER BY m"""))
 
   /** RFM segmentation: recency / frequency / monetary terciles per

@@ -409,14 +409,28 @@ object TransformQueries extends QueryPack {
         StructField("o_orderdate", TimestampType), // timestamp[ms] parquet
         StructField("o_orderpriority", StringType)))
       val name = "graft_latest_status_stream"
+      // The result is KEY-CARDINALITY sized (one row per customer —
+      // 15M at sf100, billions at 100 TB), so a complete-mode memory
+      // sink is the wrong shape: it re-collects the whole aggregate to
+      // the driver every trigger (measured: >1 GiB driver result at
+      // sf100). foreachBatch + distributed parquet overwrite is the
+      // upsert-to-store pattern — each trigger's complete snapshot
+      // replaces the last, executors write in parallel, the driver
+      // never holds the table, and the final snapshot is what a keyed
+      // store would contain. Trigger-invariant by construction (the
+      // last complete snapshot is the full aggregate either way).
+      val out = graft.sources.Sources.scratchDir(s, "lateststatus", dir)
       val sq = graft.sources.StreamRead.table(s, dir, "orders", schema)
         .groupBy(col("o_custkey").as("custkey"))
         .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
           col("o_orderstatus"))).as("m"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
+        .writeStream.queryName(name).outputMode("complete")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.write.mode("overwrite").parquet(out)
+        }
+        .start()
       try { sq.processAllAvailable(); graft.streaming.StreamMetrics.dump(sq) } finally sq.stop()
-      s.table(name)
+      s.read.parquet(out)
         .select(col("custkey"), col("m.o_orderstatus").as("status"))
         .orderBy("custkey")
     },
