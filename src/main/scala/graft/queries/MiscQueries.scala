@@ -352,14 +352,17 @@ object MiscQueries extends QueryPack {
       FROM documents WHERE lang = 'en' GROUP BY lang ORDER BY lang"""))
 
   /** Lag-1 autocorrelation of daily order revenue — the time-series
-    * seasonality probe. Daily revenues reduce to exact integer
-    * THOUSANDS of dollars (cents div 100000 — at daily totals around
-    * 1e6 dollars the n*sum-of-products moments of a dollar grid sit
-    * within a factor of 2 of Long.MaxValue, observed overflowing under
-    * ANSI mode; the k$ grid buys 1e6x headroom and the correlation is
-    * scale-invariant); Pearson r on the (x, lag(x)) pairs comes from one
-    * aggregation of integer sums with a single double expression at the
-    * end.
+    * seasonality probe. The moment arithmetic is SCALE-PROOF by
+    * construction, not by picking a grid with headroom: daily revenues
+    * reduce to exact integer k$ (cents div 100000), the six Pearson
+    * moments and the covariance/variance DIFFERENCES all run in
+    * decimal(38,0) — exact 128-bit integers (x² ~ 1e20 at the sf100
+    * rung, n·sxx ~ 1e27; a pure-BIGINT version of both engines
+    * overflowed there, caught by the r12 sf100 sweep) — and only the
+    * final ratio drops to double (the variance PRODUCT under the sqrt
+    * is ~1e48 and must be floating; cov/vx/vy are exact integers that
+    * both engines round to the same nearest double, so the %.6f hash
+    * stays bit-stable). The oracle mirrors with HUGEINT.
     */
   val revenueAutocorr: GraftQuery = GraftQuery(
     "revenue_autocorr_daily",
@@ -369,18 +372,22 @@ object MiscQueries extends QueryPack {
         .agg(expr("CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))"
           + " div 100000 AS LONG)").as("x"))
       val w = Window.orderBy("d")
+      val dec = "decimal(38,0)"
       val pairs = daily
         .withColumn("y", lag("x", 1).over(w))
         .filter(col("y").isNotNull)
+        .select(col("x").cast(dec).as("x"), col("y").cast(dec).as("y"))
+      val cov = col("n").cast(dec) * col("sxy") - col("sx") * col("sy")
+      val vx = col("n").cast(dec) * col("sxx") - col("sx") * col("sx")
+      val vy = col("n").cast(dec) * col("syy") - col("sy") * col("sy")
       pairs.agg(
           count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"),
           sum(col("x") * col("y")).as("sxy"))
         .select(col("n"),
-          Q.r6((col("n") * col("sxy") - col("sx") * col("sy")) /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) * 1.0 *
-              (col("n") * col("syy") - col("sy") * col("sy"))))
+          Q.r6(cov.cast("double") /
+              sqrt(vx.cast("double") * vy.cast("double")))
             .as("autocorr"))
     },
     Some("""
@@ -389,15 +396,22 @@ object MiscQueries extends QueryPack {
                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000
                  AS BIGINT) AS x
         FROM orders GROUP BY 1),
-      p AS (SELECT x, lag(x, 1) OVER (ORDER BY d) AS y FROM daily),
+      p AS (SELECT CAST(x AS HUGEINT) AS x,
+                   CAST(lag(x, 1) OVER (ORDER BY d) AS HUGEINT) AS y
+            FROM daily),
       f AS (SELECT * FROM p WHERE y IS NOT NULL),
-      s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
                    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
-            FROM f)
-      SELECT n, round((n * sxy - sx * sy) /
-               sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6)
-               AS autocorr
-      FROM s"""))
+            FROM f),
+      v AS (SELECT n,
+                   CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+                   CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+                   CAST(n * syy - sy * sy AS DOUBLE) AS vy
+            FROM s)
+      SELECT CAST(n AS BIGINT) AS n,
+             round(cov / sqrt(vx * vy), 6) AS autocorr
+      FROM v"""))
 
   /** Salted-join gate ([[graft.joins.SkewJoin.saltedJoin]]): lineitem's
     * 3-value returnflag key is the hot-key regime — a plain shuffle join
