@@ -533,13 +533,15 @@ object CoreQueries extends QueryPack {
         .orderBy("nation")
     },
     Some("""
-      WITH rev AS (
-        SELECT s_nationkey, s_suppkey,
+      WITH lrev AS (
+        SELECT l_suppkey,
                CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
                  AS BIGINT) AS r
-        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
-        GROUP BY 1, 2),
+        FROM lineitem GROUP BY 1),
+      rev AS (
+        SELECT s_nationkey, s_suppkey, r
+        FROM lrev JOIN supplier ON s_suppkey = l_suppkey),
       tot AS (SELECT s_nationkey AS nk, CAST(SUM(r) AS BIGINT) AS tot,
                      COUNT(*) AS n_suppliers
               FROM rev GROUP BY 1),
