@@ -533,7 +533,7 @@ object CoreQueries extends QueryPack {
         .orderBy("nation")
     },
     Some("""
-      WITH lrev AS (
+      WITH lrev AS MATERIALIZED (
         SELECT l_suppkey,
                CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
