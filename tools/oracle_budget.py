@@ -80,7 +80,13 @@ def main() -> int:
     oracle_sql = json.load(open(f"{OUT}/oracle_sql.json"))
     results = {}
     for name in QUERIES:
-        sp = spark_side(name)
+        try:
+            sp = spark_side(name)
+        except Exception as e:  # missing/corrupt spark result: record, keep going
+            res = {"status": "no_spark_result", "err": str(e)[:300]}
+            results[name] = res
+            print(name, json.dumps(res), flush=True)
+            continue
         res = run_one(name, oracle_sql[name])
         res["spark_rows"] = sp["rows"]
         if res.get("status") == "ok":
