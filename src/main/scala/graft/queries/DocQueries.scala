@@ -1121,10 +1121,18 @@ object DocQueries extends QueryPack {
                   THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM jd ORDER BY id"""))
 
-  /** Benchmark-contamination sweep: every 50th document stands in for a
-    * protected eval set; flag corpus documents containing >= 5% of a
-    * bench document's distinct trigrams (GPT-3 appendix C n-gram
-    * decontamination shape; the bench side broadcasts).
+  /** Benchmark-contamination sweep: a FIXED protected eval set (every
+    * 50th document among doc_id < 50000 — 1000 docs at sf>=0.1, and
+    * crucially NOT growing with the corpus: real eval benchmarks are
+    * constant-size while the crawl scales, and Contamination.overlap's
+    * broadcast of the bench gram set is only sound under that
+    * invariant; the original proportional 2% slice put 1M docs /
+    * ~150M gram strings on the broadcast side at sf100 and the
+    * common-trigram join fan-out — Σ_gram |bench(gram)|·|corpus(gram)|
+    * — went quadratic, spilling past the box's disk, caught by the r12
+    * sf100 sweep); flag corpus documents containing >= 5% of a bench
+    * document's distinct trigrams (GPT-3 appendix C n-gram
+    * decontamination shape).
     */
   val contamination: GraftQuery = GraftQuery(
     "contamination_trigram_bench",
@@ -1132,7 +1140,7 @@ object DocQueries extends QueryPack {
       val d = Tables(s, dir, "documents")
       graft.text.Contamination.overlap(
         d.filter(col("doc_id") % 50 =!= 0),
-        d.filter(col("doc_id") % 50 === 0),
+        d.filter(col("doc_id") % 50 === 0 && col("doc_id") < 50000),
         "doc_id", "text", n = 3, minFrac = 0.05)
         .orderBy("bench_id", "corpus_id")
     },
@@ -1144,7 +1152,7 @@ object DocQueries extends QueryPack {
                      AS gram
             FROM t, LATERAL unnest(generate_series(1, len(ws) - 2)) AS u(i)),
       gd AS (SELECT DISTINCT doc_id, gram FROM g),
-      bench AS (SELECT * FROM gd WHERE doc_id % 50 = 0),
+      bench AS (SELECT * FROM gd WHERE doc_id % 50 = 0 AND doc_id < 50000),
       corpus AS (SELECT * FROM gd WHERE doc_id % 50 != 0),
       bt AS (SELECT doc_id AS bench_id, COUNT(*) AS n_grams
              FROM bench GROUP BY 1),
