@@ -730,14 +730,12 @@ object DocQueries extends QueryPack {
   /** Truth-slice twin of `dedup_components_bucket` for sf100
     * value-level evidence: the full oracle disk-killed DuckDB at 373 s /
     * 57 GB (r10 bound), so this runs the SAME star-edge CC operator over
-    * the deterministic `doc_id % 100 = 7` hundredth of the corpus. The
-    * slice must be this thin because the oracle's transitive-closure
-    * CTE materializes component-size^2 (id, root) pairs and the sf100
-    * corpus has a giant near-dup component: the 10% slice was MEASURED
-    * to OOM DuckDB on a single 32 GiB allocation (r12) — near-identical
-    * docs share identical band buckets, so the giant component survives
-    * slicing proportionally. At 1% the largest sliced component is
-    * small enough to close. (At sf0.001/0.01 the slice keeps only ~5
+    * the deterministic `doc_id % 100 = 7` hundredth of the corpus.
+    * (History: the slice was pinned at 1% in r12 because the oracle's
+    * then-quadratic transitive-closure CTE OOMed DuckDB on the sliced
+    * giant near-dup component at 10%; the closure is now the iterative
+    * [[ccRoundSql]] propagation and `dedup_components_slice10` carries
+    * the wider gate.) (At sf0.001/0.01 the slice keeps only ~5
     * docs — the FULL twin `dedup_components_bucket` is the small-sf
     * gate; this query exists for sf100.) The
     * semantics are INDUCED-SUBGRAPH components — both engines bucket,
@@ -756,6 +754,23 @@ object DocQueries extends QueryPack {
       Tables(s, dir, "documents").filter(col("doc_id") % 100 === 7)),
     Some(bucketCcSql(" WHERE doc_id % 100 = 7")))
 
+  /** 10% truth slice of the bucket-CC operator (VERDICT r12 task 4):
+    * viable now that the oracle's transitive-closure CTE — which
+    * materialized component-size^2 pairs and OOMed DuckDB on the sf100
+    * giant component at the 10% slice — is rewritten as the same
+    * fixed-depth iterative min-label propagation the Spark side runs
+    * ([[ccRoundSql]]; per-round cost is O(edges), edge volume is
+    * bounded by bands x sliced corpus). Same induced-subgraph
+    * semantics argument as `dedup_components_slice`; 10x the sliced
+    * duplicate mass makes the sf100 gate an order of magnitude more
+    * representative of the real corpus structure.
+    */
+  val dedupComponentsSlice10: GraftQuery = GraftQuery(
+    "dedup_components_slice10",
+    (s, dir) => bucketCc(s, dir, "bucket_star_edges_slice10",
+      Tables(s, dir, "documents").filter(col("doc_id") % 10 === 7)),
+    Some(bucketCcSql(" WHERE doc_id % 10 = 7")))
+
   private def bucketCc(
       s: SparkSession, dir: String, memoKey: String,
       docs: DataFrame): DataFrame = {
@@ -768,6 +783,29 @@ object DocQueries extends QueryPack {
       .select(col("id"), col("comp").as("component"))
       .orderBy("id")
   }
+
+  /** One min-label-propagation round as a CTE: every vertex takes the
+    * min of its own label and its neighbors' labels — the exact
+    * per-round step [[Dedup.connectedComponents]] runs, so a
+    * fixed-depth chain replays the Spark fixpoint as long as the graph
+    * converges within the depth (further rounds are idempotent; an
+    * unconverged graph hash-MISMATCHES loudly rather than passing).
+    * Replaces the transitive-closure `reach` CTE, which materialized
+    * component-size^2 (id, root) pairs and OOMed DuckDB on the sf100
+    * giant near-dup component at any slice above 1% (r12 bound).
+    */
+  private def ccRoundSql(k: Int): String = s"""
+      l$k AS MATERIALIZED (
+        SELECT v.id, LEAST(v.lbl, COALESCE(MIN(p.lbl), v.lbl)) AS lbl
+        FROM l${k - 1} v
+        LEFT JOIN sym e ON e.d = v.id
+        LEFT JOIN l${k - 1} p ON p.id = e.s
+        GROUP BY v.id, v.lbl)"""
+
+  // final + literal => compile-time constant, immune to object-val
+  // initialization order (the query vals above evaluate bucketCcSql
+  // during construction, before later plain vals are assigned)
+  private final val ccRounds = 16
 
   private def bucketCcSql(where: String): String = s"""
       WITH RECURSIVE sh AS (
@@ -794,13 +832,12 @@ object DocQueries extends QueryPack {
                id AS id_b
         FROM bk),
       edges AS (SELECT id_a, id_b FROM se WHERE id_a <> id_b),
-      sym AS (SELECT id_a AS s, id_b AS d FROM edges
-              UNION SELECT id_b, id_a FROM edges),
-      reach(id, r) AS (
-        SELECT DISTINCT s, s FROM sym
-        UNION
-        SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.id)
-      SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id"""
+      sym AS MATERIALIZED (
+        SELECT id_a AS s, id_b AS d FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+      l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS lbl FROM sym),
+      ${(1 to ccRounds).map(ccRoundSql).mkString(",")}
+      SELECT id, lbl AS component FROM l$ccRounds ORDER BY id"""
 
   /** Keep-BEST dedup policy over the LSH near-dup clusters: each
     * component keeps its longest member (doc id as tiebreak) instead of
@@ -1385,7 +1422,8 @@ object DocQueries extends QueryPack {
     fuzzyDedup, leakageMatrix,
     minhashLsh, lshQuality, minhashCalibration, simhashDocs, simhashPairs,
     dedupClusters,
-    dedupComponentsBucket, dedupComponentsSlice, dedupKeepBest, dedupDropList,
+    dedupComponentsBucket, dedupComponentsSlice, dedupComponentsSlice10,
+    dedupKeepBest, dedupDropList,
     packDocs, qualitySample, dedupStream, dedupWatermarkStream, trigramSearch,
     contamination, bloomPrefilter,
     incrementalDedup, spanDedup)

@@ -629,11 +629,34 @@ object EventQueries extends QueryPack {
     * share a bucket, and the picked value at a rank is the duration
     * itself, so arbitrary tie order cannot change the output).
     */
-  val sessionDurations: GraftQuery = GraftQuery(
-    "session_duration_profile",
+  val sessionDurations: GraftQuery =
+    sessionDurationsQuery("session_duration_profile", None)
+
+  /** Truth-slice twin of `session_duration_profile` for sf100
+    * value-level evidence: the full oracle is the last measured DuckDB
+    * kill in the rank family (>1500 s at sf100, SCALE.md — the
+    * per-user lag/cumsum windows over 100M events). Sessionization is
+    * PER-USER, so a deterministic `user_id % 10 = 7` slice has exact
+    * parity semantics — every session of a sliced user is entirely
+    * inside the slice (unlike bucket-CC's induced-subgraph slice, no
+    * cross-slice structure exists), and the sliced profile IS the full
+    * operator over the sliced users. Same pattern as
+    * `gopher_rules_slice`.
+    */
+  val sessionDurationsSlice: GraftQuery =
+    sessionDurationsQuery("session_duration_slice", Some(10 -> 7))
+
+  private def sessionDurationsQuery(
+      name: String, slice: Option[(Int, Int)]): GraftQuery = GraftQuery(
+    name,
     (s, dir) => {
       val gapUs = 30L * 60 * 1000000L
-      val sess = EventOps.events(s, dir)
+      val ev = slice match {
+        case Some((m, r)) =>
+          EventOps.events(s, dir).filter(col("user_id") % m === r)
+        case None => EventOps.events(s, dir)
+      }
+      val sess = ev
         .groupBy(col("user_id"),
           session_window(col("event_ts"), s"$gapUs microseconds"))
         .agg(count(lit(1)).as("n_events"))
@@ -650,8 +673,9 @@ object EventQueries extends QueryPack {
             .as("p95_dur_us"),
           max("dur_us").as("max_dur_us"))
     },
-    Some("""
-      WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+    Some(s"""
+      WITH x AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events${
+        slice.map { case (m, r) => s" WHERE user_id % $m = $r" }.getOrElse("")}),
       l AS (SELECT user_id, tus,
                    CASE WHEN lag(tus) OVER uw IS NULL
                           OR tus - lag(tus) OVER uw > 1800000000
@@ -922,5 +946,5 @@ object EventQueries extends QueryPack {
       funnelStream,
       funnelWindowed, retention, pathTrigrams, interarrival, dauReport,
       userJourneys, dauStream, jsonProps, enrichedStream, rollingAnomalies,
-      markovMatrix, trendingDaily, sessionDurations)
+      markovMatrix, trendingDaily, sessionDurations, sessionDurationsSlice)
 }

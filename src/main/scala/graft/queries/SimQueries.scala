@@ -190,13 +190,19 @@ object SimQueries extends QueryPack {
   /** LSH-bucketed ANN — the 100-TB path: each query scores one bucket.
     * Seeded hyperplanes replayed in the oracle as literal coefficients.
     */
-  private val annLshPlanes = Similarity.hyperplanes(4, dim = 64, seed = 42)
+  // Single source of truth for the seeded-hyperplane family's plane
+  // count: the Scala annTopK calls and the oracle's replayed literal
+  // coefficients both derive from it, so the two sides cannot drift
+  // (ADVICE r12: the literal 4 was duplicated at the two call sites).
+  private val annLshPlaneCount = 4
+  private val annLshPlanes =
+    Similarity.hyperplanes(annLshPlaneCount, dim = 64, seed = 42)
 
   val annTopK: GraftQuery = GraftQuery(
     "ann_lsh_topk_vec0",
     (s, dir) => Similarity.annTopK(
       Tables(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10,
-      nPlanes = 4),
+      nPlanes = annLshPlaneCount),
     Some(s"""
       WITH bk AS MATERIALIZED (
         SELECT vec_id,
@@ -823,7 +829,7 @@ object SimQueries extends QueryPack {
       val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
         .select("vec_id")
       val ann = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 10,
-        nPlanes = 4)
+        nPlanes = annLshPlaneCount)
         .select("vec_id")
       exact.join(ann, Seq("vec_id"))
         .agg(count(lit(1)).as("n_overlap"))

@@ -430,9 +430,22 @@ object TransformQueries extends QueryPack {
         }
         .start()
       try { sq.processAllAvailable(); graft.streaming.StreamMetrics.dump(sq) } finally sq.stop()
-      s.read.parquet(out)
-        .select(col("custkey"), col("m.o_orderstatus").as("status"))
-        .orderBy("custkey")
+      // Zero micro-batches (empty/missing source) never invokes
+      // foreachBatch, so the snapshot dir may not exist — return the
+      // empty aggregate with the query's schema instead of letting the
+      // read throw path-not-found (ADVICE r12: the old complete-mode
+      // memory sink returned an empty table in that case; keep that
+      // contract under the foreachBatch sink too).
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(out)))
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("custkey", LongType),
+            StructField("status", StringType))))
+      else
+        s.read.parquet(out)
+          .select(col("custkey"), col("m.o_orderstatus").as("status"))
+          .orderBy("custkey")
     },
     Some("""
       SELECT o_custkey AS custkey, o_orderstatus AS status

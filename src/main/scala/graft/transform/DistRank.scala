@@ -89,11 +89,23 @@ object DistRank {
     // zorder_layout_orders 0.91 -> 3.13 s by breaking codegen on the
     // data-sized projection. The broadcast offset side is built before
     // any join probe, so the raise still precedes any emitted row.
-    val per = bucketed.groupBy("__dr_b").agg(aggCols.head, aggCols.tail: _*)
-      .withColumn("__dr_c",
-        when(col("__dr_b") < 0, raise_error(lit(
-          "DistRank: bucketKey must be non-null and non-NaN")))
-          .otherwise(col("__dr_c")))
+    // The guard wraps EVERY per-bucket aggregate, not just the count:
+    // Catalyst prunes unused aggregate outputs, so a caller that
+    // consumes only cum/total SUM columns (never touching __dr_c)
+    // would otherwise have the guarded column pruned away and bad keys
+    // would silently corrupt those sums (ADVICE r12). With all derived
+    // columns guarded, any consumer of ranks, running sums, or totals
+    // must evaluate a guarded column; a caller that consumes only
+    // passthrough columns reads no derived value at all, so there is
+    // nothing to corrupt and the (pruned) guard is moot.
+    val guardMsg = "DistRank: bucketKey must be non-null and non-NaN"
+    val per = ("__dr_c" +: sumSrcs.map(s => s"__dr_s_$s"))
+      .foldLeft(bucketed.groupBy("__dr_b").agg(aggCols.head, aggCols.tail: _*)) {
+        (df, c) =>
+          df.withColumn(c,
+            when(col("__dr_b") < 0, raise_error(lit(guardMsg)))
+              .otherwise(col(c)))
+      }
     // Exclusive prefix per bucket: bucket i contributes to every j > i.
     // nB^2 tiny rows; no window, no collect. DELIBERATELY no filter on
     // the per-bucket frame: a predicate on __dr_b (a grouping-key

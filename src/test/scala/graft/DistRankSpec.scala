@@ -125,4 +125,44 @@ class DistRankSpec extends AnyFunSuite with SparkTestSession {
     assert(messages(ex).exists(_.contains("non-null")),
       s"expected the DistRank raise_error, got: $ex")
   }
+
+  private def raiseMessages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(e =>
+      Option(e.getMessage).toSeq ++ raiseMessages(e.getCause))
+
+  test("null key raises even when only cum columns are consumed") {
+    // Catalyst prunes unused aggregate outputs: a consumer that never
+    // reads rn (so sum(__dr_c) — the originally-guarded column — is
+    // pruned from the offset aggregate) must STILL hit the guard via
+    // the cum-sum offsets, or bad keys would silently corrupt the
+    // running sums (ADVICE r12). Pins the all-aggregates anchor.
+    val withNull = li.withColumn("k",
+      when(col("l_linenumber") === 1, lit(null).cast("double"))
+        .otherwise(col("l_extendedprice")))
+    val ex = intercept[Exception] {
+      DistRank.withRowNumber(withNull, col("k"),
+        Seq(col("k"), col("l_orderkey"), col("l_linenumber")),
+        cums = Seq("qty_cents" -> "cum_qty"), buckets = 5)
+        .agg(sum("cum_qty")).collect()
+    }
+    assert(raiseMessages(ex).exists(_.contains("non-null")),
+      s"expected the DistRank raise_error, got: $ex")
+  }
+
+  test("null key raises even when only grand totals are consumed") {
+    // Same pruning hazard through the totals branch: sum(__dr_s_src)
+    // never touches __dr_c, so only the per-aggregate guard keeps a
+    // totals-only consumer fail-fast.
+    val withNull = li.withColumn("k",
+      when(col("l_linenumber") === 1, lit(null).cast("double"))
+        .otherwise(col("l_extendedprice")))
+    val ex = intercept[Exception] {
+      DistRank.withRowNumber(withNull, col("k"),
+        Seq(col("k"), col("l_orderkey"), col("l_linenumber")),
+        totalSumCols = Seq("qty_cents" -> "tot_qty"), buckets = 5)
+        .agg(max("tot_qty")).collect()
+    }
+    assert(raiseMessages(ex).exists(_.contains("non-null")),
+      s"expected the DistRank raise_error, got: $ex")
+  }
 }

@@ -72,6 +72,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // the DistRank-de-globalized ranks: each attaches its grand totals
     // (count / sum) as a broadcast 1-row aggregate
     "pareto_revenue_deciles", "rfm_segments", "session_duration_profile",
+    // inherits session_duration_profile's 1-row grand-total attach over
+    // the user_id-sliced frame (the sf100 truth-slice twin)
+    "session_duration_slice",
     "token_budget_curve", "zorder_layout_orders", "lift_gains_deciles")
 
   test("no CartesianProduct / unexpected BroadcastNestedLoopJoin in any registered plan") {
