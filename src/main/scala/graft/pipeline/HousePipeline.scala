@@ -74,16 +74,39 @@ object HousePipeline {
       te = enc.transform(te, s"${c}_encoded")
       featureCols += s"${c}_encoded"
     }
-    def bin(block: Seq[(String, Strategy, Int)]): Unit =
-      block.foreach { case (c, strat, k) =>
+    // Batched block fit: every column in a block is fit against the SAME
+    // frame (appended bin columns never feed later fits in the block), so
+    // the per-column fits collapse into one QuantileBinner.fitMany pass
+    // plus ONE min/max aggregate for all equal-width columns — 3 scans
+    // for the reference's 10 binning specs instead of 10. Same edges,
+    // same transforms, same output order (r13 attribution: the gate's
+    // preprocess stage was 50% of its cost, nearly all per-fit action
+    // overhead; at 100 TB the win is scans, not scheduling).
+    def bin(block: Seq[(String, Strategy, Int)]): Unit = {
+      val qSpecs = block.collect { case (c, Quantile, k) => c -> k }
+      val qModels = QuantileBinner.fitMany(tr, qSpecs)
+      val ewSpecs = block.collect { case (c, EqualWidth, k) => c -> k }
+      val ewModels: Map[String, BinModel] =
+        if (ewSpecs.isEmpty) Map.empty
+        else {
+          val aggs = ewSpecs.flatMap { case (c, _) =>
+            Seq(min(col(c)).cast("double"), max(col(c)).cast("double")) }
+          val row = tr.agg(aggs.head, aggs.tail: _*).head()
+          ewSpecs.zipWithIndex.map { case ((c, k), i) =>
+            c -> EqualWidthBinner.fromMinMax(
+              c, k, row.getDouble(2 * i), row.getDouble(2 * i + 1))
+          }.toMap
+        }
+      block.foreach { case (c, strat, _) =>
         val model = strat match {
-          case EqualWidth => EqualWidthBinner.fit(tr, c, k)
-          case Quantile   => QuantileBinner.fit(tr, c, k)
+          case EqualWidth => ewModels(c)
+          case Quantile   => qModels(c)
         }
         tr = model.transform(tr, s"${c}_binned")
         te = model.transform(te, s"${c}_binned")
         featureCols += s"${c}_binned"
       }
+    }
     bin(cfg.binning)
 
     val block = Features.houseScriptBlock(cfg.referenceYear)

@@ -123,12 +123,51 @@ def main():
     for v in ledger.values():
         counts[v["status"]] = counts.get(v["status"], 0) + 1
     print("# status counts:", json.dumps(counts))
+    if "--markdown" in sys.argv:
+        emit_markdown(all_queries, ledger)
+        return
     if "--json-only" in sys.argv:
         return
     untried = [q for q in all_queries if ledger[q]["status"] == "untried"]
     print(f"# untried ({len(untried)}):")
     for q in untried:
         print(q)
+
+
+# Queries that are themselves sf100 truth slices of a heavier parent —
+# the parent's full oracle is a measured DuckDB bound and the slice
+# carries the value-level gate (semantics argument in each scaladoc).
+SLICE_OF = {
+    "gopher_rules_slice": "gopher_quality_rules",
+    "hll_shingles_slice": "hll_distinct_shingles",
+    "dedup_components_slice": "dedup_components_bucket",
+    "dedup_components_slice10": "dedup_components_bucket",
+    "session_duration_slice": "session_duration_profile",
+}
+
+
+def emit_markdown(all_queries, ledger):
+    lines = ["| query | sf100 evidence | s (DuckDB) | rows | source |",
+             "|---|---|---|---|---|"]
+    for q in all_queries:
+        v = ledger[q]
+        st = v["status"]
+        sliced_by = [s for s, p in SLICE_OF.items() if p == q]
+        if st == "green":
+            ev = "sliced-green" if q in SLICE_OF else "green"
+        elif st == "rows_only":
+            ev = "rows-only (declared; COVERAGE.md)"
+        elif st in ("bound", "error"):
+            ev = "bound"
+            if sliced_by:
+                ev += f" (slice gate: {', '.join(sliced_by)})"
+        else:
+            ev = st
+        sec = v.get("seconds", "")
+        rows = v.get("rows", "")
+        src = v.get("log", v.get("note", ""))
+        lines.append(f"| {q} | {ev} | {sec} | {rows} | {src} |")
+    print("\n".join(lines))
 
 
 if __name__ == "__main__":
