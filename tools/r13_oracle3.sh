@@ -14,7 +14,7 @@ OUT=target/scale/verify_r13_sf100
 LOG=target/scale/r13_oracle3.out
 ERR=target/scale/r13_oracle3.err
 
-SPARK_RETRY=incremental_dedup_shard,simhash_hamming_pairs
+SPARK_RETRY=incremental_dedup_shard,simhash_hamming_pairs,ngram_jaccard_adjacent
 : > "$LOG"; : > "$ERR"
 env SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$SPARK_RETRY" \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
@@ -25,5 +25,13 @@ env SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$SPARK_RETRY" \
 python3 tools/oracle_budget.py "$SF" "$OUT" 900 \
   "$SPARK_RETRY,mmr_diverse_top5" >> "$LOG" 2>&1
 python3 tools/oracle_budget.py "$SF" "$OUT" 1800 pq_ann_topk_vec0 >> "$LOG" 2>&1
+# slice10 CC: Spark result landed in stage 2; its oracle died only on
+# disk (DuckDB temp vs 25G of live Spark spill) — replay with the box
+# idle.
+python3 tools/oracle_budget.py "$SF" "$OUT" 1500 dedup_components_slice10 >> "$LOG" 2>&1
+# session_duration_slice: 900 s was not enough for the 10M-event
+# DuckDB window replay; one escalation to 1800 s before recording the
+# bound as final.
+python3 tools/oracle_budget.py "$SF" "$OUT" 1800 session_duration_slice >> "$LOG" 2>&1
 echo R13_RETRIES_DONE >> "$LOG"
 echo R13_RETRIES_DONE

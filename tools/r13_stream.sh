@@ -27,7 +27,7 @@ WM="events_sliding_stream events_hourly_stream interval_join_stream dedup_within
 for q in $WM; do
   echo "=== $q $(date +%T) ===" > "$ERR.$q"
   echo "=== $q ===" >> "$MET"
-  timeout 2400 env SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$q" \
+  timeout 1200 env SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$q" \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
     SPARK_GRAFT_STREAM_MAX_FILES=1 SPARK_GRAFT_STREAM_METRICS=1 \
   /opt/spark/bin/spark-submit --master local[32] --driver-memory 96g \
@@ -38,7 +38,7 @@ for q in $WM; do
   if [ $rc -eq 0 ] && [ -d "$OUT/$q" ]; then
     python3 tools/oracle_budget.py "$SF" "$OUT" 1200 "$q" >> "$LOG" 2>&1
   else
-    echo "$q {\"status\": \"error\", \"err\": \"spark timeout/abort rc=$rc (2400 s cap)\"}" >> "$LOG"
+    echo "$q {\"status\": \"error\", \"err\": \"spark timeout/abort rc=$rc (1200 s cap)\"}" >> "$LOG"
   fi
 done
 echo R13_STREAM_DONE >> "$LOG"

@@ -104,7 +104,14 @@ def main():
     corr = json.load(open(f"{REPO}/CORRECTNESS_r12.json"))
     rows_only = sorted(n for n, v in corr.items()
                        if v.get("err") == "no_oracle")
-    all_queries = sorted(corr.keys())
+    # Registry = the CURRENT oracle_sql dump when present (includes
+    # queries registered after the last driver correctness run);
+    # no-oracle queries stay the CORRECTNESS-declared rows-only set.
+    cur = f"{SCALE}/verify_r13_sf100/oracle_sql.json"
+    if os.path.exists(cur):
+        all_queries = sorted(set(corr) | set(json.load(open(cur))))
+    else:
+        all_queries = sorted(corr.keys())
 
     ledger = {}
     for q in all_queries:
