@@ -124,16 +124,17 @@ object TreeQueries extends QueryPack {
     val edgeJoin = if (binned) ", e0, e1, e2, e3" else ""
     s"""
       sr$l AS MATERIALIZED (SELECT node FROM a$l GROUP BY node
-               HAVING COUNT(*) >= ${params.minSamplesSplit}
-                  AND SUM(y) > 0 AND COUNT(*) - SUM(y) > 0),
+               HAVING SUM(w) >= ${params.minSamplesSplit}
+                  AND SUM(y*w) > 0 AND SUM(w) - SUM(y*w) > 0),
       aj$l AS MATERIALIZED (SELECT a.* FROM a$l a JOIN sr$l s ON a.node = s.node),
       m$l AS MATERIALIZED (
-        SELECT node, 0 AS ford, f0 AS v, y FROM aj$l
-        UNION ALL SELECT node, 1, f1, y FROM aj$l
-        UNION ALL SELECT node, 2, f2, y FROM aj$l
-        UNION ALL SELECT node, 3, f3, y FROM aj$l),
-      g$l AS MATERIALIZED (SELECT node, ford, v, COUNT(*) AS n,
-                     SUM(y) AS c1, COUNT(*) - SUM(y) AS c0
+        SELECT node, 0 AS ford, f0 AS v, y, w FROM aj$l
+        UNION ALL SELECT node, 1, f1, y, w FROM aj$l
+        UNION ALL SELECT node, 2, f2, y, w FROM aj$l
+        UNION ALL SELECT node, 3, f3, y, w FROM aj$l),
+      g$l AS MATERIALIZED (SELECT node, ford, v, CAST(SUM(w) AS BIGINT) AS n,
+                     CAST(SUM(y*w) AS BIGINT) AS c1,
+                     CAST(SUM(w) - SUM(y*w) AS BIGINT) AS c0
               FROM m$l GROUP BY node, ford, v),
       c$l AS MATERIALIZED (SELECT node, ford, v,
                      SUM(n)  OVER wc AS ln,  SUM(n)  OVER wa AS tn,
@@ -153,7 +154,7 @@ object TreeQueries extends QueryPack {
               QUALIFY row_number() OVER (PARTITION BY node
                 ORDER BY gain DESC, ford ASC, v ASC) = 1),
       a${l + 1} AS MATERIALIZED (
-        SELECT a.f0, a.f1, a.f2, a.f3, a.y,
+        SELECT a.f0, a.f1, a.f2, a.f3, a.y, a.w,
                CASE WHEN b.node IS NULL THEN a.node
                     WHEN $bValSql <= b.thr THEN 2*a.node+1
                     ELSE 2*a.node+2 END AS node,
@@ -180,11 +181,14 @@ object TreeQueries extends QueryPack {
       "CAST(l_tax AS DOUBLE)", "CAST(l_extendedprice AS DOUBLE)")
     val base =
       if (!binned)
+        // exact mode: continuous feature values don't collapse — carry
+        // the data-sized frame with unit weights (SUM(w) == COUNT(*),
+        // so every downstream statistic is unchanged)
         s"""a0 AS MATERIALIZED (
           SELECT ${rawF(0)} AS f0, ${rawF(1)} AS f1,
                  ${rawF(2)} AS f2, ${rawF(3)} AS f3,
                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
-                 0 AS node, '' AS path
+                 0 AS node, '' AS path, 1 AS w
           FROM lineitem)"""
       else {
         val es = rawF.zipWithIndex.map { case (f, i) =>
@@ -194,12 +198,24 @@ object TreeQueries extends QueryPack {
         val codes = rawF.zipWithIndex.map { case (f, i) =>
           s"CAST(length(list_filter(e$i.e[2:length(e$i.e)-1], x -> x < $f)) AS DOUBLE) AS f$i"
         }.mkString(",\n                 ")
+        // binned mode: bucket codes live in {0..nBins-1}^4 x {0,1}, so
+        // the data-sized frame collapses to <= nBins^4 * 2 weighted rows
+        // BEFORE the level-wise replay (the r12 HHI pre-aggregation
+        // move: counting commutes with grouping). Every level statistic
+        // is a sum of counts, so SUM(w) arithmetic is exactly COUNT(*)
+        // over the raw frame; routing and path depend only on the bin
+        // vector, so distinct rows stay bounded at every level. This is
+        // what makes the trainer oracle replayable at the 600M-row rung
+        // (the per-row a$l chain needed >55 GB of DuckDB temp and died
+        // on disk at sf100).
         s"""$es,
         a0 AS MATERIALIZED (
-          SELECT $codes,
-                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
-                 0 AS node, '' AS path
-          FROM lineitem, e0, e1, e2, e3)"""
+          SELECT f0, f1, f2, f3, y, 0 AS node, '' AS path,
+                 COUNT(*) AS w
+          FROM (SELECT $codes,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+          FROM lineitem, e0, e1, e2, e3)
+          GROUP BY f0, f1, f2, f3, y)"""
       }
     s"WITH $base,\n${(0 until params.maxDepth).map(levelSql(_, binned)).mkString(",\n")}"
   }
@@ -216,14 +232,14 @@ object TreeQueries extends QueryPack {
 
   private val leafSql =
     """leaf AS MATERIALIZED (SELECT node,
-                       CASE WHEN SUM(y) > COUNT(*) - SUM(y) THEN 1 ELSE 0 END AS pred
+                       CASE WHEN SUM(y*w) > SUM(w) - SUM(y*w) THEN 1 ELSE 0 END AS pred
                 FROM a3 GROUP BY node)"""
 
   private def confusionSql(binned: Boolean): String =
     s"""${trainSql(binned)},
       $leafSql
       SELECT CAST(a.y AS BIGINT) AS label, CAST(l.pred AS BIGINT) AS pred,
-             COUNT(*) AS n
+             CAST(SUM(a.w) AS BIGINT) AS n
       FROM a3 a JOIN leaf l ON a.node = l.node
       GROUP BY a.y, l.pred ORDER BY label, pred"""
 
@@ -291,10 +307,11 @@ object TreeQueries extends QueryPack {
         "score", "label")
     },
     Some(s"""${trainSql(binned = true)},
-      lp AS MATERIALIZED (SELECT node, SUM(y) / GREATEST(COUNT(*), 1) AS p
+      lp AS MATERIALIZED (SELECT node, SUM(y*w) / GREATEST(SUM(w), 1) AS p
              FROM a3 GROUP BY node),
-      sg AS MATERIALIZED (SELECT round(lp.p, 6) AS score, SUM(a.y) AS np,
-                    COUNT(*) - SUM(a.y) AS nn
+      sg AS MATERIALIZED (SELECT round(lp.p, 6) AS score,
+                    CAST(SUM(a.y*a.w) AS BIGINT) AS np,
+                    CAST(SUM(a.w) - SUM(a.y*a.w) AS BIGINT) AS nn
              FROM a3 a JOIN lp ON a.node = lp.node
              GROUP BY round(lp.p, 6)),
       cw AS MATERIALIZED (SELECT np, nn,
@@ -321,7 +338,7 @@ object TreeQueries extends QueryPack {
       $leafSql
       SELECT (CASE WHEN a.path = '' THEN '(root)' ELSE a.path END)
                || ' => label=' || CAST(l.pred AS VARCHAR) AS path,
-             COUNT(*) AS n
+             CAST(SUM(a.w) AS BIGINT) AS n
       FROM a3 a JOIN leaf l ON a.node = l.node
       GROUP BY 1 ORDER BY path"""))
 
