@@ -53,18 +53,25 @@ oracle () { # budget list
 }
 
 # ---- Phase 1: binned-tree eval family ----
+# The trees Verify run also refreshes oracle_sql.json with the weighted
+# (pre-aggregated) trainer replay, which is what makes these replays —
+# and the tree_train_binned_confusion retry — tractable at 600M rows.
 spark_group trees tree_feature_importance,tree_proba_auc,tree_path_counts 1800
 oracle 1200 tree_feature_importance
 oracle 1200 tree_proba_auc
 oracle 1200 tree_path_counts
+oracle 1200 tree_train_binned_confusion
+# makeup: the stage-3 slice10 retry was disk-killed by a concurrent
+# local spark run, not by its own footprint — replay on the idle box
+oracle 1500 dedup_components_slice10
 
 # ---- Phase 2: full-corpus bucket-CC ----
 spark_group cc_full dedup_components_bucket 1800
 oracle 1800 dedup_components_bucket
 
 # ---- Phase 3: bound measurements ----
-spark_group lsh_pairs minhash_lsh_candidates 1200
-oracle 1200 minhash_lsh_candidates
+spark_group lsh_pairs minhash_lsh_candidates,dedup_clusters_lsh,dedup_keep_best 1200
+oracle 1200 minhash_lsh_candidates,dedup_clusters_lsh,dedup_keep_best
 spark_group emb_family embedding_near_dup_pairs,semantic_dedup_keep,near_dup_lsh_pruned 1500
 oracle 1200 embedding_near_dup_pairs,semantic_dedup_keep,near_dup_lsh_pruned
 spark_group cv_rf cv_grid_tree_select,rf_bagged_vote_confusion 2400
