@@ -807,26 +807,42 @@ object DocQueries extends QueryPack {
   // during construction, before later plain vals are assigned)
   private final val ccRounds = 16
 
-  private def bucketCcSql(where: String): String = s"""
+  // The CC oracles replay the 32-permutation MinHash the way the Spark
+  // side computes it — 32 min-expressions in ONE pass over a per-doc
+  // hash LIST — instead of the generic base CROSS JOIN perms explode.
+  // The explode materializes |shingles| x 32 rows before the group
+  // (6.4B at the 10% sf100 slice, 64B full) and was the measured DuckDB
+  // disk kill (>60 GB temp at 225 s on an idle box); the list form is
+  // bounded by the distinct-shingle frame itself. Same h, same
+  // (a*h+b) % p arithmetic, same band bucket strings — values are
+  // bit-identical, only the evaluation shape changes.
+  private def bucketCcSql(where: String): String = {
+    val mins = graft.dedup.Dedup.permConstants(32).zipWithIndex
+      .map { case ((a, b), i) =>
+        s"list_min(list_transform(hs, x -> ($a * x + $b) % 2147483647)) AS m$i"
+      }.mkString(",\n               ")
+    val bandSel = (0 until 4).map { b =>
+      val cols = (0 until 8).map(j => s"CAST(m${b * 8 + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT id, $b AS band, $cols AS bucket FROM wide"
+    }.mkString("\n        UNION ALL ")
+    s"""
       WITH RECURSIVE sh AS (
         SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INTEGER), 3) AS sh
         FROM (SELECT doc_id, text,
                      unnest(generate_series(1, length(text) - 2)) AS i
               FROM documents$where)),
-      base AS (
+      hl AS MATERIALIZED (
         SELECT id,
-               CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT)
-                 % 2147483647 AS h
-        FROM sh),
-      perms(p, a, b) AS (VALUES $permValues),
-      mh AS (
-        SELECT id, p, MIN((a * h + b) % 2147483647) AS m
-        FROM base CROSS JOIN perms
-        GROUP BY id, p),
+               list(CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT)
+                    % 2147483647) AS hs
+        FROM sh GROUP BY id),
+      wide AS MATERIALIZED (
+        SELECT id,
+               $mins
+        FROM hl),
       bk AS (
-        SELECT id, p // 8 AS band,
-               string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS bucket
-        FROM mh GROUP BY id, p // 8),
+        $bandSel),
       se AS (
         SELECT DISTINCT MIN(id) OVER (PARTITION BY band, bucket) AS id_a,
                id AS id_b
@@ -838,6 +854,7 @@ object DocQueries extends QueryPack {
       l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS lbl FROM sym),
       ${(1 to ccRounds).map(ccRoundSql).mkString(",")}
       SELECT id, lbl AS component FROM l$ccRounds ORDER BY id"""
+  }
 
   /** Keep-BEST dedup policy over the LSH near-dup clusters: each
     * component keeps its longest member (doc id as tiebreak) instead of
