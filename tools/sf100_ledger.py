@@ -46,6 +46,7 @@ SF100_LOGS = [
     ("r13_oracle2.out", "budget", "r13"),
     ("r13_oracle3.out", "budget", "r13"),
     ("r13_oracle4.out", "budget", "r13"),
+    ("r13_oracle5.out", "budget", "r13"),
     # NOTE: r13_stream_trigger.out (bounded-trigger knob-ON parity) is
     # deliberately NOT a ledger source — it measures trigger-split
     # semantics for the watermarked streams, not the registered
