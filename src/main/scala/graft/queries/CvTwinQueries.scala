@@ -130,6 +130,13 @@ object CvTwinQueries extends QueryPack {
   // the tree family's proven CTE shape, suffixed `_{d}_{f}` — then the
   // held-out fold routed through that config's winner tables, confusion
   // counts, macro-F1 micro, config sums, and the argmax config.
+  // Every feature here is LOW-CARDINALITY (quantity 50 x discount 11 x
+  // tax 9 x linenumber 7 distinct values), and the planted label is a
+  // function of the features, so base collapses exactly to weighted
+  // (f-vector, y, fold) rows (~100k at any sf) — the TreeQueries r13
+  // pre-aggregation move, which is what makes SIX data-sized trainer
+  // chains replayable at the 600M-row rung (the per-row form died on
+  // disk at 389 s).
   // ---------------------------------------------------------------------
 
   private def valByFord(row: String, w: String): String =
@@ -140,17 +147,19 @@ object CvTwinQueries extends QueryPack {
     val p = params(0) // depth-independent thresholds
     s"""
       sr${l}_$sfx AS MATERIALIZED (SELECT node FROM a${l}_$sfx GROUP BY node
-               HAVING COUNT(*) >= ${p.minSamplesSplit}
-                  AND SUM(y) > 0 AND COUNT(*) - SUM(y) > 0),
+               HAVING SUM(w) >= ${p.minSamplesSplit}
+                  AND SUM(y*w) > 0 AND SUM(w) - SUM(y*w) > 0),
       aj${l}_$sfx AS MATERIALIZED (
         SELECT a.* FROM a${l}_$sfx a JOIN sr${l}_$sfx s ON a.node = s.node),
       m${l}_$sfx AS MATERIALIZED (
-        SELECT node, 0 AS ford, f0 AS v, y FROM aj${l}_$sfx
-        UNION ALL SELECT node, 1, f1, y FROM aj${l}_$sfx
-        UNION ALL SELECT node, 2, f2, y FROM aj${l}_$sfx
-        UNION ALL SELECT node, 3, f3, y FROM aj${l}_$sfx),
-      g${l}_$sfx AS MATERIALIZED (SELECT node, ford, v, COUNT(*) AS n,
-                     SUM(y) AS c1, COUNT(*) - SUM(y) AS c0
+        SELECT node, 0 AS ford, f0 AS v, y, w FROM aj${l}_$sfx
+        UNION ALL SELECT node, 1, f1, y, w FROM aj${l}_$sfx
+        UNION ALL SELECT node, 2, f2, y, w FROM aj${l}_$sfx
+        UNION ALL SELECT node, 3, f3, y, w FROM aj${l}_$sfx),
+      g${l}_$sfx AS MATERIALIZED (SELECT node, ford, v,
+                     CAST(SUM(w) AS BIGINT) AS n,
+                     CAST(SUM(y*w) AS BIGINT) AS c1,
+                     CAST(SUM(w) - SUM(y*w) AS BIGINT) AS c0
               FROM m${l}_$sfx GROUP BY node, ford, v),
       c${l}_$sfx AS MATERIALIZED (SELECT node, ford, v,
                      SUM(n)  OVER wc AS ln,  SUM(n)  OVER wa AS tn,
@@ -171,7 +180,7 @@ object CvTwinQueries extends QueryPack {
               QUALIFY row_number() OVER (PARTITION BY node
                 ORDER BY gain DESC, ford ASC, v ASC) = 1),
       a${l + 1}_$sfx AS MATERIALIZED (
-        SELECT a.f0, a.f1, a.f2, a.f3, a.y,
+        SELECT a.f0, a.f1, a.f2, a.f3, a.y, a.w,
                CASE WHEN w.node IS NULL THEN a.node
                     WHEN ${valByFord("a", "w")} <= w.thr THEN 2*a.node+1
                     ELSE 2*a.node+2 END AS node
@@ -185,10 +194,10 @@ object CvTwinQueries extends QueryPack {
     val sfx = s"${d}_$f"
     val train = s"""
       a0_$sfx AS MATERIALIZED (
-        SELECT f0, f1, f2, f3, y, 0 AS node FROM base WHERE h <> $f),
+        SELECT f0, f1, f2, f3, y, w, 0 AS node FROM base WHERE h <> $f),
       ${(0 until d).map(levelSql(_, sfx)).mkString(",\n")},
       leaf_$sfx AS MATERIALIZED (SELECT node,
-               CASE WHEN SUM(y) > COUNT(*) - SUM(y) THEN 1 ELSE 0 END AS pred
+               CASE WHEN SUM(y*w) > SUM(w) - SUM(y*w) THEN 1 ELSE 0 END AS pred
               FROM a${d}_$sfx GROUP BY node)"""
     val route = (0 until d).map { l =>
       val from = if (l == 0) s"(SELECT * FROM base WHERE h = $f)"
@@ -205,11 +214,11 @@ object CvTwinQueries extends QueryPack {
     s"""$train,
       $route,
       conf_$sfx AS MATERIALIZED (
-        SELECT COUNT(*) AS n_val,
-               SUM(CASE WHEN p.y = 1 AND l.pred = 1 THEN 1 ELSE 0 END) AS tp1,
-               SUM(CASE WHEN p.y = 0 AND l.pred = 1 THEN 1 ELSE 0 END) AS fp1,
-               SUM(CASE WHEN p.y = 1 AND l.pred = 0 THEN 1 ELSE 0 END) AS fn1,
-               SUM(CASE WHEN p.y = 0 AND l.pred = 0 THEN 1 ELSE 0 END) AS tn
+        SELECT CAST(SUM(p.w) AS BIGINT) AS n_val,
+               CAST(SUM(CASE WHEN p.y = 1 AND l.pred = 1 THEN p.w ELSE 0 END) AS BIGINT) AS tp1,
+               CAST(SUM(CASE WHEN p.y = 0 AND l.pred = 1 THEN p.w ELSE 0 END) AS BIGINT) AS fp1,
+               CAST(SUM(CASE WHEN p.y = 1 AND l.pred = 0 THEN p.w ELSE 0 END) AS BIGINT) AS fn1,
+               CAST(SUM(CASE WHEN p.y = 0 AND l.pred = 0 THEN p.w ELSE 0 END) AS BIGINT) AS tn
         FROM p${d}_$sfx p JOIN leaf_$sfx l ON l.node = p.n${d}_$sfx)"""
   }
 
@@ -230,6 +239,8 @@ object CvTwinQueries extends QueryPack {
       yield rowSql(d, f)).mkString("\n      UNION ALL\n")
     s"""
       WITH base AS MATERIALIZED (
+        SELECT f0, f1, f2, f3, y, h, COUNT(*) AS w
+        FROM (
         SELECT CAST(l_quantity AS DOUBLE) AS f0,
                CAST(l_discount AS DOUBLE) AS f1,
                CAST(l_tax AS DOUBLE) AS f2,
@@ -241,7 +252,8 @@ object CvTwinQueries extends QueryPack {
                CAST(concat('0x', substring(md5(
                  CAST(l_orderkey AS VARCHAR) || '|$hashSeed'), 1, 15))
                  AS BIGINT) % $nFolds AS h
-        FROM lineitem),
+        FROM lineitem)
+        GROUP BY f0, f1, f2, f3, y, h),
       $chains,
       rows_ AS ($rows),
       m AS (SELECT max_depth, fold, n_val, macro_f1_micro,
