@@ -828,14 +828,15 @@ object DocQueries extends QueryPack {
     }.mkString("\n        UNION ALL ")
     s"""
       WITH RECURSIVE sh AS (
-        SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INTEGER), 3) AS sh
+        SELECT DISTINCT doc_id AS id,
+               CAST(concat('0x', substring(md5(
+                 substr(text, CAST(i AS INTEGER), 3)), 1, 15)) AS BIGINT)
+                 % 2147483647 AS h
         FROM (SELECT doc_id, text,
                      unnest(generate_series(1, length(text) - 2)) AS i
               FROM documents$where)),
       hl AS MATERIALIZED (
-        SELECT id,
-               list(CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT)
-                    % 2147483647) AS hs
+        SELECT id, list(h) AS hs
         FROM sh GROUP BY id),
       wide AS MATERIALIZED (
         SELECT id,
