@@ -29,5 +29,9 @@ python3 tools/oracle_budget.py "$SF" "$OUT" 1800 dedup_components_slice10 >> "$L
 rm -rf target/spark-tmp/duck
 python3 tools/oracle_budget.py "$SF" "$OUT" 1800 dedup_components_bucket >> "$LOG" 2>&1
 rm -rf target/spark-tmp/duck
+# weighted CV-twin replay (CvTwinQueries r13 rewrite; Spark result
+# landed in stage 4)
+python3 tools/oracle_budget.py "$SF" "$OUT" 1500 cv_grid_tree_select >> "$LOG" 2>&1
+rm -rf target/spark-tmp/duck
 echo R13_STAGE5_DONE >> "$LOG"
 echo R13_STAGE5_DONE
