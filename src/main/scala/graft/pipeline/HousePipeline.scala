@@ -83,6 +83,10 @@ object HousePipeline {
     // preprocess stage was 50% of its cost, nearly all per-fit action
     // overhead; at 100 TB the win is scans, not scheduling).
     def bin(block: Seq[(String, Strategy, Int)]): Unit = {
+      // fitMany/ewModels key by column name, so a block listing the same
+      // column twice would silently reuse one model for both specs
+      require(block.map(_._1).distinct.size == block.size,
+        s"duplicate column in binning block: ${block.map(_._1)}")
       val qSpecs = block.collect { case (c, Quantile, k) => c -> k }
       val qModels = QuantileBinner.fitMany(tr, qSpecs)
       val ewSpecs = block.collect { case (c, EqualWidth, k) => c -> k }

@@ -181,10 +181,10 @@ object CvTwinQueries extends QueryPack {
                 ORDER BY gain DESC, ford ASC, v ASC) = 1),
       a${l + 1}_$sfx AS MATERIALIZED (
         SELECT a.f0, a.f1, a.f2, a.f3, a.y, a.w,
-               CASE WHEN w.node IS NULL THEN a.node
-                    WHEN ${valByFord("a", "w")} <= w.thr THEN 2*a.node+1
+               CASE WHEN win.node IS NULL THEN a.node
+                    WHEN ${valByFord("a", "win")} <= win.thr THEN 2*a.node+1
                     ELSE 2*a.node+2 END AS node
-        FROM a${l}_$sfx a LEFT JOIN b${l}_$sfx w ON a.node = w.node)"""
+        FROM a${l}_$sfx a LEFT JOIN b${l}_$sfx win ON a.node = win.node)"""
   }
 
   /** Training chain for config depth `d` on fold-complement `f`, then
@@ -205,11 +205,11 @@ object CvTwinQueries extends QueryPack {
       val prev = if (l == 0) "0" else s"p.n${l}_$sfx"
       s"""
       p${l + 1}_$sfx AS MATERIALIZED (
-        SELECT p.*, CASE WHEN w.node IS NULL THEN $prev
-                         WHEN ${valByFord("p", "w")} <= w.thr
+        SELECT p.*, CASE WHEN win.node IS NULL THEN $prev
+                         WHEN ${valByFord("p", "win")} <= win.thr
                            THEN 2*($prev)+1
                          ELSE 2*($prev)+2 END AS n${l + 1}_$sfx
-        FROM $from p LEFT JOIN b${l}_$sfx w ON w.node = $prev)"""
+        FROM $from p LEFT JOIN b${l}_$sfx win ON win.node = $prev)"""
     }.mkString(",\n")
     s"""$train,
       $route,
