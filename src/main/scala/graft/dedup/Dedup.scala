@@ -281,6 +281,29 @@ object Dedup {
       .distinct()
   }
 
+  /** SCALE-MODE incremental ingest flags: ids from `newSigs` that share at
+    * least one (band, bucket) with ANY member of `oldSigs` — the
+    * bucket-connectivity twin of [[lshCandidatesAcross]]. The corpus side
+    * collapses to its DISTINCT bucket set before the join and the new
+    * side is a semi-join probe, so nothing is ever pair-materialized:
+    * cost is O(corpus x bands) to build the bucket index (precomputable,
+    * incrementally maintainable) + O(shard x bands) to probe it, where
+    * the verified-pair form is quadratic in per-bucket duplicate mass
+    * (the measured sf100 disk kill). What is given up is the per-pair
+    * est_jaccard >= t verification: banding parameters set the
+    * similarity bar, same trade as [[lshBucketStarEdges]].
+    */
+  def lshBucketHitIds(
+      newSigs: DataFrame, oldSigs: DataFrame, bands: Int,
+      sqlBuckets: Boolean = false): DataFrame = {
+    val probe = banded(newSigs, bands, sqlBuckets)
+      .select(col("band"), col("bucket"), col("id"))
+    val index = banded(oldSigs, bands, sqlBuckets)
+      .select(col("band"), col("bucket")).distinct()
+    probe.join(index, Seq("band", "bucket"), "left_semi")
+      .select("id").distinct()
+  }
+
   /** Cross-set LSH: candidate (id_a from `newSigs`, id_b from `oldSigs`)
     * pairs sharing any band bucket — the INCREMENTAL ingest shape, where
     * a new shard is deduped against the existing corpus instead of

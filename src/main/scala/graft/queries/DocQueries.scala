@@ -771,18 +771,30 @@ object DocQueries extends QueryPack {
       Tables(s, dir, "documents").filter(col("doc_id") % 10 === 7)),
     Some(bucketCcSql(" WHERE doc_id % 10 = 7")))
 
+  /** Memoized bucket-CC labels (id, comp) for a doc subset: star edges
+    * (memoized under `memoKey`) then min-label propagation, memoized one
+    * level up so the keep/drop policy twins reuse the SAME component
+    * frame `dedup_components_bucket` computed instead of re-running the
+    * propagation loop per policy query.
+    */
+  private def bucketCcLabels(
+      s: SparkSession, dir: String, memoKey: String,
+      docs: => DataFrame): DataFrame =
+    memo(s, dir, memoKey + "_cc") {
+      val edges = memo(s, dir, memoKey) {
+        val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
+        Dedup.lshBucketStarEdges(
+          Dedup.minhashSignaturesPerm(sh, 32), 4, sqlBuckets = true)
+      }
+      Dedup.connectedComponents(edges)
+    }
+
   private def bucketCc(
       s: SparkSession, dir: String, memoKey: String,
-      docs: DataFrame): DataFrame = {
-    val edges = memo(s, dir, memoKey) {
-      val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
-      Dedup.lshBucketStarEdges(
-        Dedup.minhashSignaturesPerm(sh, 32), 4, sqlBuckets = true)
-    }
-    Dedup.connectedComponents(edges)
+      docs: DataFrame): DataFrame =
+    bucketCcLabels(s, dir, memoKey, docs)
       .select(col("id"), col("comp").as("component"))
       .orderBy("id")
-  }
 
   /** One min-label-propagation round as a CTE: every vertex takes the
     * min of its own label and its neighbors' labels — the exact
@@ -816,17 +828,30 @@ object DocQueries extends QueryPack {
   // bounded by the distinct-shingle frame itself. Same h, same
   // (a*h+b) % p arithmetic, same band bucket strings — values are
   // bit-identical, only the evaluation shape changes.
-  private def bucketCcSql(where: String): String = {
-    val mins = graft.dedup.Dedup.permConstants(32).zipWithIndex
+  /** The 32 per-permutation list-min expressions over the per-doc hash
+    * list `hs` (shared by every list-based MinHash oracle replay).
+    */
+  private def listMinhashMins: String =
+    graft.dedup.Dedup.permConstants(32).zipWithIndex
       .map { case ((a, b), i) =>
         s"list_min(list_transform(hs, x -> ($a * x + $b) % 2147483647)) AS m$i"
       }.mkString(",\n               ")
-    val bandSel = (0 until 4).map { b =>
-      val cols = (0 until 8).map(j => s"CAST(m${b * 8 + j} AS VARCHAR)")
-        .mkString(" || ',' || ")
-      s"SELECT id, $b AS band, $cols AS bucket FROM wide"
-    }.mkString("\n        UNION ALL ")
-    s"""
+
+  /** 4-band bucket rows (id, band, bucket) from the `wide` signature
+    * frame — bit-identical to Spark's sqlBuckets=true band strings.
+    */
+  private def listMinhashBandSel: String = (0 until 4).map { b =>
+    val cols = (0 until 8).map(j => s"CAST(m${b * 8 + j} AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"SELECT id, $b AS band, $cols AS bucket FROM wide"
+  }.mkString("\n        UNION ALL ")
+
+  /** Shared list-based MinHash banding prefix: distinct-shingle hashes ->
+    * per-doc hash lists -> 32 permutation mins in one pass -> 4 band
+    * bucket rows (`bk`). The explode-free shape is what keeps the sf100
+    * DuckDB replay inside disk (see the r13 note above ccRoundSql).
+    */
+  private def listMinhashBkSql(where: String): String = s"""
       WITH RECURSIVE sh AS (
         SELECT DISTINCT doc_id AS id,
                CAST(concat('0x', substring(md5(
@@ -840,10 +865,22 @@ object DocQueries extends QueryPack {
         FROM sh GROUP BY id),
       wide AS MATERIALIZED (
         SELECT id,
-               $mins
+               $listMinhashMins
         FROM hl),
       bk AS (
-        $bandSel),
+        $listMinhashBandSel)"""
+
+  /** Full bucket-CC oracle prefix, ending in a `comp (id, component)` CTE.
+    * The final labels are CONVERGENCE-GUARDED (ADVICE r13): the Spark
+    * side iterates to fixpoint (maxIter 25) while the oracle runs a fixed
+    * ccRounds-deep chain, so a graph with min-label eccentricity above
+    * ccRounds would leave the oracle unconverged and flag correct Spark
+    * output as a hash mismatch. The guard compares the last two rounds
+    * row-wise and raises a DuckDB error() naming the real problem instead
+    * — converged graphs pay one O(V) equi-join.
+    */
+  private def bucketCcPrefixSql(where: String): String = s"""
+      ${listMinhashBkSql(where)},
       se AS (
         SELECT DISTINCT MIN(id) OVER (PARTITION BY band, bucket) AS id_a,
                id AS id_b
@@ -853,9 +890,161 @@ object DocQueries extends QueryPack {
         SELECT id_a AS s, id_b AS d FROM edges
         UNION SELECT id_b, id_a FROM edges),
       l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS lbl FROM sym),
-      ${(1 to ccRounds).map(ccRoundSql).mkString(",")}
-      SELECT id, lbl AS component FROM l$ccRounds ORDER BY id"""
-  }
+      ${(1 to ccRounds).map(ccRoundSql).mkString(",")},
+      comp AS (
+        SELECT id,
+               CASE WHEN (SELECT COUNT(*)
+                          FROM l$ccRounds a
+                          JOIN l${ccRounds - 1} b USING (id)
+                          WHERE a.lbl <> b.lbl) > 0
+                    THEN error('bucket-CC oracle unconverged at depth $ccRounds')
+                    ELSE lbl END AS component
+        FROM l$ccRounds)"""
+
+  private def bucketCcSql(where: String): String = s"""
+      ${bucketCcPrefixSql(where)}
+      SELECT id, component FROM comp ORDER BY id"""
+
+  /** SCALE-MODE dedup DECISION (VERDICT r13 task 1): the per-doc
+    * keep/drop flags a production pipeline ships, composed over the
+    * bucket-CC component labels instead of verified pairs. The
+    * pair-chain form (`dedup_drop_list`) materializes
+    * O(duplicate-mass^2) verified pairs and disk-dies Spark-side at
+    * sf100 (measured, r13_oracle3.err); this twin's inputs are the
+    * O(corpus x bands) star edges, so the whole decision — components,
+    * longest-member argmax (n_chars desc, id tiebreak), keep flags — is
+    * linear in the corpus. Similarity bar = banding parameters (the
+    * bucket-connectivity trade documented on [[Dedup.lshBucketStarEdges]]);
+    * keep-policy tie-breaking matches `dedup_keep_best`/`dedup_drop_list`
+    * exactly. Unclustered docs are implicitly kept and don't appear.
+    */
+  val dedupDropComponents: GraftQuery = GraftQuery(
+    "dedup_drop_components",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val labels = bucketCcLabels(s, dir, "bucket_star_edges",
+        Tables(s, dir, "documents"))
+      val w = Window.partitionBy("component")
+        .orderBy(desc("n_chars"), col("id"))
+      labels.select(col("id"), col("comp").as("component"))
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+        .withColumn("keep",
+          when(row_number().over(w) === 1, 1L).otherwise(0L))
+        .select("id", "component", "n_chars", "keep")
+        .orderBy("id")
+    },
+    Some(s"""
+      ${bucketCcPrefixSql("")},
+      jd AS (SELECT c.id, c.component, d.n_chars
+             FROM comp c JOIN documents d ON d.doc_id = c.id)
+      SELECT id, component, n_chars,
+             CAST(CASE WHEN row_number() OVER (PARTITION BY component
+                    ORDER BY n_chars DESC, id) = 1
+                  THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM jd ORDER BY id"""))
+
+  /** Keep-BEST policy over the bucket-CC components — the scale-mode
+    * twin of `dedup_keep_best` (whose verified-pair chain is the same
+    * measured sf100 bound as above): one surviving row per component
+    * with the longest member (n_chars desc, id tiebreak) and the member
+    * count. Same component frame as `dedup_drop_components` (memoized),
+    * one argmax window over the clustered-doc set.
+    */
+  val dedupKeepBestComponents: GraftQuery = GraftQuery(
+    "dedup_keep_best_components",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val labels = bucketCcLabels(s, dir, "bucket_star_edges",
+        Tables(s, dir, "documents"))
+      val m = labels.select(col("id"), col("comp").as("component"))
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+      val w = Window.partitionBy("component")
+        .orderBy(desc("n_chars"), col("id"))
+      m.withColumn("rk", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .filter(col("rk") === 1)
+        .select(col("component"), col("id").as("kept_doc_id"),
+          col("n_members"), col("n_chars").as("kept_len"))
+        .orderBy("component")
+    },
+    Some(s"""
+      ${bucketCcPrefixSql("")},
+      jd AS (SELECT c.id, c.component, d.n_chars
+             FROM comp c JOIN documents d ON d.doc_id = c.id),
+      k AS (SELECT component, id, n_chars,
+                   row_number() OVER (PARTITION BY component
+                     ORDER BY n_chars DESC, id) AS rk,
+                   COUNT(*) OVER (PARTITION BY component) AS n_members
+            FROM jd)
+      SELECT component, id AS kept_doc_id, n_members, n_chars AS kept_len
+      FROM k WHERE rk = 1 ORDER BY component"""))
+
+  /** SCALE-MODE incremental ingest dedup (VERDICT r13 task 1): the daily
+    * shard (doc_id % 10 = 0) deduped against the existing corpus with NO
+    * cross pairs anywhere. Exact dups by full-text md5 semi-join (linear);
+    * near-dups by [[Dedup.lshBucketHitIds]] — the corpus's banded buckets
+    * collapse to a DISTINCT (band, bucket) index (precomputable, the
+    * structure a daily pipeline maintains incrementally) and the shard
+    * semi-joins it, so cost is O(corpus x bands) + O(shard x bands) where
+    * the verified-pair form (`incremental_dedup_shard`) is quadratic in
+    * per-bucket duplicate mass (measured sf100 disk kill,
+    * r13_oracle4.err). One summary row: shard size, exact dups, docs
+    * sharing >= 1 bucket with the corpus, their union, and the clean
+    * remainder admitted.
+    */
+  val incrementalDedupComponents: GraftQuery = GraftQuery(
+    "incremental_dedup_components",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val isNew = col("doc_id") % 10 === 0
+      val newDocs = d.filter(isNew)
+      val corpus = d.filter(!isNew)
+      val exactIds = newDocs
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+        .join(corpus.select(md5(col("text").cast("binary")).as("fp"))
+          .distinct(), Seq("fp"), "left_semi")
+        .select("doc_id")
+      val sigsNew = Dedup.minhashSignaturesPerm(
+        Dedup.shingleSet(newDocs, "doc_id", "text", 3), 32)
+      val sigsOld = Dedup.minhashSignaturesPerm(
+        Dedup.shingleSet(corpus, "doc_id", "text", 3), 32)
+      // consumed twice below (own count + union) — materialize once
+      val near = Dedup.lshBucketHitIds(sigsNew, sigsOld, 4,
+          sqlBuckets = true)
+        .withColumnRenamed("id", "doc_id")
+        .localCheckpoint()
+      val dup = exactIds.unionByName(near).distinct()
+      newDocs.agg(count(lit(1)).as("n_new"))
+        .crossJoin(exactIds.agg(count(lit(1)).as("n_exact_dup")))
+        .crossJoin(near.agg(count(lit(1)).as("n_near_bucket")))
+        .crossJoin(dup.agg(count(lit(1)).as("n_dup_docs")))
+        .select(col("n_new"), col("n_exact_dup"), col("n_near_bucket"),
+          col("n_dup_docs"),
+          (col("n_new") - col("n_dup_docs")).as("n_clean"))
+    },
+    Some(s"""
+      ${listMinhashBkSql("")},
+      cb AS MATERIALIZED (
+        SELECT DISTINCT band, bucket FROM bk WHERE id % 10 <> 0),
+      near AS MATERIALIZED (
+        SELECT DISTINCT id AS doc_id
+        FROM bk JOIN cb USING (band, bucket)
+        WHERE id % 10 = 0),
+      ex AS MATERIALIZED (
+        SELECT DISTINCT n.doc_id
+        FROM documents n
+        JOIN (SELECT DISTINCT md5(text) AS fp FROM documents
+              WHERE doc_id % 10 != 0) o ON md5(n.text) = o.fp
+        WHERE n.doc_id % 10 = 0),
+      dup AS MATERIALIZED (
+        SELECT doc_id FROM ex UNION SELECT doc_id FROM near)
+      SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0) AS n_new,
+             (SELECT COUNT(*) FROM ex) AS n_exact_dup,
+             (SELECT COUNT(*) FROM near) AS n_near_bucket,
+             (SELECT COUNT(*) FROM dup) AS n_dup_docs,
+             (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0)
+               - (SELECT COUNT(*) FROM dup) AS n_clean"""))
 
   /** Keep-BEST dedup policy over the LSH near-dup clusters: each
     * component keeps its longest member (doc id as tiebreak) instead of
@@ -1442,6 +1631,7 @@ object DocQueries extends QueryPack {
     dedupClusters,
     dedupComponentsBucket, dedupComponentsSlice, dedupComponentsSlice10,
     dedupKeepBest, dedupDropList,
+    dedupDropComponents, dedupKeepBestComponents, incrementalDedupComponents,
     packDocs, qualitySample, dedupStream, dedupWatermarkStream, trigramSearch,
     contamination, bloomPrefilter,
     incrementalDedup, spanDedup)

@@ -75,6 +75,27 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(star.count() <= full.count())
   }
 
+  test("bucket-hit ids equal the distinct new-side ids of the cross-set pair chain") {
+    // split the harness slice into a "shard" and a "corpus"; the semi-join
+    // form must flag exactly the shard docs that the verified-pair form
+    // generates ANY candidate for (bucket sharing is the candidate
+    // condition — est filtering happens after, which is the declared
+    // semantic difference of the scale mode)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+    val sh = Dedup.shingleSet(d, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSignaturesPerm(sh, 16)
+    val ns = sigs.filter(col("id") % 10 === 0)
+    val os = sigs.filter(col("id") % 10 =!= 0)
+    val hits = Dedup.lshBucketHitIds(ns, os, 4, sqlBuckets = true)
+      .collect().map(_.getLong(0)).toSet
+    val pairIds = Dedup.lshCandidatesAcross(ns, os, 4, sqlBuckets = true)
+      .select("id_a").distinct().collect().map(_.getLong(0)).toSet
+    assert(hits == pairIds)
+    assert(hits.nonEmpty)
+    assert(hits.forall(_ % 10 == 0))
+  }
+
   test("simhash: identical docs get identical fingerprints, different differ") {
     val fp = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
