@@ -147,6 +147,44 @@ object DocQueries extends QueryPack {
       JOIN sz sb ON sb.doc_id = id_b
       ORDER BY id_a"""))
 
+  /** Truth slice of `ngram_jaccard_adjacent` for sf100 value evidence
+    * (VERDICT r13 task 4): adjacency pairs each doc only with doc_id + 1,
+    * so a CONTIGUOUS id range (boundary row included — docs <= 100000,
+    * pairs id_a < 100000) is exactly the full run's rows restricted to
+    * the range; there is no cross-slice dependency to lose. The full
+    * oracle's shingle self-join was the measured 330.8 s / disk DuckDB
+    * bound at sf100; the slice replays 100k pairs (2% of the corpus) at
+    * identical semantics. At sf <= 0.1 the corpus ends below the
+    * boundary, so slice == full there.
+    */
+  val jaccardAdjacentSlice: GraftQuery = GraftQuery(
+    "ngram_jaccard_slice",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents").filter(col("doc_id") <= 100000)
+      val sh = Dedup.shingleSet(d, "doc_id", "text", 3)
+      val pairs = d.filter(col("doc_id") < 100000).select(
+        col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.jaccardForPairs(sh, pairs).orderBy("id_a")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS sh
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 2)) AS i
+              FROM documents WHERE doc_id <= 100000)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.sh = b.sh
+        WHERE a.doc_id < 100000
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      ORDER BY id_a"""))
+
   /** EXACT all-pairs Jaccard >= 0.8 near-dup pairs via prefix filtering
     * (Dedup.allPairsJaccard — candidate generation is a rare-shingle
     * equi-join, never all-pairs; see the AllPairs/PPJoin losslessness
@@ -1152,6 +1190,44 @@ object DocQueries extends QueryPack {
       SELECT lang, doc_id, nt AS n_tokens, pack
       FROM p ORDER BY lang, doc_id"""))
 
+  /** Truth slice of `pack_greedy_docs` for sf100 value evidence (VERDICT
+    * r13 task 4): greedy packing scans each lang partition sequentially
+    * in doc_id order, so a doc_id PREFIX of the corpus is EXACT — every
+    * doc's pack assignment depends only on earlier docs of its lang, all
+    * inside the prefix; the sliced rows equal the full run's rows for
+    * those docs verbatim. The full oracle's recursive CTE is one
+    * iteration per row per lang (1M deep at sf100 — the measured 1800 s
+    * budget bound); the prefix caps the recursion at 10k rows per lang
+    * at sf100 while exercising identical semantics. At sf <= 0.1 the
+    * corpus is under 50k docs, so slice == full there (the small-sf
+    * hash-parity these gates always carry).
+    */
+  val packSlice: GraftQuery = GraftQuery(
+    "pack_greedy_slice",
+    (s, dir) => graft.text.Packing.packGreedy(
+        Tables(s, dir, "documents").filter(col("doc_id") < 50000),
+        "lang", "doc_id",
+        TextOps.tokenCount(col("text")), budget = 512L)
+      .select(col("lang"), col("doc_id"), col("weight").as("n_tokens"),
+        col("pack"))
+      .orderBy("lang", "doc_id"),
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents WHERE doc_id < 50000),
+      p(lang, rn, doc_id, nt, pack, acc) AS (
+        SELECT lang, rn, doc_id, nt, CAST(0 AS BIGINT), nt
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.lang, d.rn, d.doc_id, d.nt,
+               CASE WHEN p.acc + d.nt > 512 THEN p.pack + 1 ELSE p.pack END,
+               CASE WHEN p.acc + d.nt > 512 THEN d.nt ELSE p.acc + d.nt END
+        FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
+      SELECT lang, doc_id, nt AS n_tokens, pack
+      FROM p ORDER BY lang, doc_id"""))
+
   /** Corpus downsampling, end to end: quality filter (on the r6-rounded
     * score, so the threshold compare is boundary-safe cross-engine) +
     * deterministic 50% md5-hash sample, summarized per language.
@@ -1625,14 +1701,16 @@ object DocQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] = Seq(
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
-    jaccardAdjacent, allPairsJaccard, dedupThresholdSweep, docCosine,
+    jaccardAdjacent, jaccardAdjacentSlice, allPairsJaccard,
+    dedupThresholdSweep, docCosine,
     fuzzyDedup, leakageMatrix,
     minhashLsh, lshQuality, minhashCalibration, simhashDocs, simhashPairs,
     dedupClusters,
     dedupComponentsBucket, dedupComponentsSlice, dedupComponentsSlice10,
     dedupKeepBest, dedupDropList,
     dedupDropComponents, dedupKeepBestComponents, incrementalDedupComponents,
-    packDocs, qualitySample, dedupStream, dedupWatermarkStream, trigramSearch,
+    packDocs, packSlice, qualitySample, dedupStream, dedupWatermarkStream,
+    trigramSearch,
     contamination, bloomPrefilter,
     incrementalDedup, spanDedup)
 }
