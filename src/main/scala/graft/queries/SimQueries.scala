@@ -187,6 +187,77 @@ object SimQueries extends QueryPack {
       SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4
       ORDER BY id_a, id_b"""))
 
+  /** CORPUS-SCALED near-dup variant (VERDICT r13 task 2): the fixed
+    * 4-plane/16-bucket parameterization of the family above is
+    * small-sf-shaped — at 2M vectors expected bucket occupancy is 125k
+    * and the candidate join goes quadratic (measured sf100 bound class).
+    * Here planes-per-band GROWS with the corpus:
+    * p = clamp(bitlen(ceil(n/32) - 1), 4, 20) — the smallest p with
+    * 32 * 2^p >= n — so expected occupancy stays ~32 while per-row cost
+    * grows only linearly in p. The plane POOL is a fixed seeded set of
+    * nBands x maxP vectors (band b uses the first p planes of its pool
+    * slice), so the oracle replays the exact same buckets from static
+    * DOUBLE[] literals with p derived from COUNT(*) in SQL — the
+    * integer bit-length form on both sides, no float-log2 boundary.
+    * The corpus-count action is ONE driver-side scalar (the same
+    * statistics lookup any adaptive parameterization needs); candidates
+    * are exact-cosine reranked as in the whole family. Recall floor
+    * spec-pinned in SimilaritySpec (the lockstep-update guard).
+    */
+  private val scBands = 4
+  private val scMinP = 4
+  private val scMaxP = 20
+  private val scTarget = 32L
+  private val scPool =
+    Similarity.hyperplanes(scBands * scMaxP, dim = 64, seed = 43)
+  private val scBucketSql = (0 until scBands).map { b =>
+    val terms = (0 until scMaxP).map { j =>
+      val dot = planeDotSql(scPool(b * scMaxP + j))
+      s"(CASE WHEN $j < pp.p AND $dot > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n                 + ")
+    s"SELECT vec_id, $b AS band, CAST($terms AS BIGINT) AS bucket " +
+      "FROM embeddings, pp"
+  }.mkString(" UNION ALL ")
+
+  val nearDupScaled: GraftQuery = GraftQuery(
+    "embedding_near_dup_scaled",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val p = Similarity.scaledPlaneCount(
+        emb.count(), scTarget, scMinP, scMaxP)
+      val buckets = (0 until scBands).map { b =>
+        Similarity.lshBucket(
+          col("embedding"), scPool.slice(b * scMaxP, b * scMaxP + p))
+      }
+      Similarity.nearDupFromBands(emb, "vec_id", "embedding", 0.4, buckets)
+    },
+    Some(s"""
+      WITH pp AS (
+        SELECT LEAST(GREATEST(
+                 CASE WHEN q <= 1 THEN 0
+                      ELSE length(printf('%b', q - 1)) END, $scMinP),
+               $scMaxP) AS p
+        FROM (SELECT (COUNT(*) + ${scTarget - 1}) // $scTarget AS q
+              FROM embeddings)),
+      bk AS MATERIALIZED ($scBucketSql),
+      cand AS (SELECT DISTINCT a.vec_id AS ia, b2.vec_id AS ib
+               FROM bk a JOIN bk b2
+                 ON a.band = b2.band AND a.bucket = b2.bucket
+                    AND a.vec_id < b2.vec_id),
+      v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings),
+      n AS (SELECT vec_id, SUM(x * x) AS nr FROM v GROUP BY vec_id),
+      d AS (SELECT ia, ib, SUM(va.x * vb.x) AS dot
+            FROM cand JOIN v va ON va.vec_id = ia
+                      JOIN v vb ON vb.vec_id = ib AND va.pos = vb.pos
+            GROUP BY ia, ib),
+      c AS (SELECT ia AS id_a, ib AS id_b,
+                   round(dot / (sqrt(na.nr) * sqrt(nb.nr)), 6) AS cos
+            FROM d JOIN n na ON na.vec_id = ia JOIN n nb ON nb.vec_id = ib)
+      SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4
+      ORDER BY id_a, id_b"""))
+
   /** LSH-bucketed ANN — the 100-TB path: each query scores one bucket.
     * Seeded hyperplanes replayed in the oracle as literal coefficients.
     */
@@ -861,7 +932,8 @@ object SimQueries extends QueryPack {
       ${recallSelectSql("ltop")}"""))
 
   override def queries: Seq[GraftQuery] =
-    Seq(cosineTopK, knnVote, nearDup, semanticDedup, nearDupLsh, annTopK,
+    Seq(cosineTopK, knnVote, nearDup, semanticDedup, nearDupLsh,
+      nearDupScaled, annTopK,
       annTopKSign,
       centroids, assignCentroid, randomProjection, ivfTopK, annRecall,
       annRecallPq, annRecallSign, annRecallLsh,

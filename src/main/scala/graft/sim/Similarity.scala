@@ -125,7 +125,7 @@ object Similarity {
     * exact rerank. No all-pairs crossJoin anywhere; candidate volume is
     * bounded by bucket sizes.
     */
-  private def nearDupFromBands(
+  def nearDupFromBands(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       bandBuckets: Seq[Column]): DataFrame = {
     val banded = emb.select(col(idCol),
@@ -311,6 +311,23 @@ object Similarity {
       .groupBy(idCol)
       .agg(min(struct(col("__d2").as("d2"), col("clabel").as("cl"))).as("__m"))
       .select(col(idCol), col("__m.cl").as("assigned"), col("__m.d2").as("dist2"))
+  }
+
+  /** Corpus-scaled planes-per-band: the smallest p with
+    * targetBucket * 2^p >= n, clamped to [minP, maxP] — bucket count
+    * grows exponentially with p at constant per-row cost, so expected
+    * occupancy stays ~targetBucket as the corpus scales instead of going
+    * quadratic at a fixed parameterization (the measured sf100 bound of
+    * the fixed-4-plane family). Integer-exact (bit length of the
+    * ceil-divided quotient), replayable verbatim in SQL as
+    * `length(printf('%b', q - 1))` — no float log2 boundary risk.
+    */
+  def scaledPlaneCount(
+      n: Long, targetBucket: Long, minP: Int, maxP: Int): Int = {
+    val q = (n + targetBucket - 1) / targetBucket
+    val bits =
+      if (q <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+    math.min(math.max(bits, minP), maxP)
   }
 
   /** Seeded random hyperplanes (driver-side, deterministic). */

@@ -188,6 +188,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(lsh / n >= 0.05, s"seeded-LSH mean recall@10 regressed: ${lsh / n}")
   }
 
+  test("corpus-scaled near-dup: subset of exact pairs, pair-recall floor") {
+    // The registered embedding_near_dup_scaled derives planes-per-band
+    // from the corpus count (scaledPlaneCount), so its oracle would
+    // follow a broken parameterization in lockstep — this floor anchors
+    // the blocking quality itself against the O(n^2) exact truth on the
+    // fixed sf0.001 corpus, with the registered query's parameters
+    // (4 bands, pool seed 43, target bucket 32, threshold 0.4).
+    val emb2 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb2.count()
+    val p = Similarity.scaledPlaneCount(n, 32L, 4, 20)
+    assert(p >= 4 && p <= 20)
+    val pool = Similarity.hyperplanes(4 * 20, dim = 64, seed = 43)
+    val buckets = (0 until 4).map { b =>
+      Similarity.lshBucket(
+        org.apache.spark.sql.functions.col("embedding"),
+        pool.slice(b * 20, b * 20 + p))
+    }
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scaled = pairSet(Similarity.nearDupFromBands(
+      emb2, "vec_id", "embedding", 0.4, buckets))
+    val exact = pairSet(Similarity.nearDupPairs(
+      emb2, "vec_id", "embedding", 0.4))
+    // exact rerank inside buckets => every emitted pair is a true pair
+    assert(scaled.subsetOf(exact))
+    assert(exact.nonEmpty)
+    val recall = scaled.size.toDouble / exact.size
+    info(s"scaled near-dup pair recall at sf0.001: $recall " +
+      s"(${scaled.size}/${exact.size}, p=$p)")
+    assert(recall >= 0.30, s"scaled near-dup pair recall regressed: $recall")
+  }
+
   test("PQ: codes cover every (id, sub); ADC ranks the exact duplicate first") {
     // 8 seed vectors (ids 0-7) in 4 dims, m=2 subspaces of 2 dims; vec 8
     // duplicates vec 0, vec 9 is far from everything.
