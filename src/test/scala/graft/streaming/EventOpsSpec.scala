@@ -156,6 +156,97 @@ class EventOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Map(("10", "click") -> 2L, ("12", "view") -> 1L))
   }
 
+  test("stream-stream interval join under late arrival: strict subset of batch") {
+    // Pins the r13 sf100 divergence SEMANTICS (6,720 of 168,000 pairs —
+    // a strict subset) as a deterministic contract: an error arriving
+    // behind the watermark is dropped by the stateful join, so a
+    // bounded-trigger run over out-of-order input yields a SUBSET of the
+    // batch interval join — never extra rows. A watermark-delay or
+    // late-row-filter regression would flip this loudly.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val errors = MemoryStream[(Long, java.sql.Timestamp)]
+    val joinCond = expr("""c_user = e_user
+      AND click_ts >= err_ts - INTERVAL 1800 SECONDS
+      AND click_ts <= err_ts""")
+    val joined = clicks.toDF().toDF("c_user", "click_ts")
+      .withWatermark("click_ts", "1 hour")
+      .join(errors.toDF().toDF("e_user", "err_ts")
+        .withWatermark("err_ts", "1 hour"), joinCond)
+    val sq = joined.writeStream.format("memory").queryName("ij_late")
+      .outputMode("append").start()
+    val allClicks = Seq(
+      (7L, ts("2026-01-01 10:00:00")), (7L, ts("2026-01-01 13:00:00")))
+    // user 99 never clicks — its 13:00 error only advances the error
+    // side's event-time max (the GLOBAL watermark is the MIN across all
+    // watermarked inputs, so both sides must move for it to advance)
+    val batch1Errors = Seq(
+      (7L, ts("2026-01-01 10:10:00")), (99L, ts("2026-01-01 13:00:00")))
+    val lateError = (7L, ts("2026-01-01 10:20:00"))
+    try {
+      // batch 1: click 10:00 + error 10:10 pair up; both sides reach
+      // 13:00 -> global watermark 12:00
+      clicks.addData(allClicks: _*)
+      errors.addData(batch1Errors: _*)
+      sq.processAllAvailable()
+      // batch 2: error 10:20 would pair with the 10:00 click in batch
+      // semantics, but arrives 100 min behind the watermark -> dropped
+      errors.addData(lateError)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("c_user", "click_ts", "err_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    val streamed = pairs(spark.table("ij_late"))
+    val batch = pairs(
+      allClicks.toDF("c_user", "click_ts").join(
+        (batch1Errors :+ lateError).toDF("e_user", "err_ts"), joinCond))
+    assert(streamed.subsetOf(batch), "late arrival must never ADD pairs")
+    assert(streamed.size == 1 && batch.size == 2,
+      s"late error must be dropped: streamed=$streamed batch=$batch")
+  }
+
+  test("dropDuplicatesWithinWatermark re-admits a key past the horizon") {
+    // Pins the r13 finding that dedup-within-watermark's divergence is
+    // CONTRACTUAL (horizon-bounded state re-admits keys after expiry,
+    // in BOTH arrival orders), not an ordering artifact: a key's state
+    // lives until the watermark passes eventTime + delay, after which
+    // the same key is emitted AGAIN — unlike global dropDuplicates.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val sq = in.toDF().toDF("k", "event_ts")
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream.format("memory").queryName("ddw_readmit")
+      .outputMode("append").start()
+    try {
+      // batch 1: k=1 admitted at 10:00; its 10:30 duplicate is inside
+      // the horizon -> dropped. Watermark after batch: 09:30.
+      in.addData((1L, ts("2026-01-01 10:00:00")), (1L, ts("2026-01-01 10:30:00")))
+      sq.processAllAvailable()
+      // batch 2: k=2 at 14:00 advances the watermark to 13:00 — past
+      // k=1's expiry (10:00 + 1 h), so its dedup state is evicted
+      in.addData((2L, ts("2026-01-01 14:00:00")))
+      sq.processAllAvailable()
+      // batch 3: k=1 again at 14:30 — NOT late (>= watermark), state
+      // gone -> re-admitted, emitted a second time
+      in.addData((1L, ts("2026-01-01 14:30:00")))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val emitted = spark.table("ddw_readmit").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    assert(emitted == Set(
+      (1L, "2026-01-01 10:00:00.0"),
+      (2L, "2026-01-01 14:00:00.0"),
+      (1L, "2026-01-01 14:30:00.0")),
+      s"horizon-bounded dedup contract changed: $emitted")
+  }
+
   test("structured streaming sliding window matches the batch result") {
     val sfDir = "/root/testdata/sf0.001"
     def key(df: org.apache.spark.sql.DataFrame) =
