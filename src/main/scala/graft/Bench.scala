@@ -148,8 +148,17 @@ object Bench {
     // load canary surfaced top-level: divide any cross-round query diff by
     // the calibration ratio before calling it a plan regression
     val cal = results.collectFirst { case ("calibration_cpu", v) => v }
+    // Calibration-NORMALIZED total (VERDICT r13 task 7): the canary
+    // drifted 0.057 -> 0.142 across five rounds, so raw cross-round
+    // totals mostly measure the box. total_adjusted rescales to a fixed
+    // reference canary cost (0.064 s — the r8 box the round-over-round
+    // table was anchored on), making round totals directly comparable;
+    // the constant is recorded in the line so a re-anchor is explicit.
+    val calRef = 0.064
     def calStr(fmt: Double => String) =
-      cal.map(v => s""","calibration":${fmt(v)}""").getOrElse("")
+      cal.map(v =>
+        s""","calibration":${fmt(v)},"calibration_ref":$calRef""" +
+          s""","total_adjusted":${fmt(total * calRef / v)}""").getOrElse("")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec"${calStr(_.toString)},"queries":$qs,"sf":"$sfDir"}"""
     // The harness keeps only the last ~2000 chars of stdout and sbt's
