@@ -47,6 +47,7 @@ SF100_LOGS = [
     ("r13_oracle3.out", "budget", "r13"),
     ("r13_oracle4.out", "budget", "r13"),
     ("r13_oracle5.out", "budget", "r13"),
+    ("r14_oracle.out", "budget", "r14"),
     # NOTE: r13_stream_trigger.out (bounded-trigger knob-ON parity) is
     # deliberately NOT a ledger source — it measures trigger-split
     # semantics for the watermarked streams, not the registered
@@ -109,7 +110,9 @@ def main():
     # Registry = the CURRENT oracle_sql dump when present (includes
     # queries registered after the last driver correctness run);
     # no-oracle queries stay the CORRECTNESS-declared rows-only set.
-    cur = f"{SCALE}/verify_r13_sf100/oracle_sql.json"
+    cur = f"{SCALE}/verify_r14_sf100/oracle_sql.json"
+    if not os.path.exists(cur):
+        cur = f"{SCALE}/verify_r13_sf100/oracle_sql.json"
     if os.path.exists(cur):
         all_queries = sorted(set(corr) | set(json.load(open(cur))))
     else:
