@@ -1018,6 +1018,75 @@ object DocQueries extends QueryPack {
       SELECT component, id AS kept_doc_id, n_members, n_chars AS kept_len
       FROM k WHERE rk = 1 ORDER BY component"""))
 
+  /** 10% truth slice of `dedup_drop_components` for sf100 VALUE
+    * evidence: the full-corpus replay is a measured DuckDB disk bound
+    * (r14: temp exhausted at 261 s — the 16 materialized 5M-row
+    * propagation CTEs, same class as `dedup_components_bucket`'s bound;
+    * the SPARK side completes, 4,999,899 decision rows). Same
+    * induced-subgraph semantics argument as `dedup_components_slice10`
+    * (both engines run the identical sliced corpus); the policy layer —
+    * argmax window + keep flags — is exercised verbatim. Shares the
+    * memoized slice CC chain with `dedup_components_slice10`.
+    */
+  val dedupDropComponentsSlice: GraftQuery = GraftQuery(
+    "dedup_drop_components_slice10",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 7)
+      val labels = bucketCcLabels(s, dir, "bucket_star_edges_slice10",
+        Tables(s, dir, "documents").filter(col("doc_id") % 10 === 7))
+      val w = Window.partitionBy("component")
+        .orderBy(desc("n_chars"), col("id"))
+      labels.select(col("id"), col("comp").as("component"))
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+        .withColumn("keep",
+          when(row_number().over(w) === 1, 1L).otherwise(0L))
+        .select("id", "component", "n_chars", "keep")
+        .orderBy("id")
+    },
+    Some(s"""
+      ${bucketCcPrefixSql(" WHERE doc_id % 10 = 7")},
+      jd AS (SELECT c.id, c.component, d.n_chars
+             FROM comp c JOIN documents d ON d.doc_id = c.id)
+      SELECT id, component, n_chars,
+             CAST(CASE WHEN row_number() OVER (PARTITION BY component
+                    ORDER BY n_chars DESC, id) = 1
+                  THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM jd ORDER BY id"""))
+
+  /** 10% truth slice of `dedup_keep_best_components` — same bound story
+    * and induced-subgraph semantics as the drop-list slice above; one
+    * winner row per sliced component.
+    */
+  val dedupKeepBestComponentsSlice: GraftQuery = GraftQuery(
+    "dedup_keep_best_components_slice10",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 7)
+      val labels = bucketCcLabels(s, dir, "bucket_star_edges_slice10",
+        Tables(s, dir, "documents").filter(col("doc_id") % 10 === 7))
+      val m = labels.select(col("id"), col("comp").as("component"))
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+      val w = Window.partitionBy("component")
+        .orderBy(desc("n_chars"), col("id"))
+      m.withColumn("rk", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .filter(col("rk") === 1)
+        .select(col("component"), col("id").as("kept_doc_id"),
+          col("n_members"), col("n_chars").as("kept_len"))
+        .orderBy("component")
+    },
+    Some(s"""
+      ${bucketCcPrefixSql(" WHERE doc_id % 10 = 7")},
+      jd AS (SELECT c.id, c.component, d.n_chars
+             FROM comp c JOIN documents d ON d.doc_id = c.id),
+      k AS (SELECT component, id, n_chars,
+                   row_number() OVER (PARTITION BY component
+                     ORDER BY n_chars DESC, id) AS rk,
+                   COUNT(*) OVER (PARTITION BY component) AS n_members
+            FROM jd)
+      SELECT component, id AS kept_doc_id, n_members, n_chars AS kept_len
+      FROM k WHERE rk = 1 ORDER BY component"""))
+
   /** SCALE-MODE incremental ingest dedup (VERDICT r13 task 1): the daily
     * shard (doc_id % 10 = 0) deduped against the existing corpus with NO
     * cross pairs anywhere. Exact dups by full-text md5 semi-join (linear);
@@ -1709,6 +1778,7 @@ object DocQueries extends QueryPack {
     dedupComponentsBucket, dedupComponentsSlice, dedupComponentsSlice10,
     dedupKeepBest, dedupDropList,
     dedupDropComponents, dedupKeepBestComponents, incrementalDedupComponents,
+    dedupDropComponentsSlice, dedupKeepBestComponentsSlice,
     packDocs, packSlice, qualitySample, dedupStream, dedupWatermarkStream,
     trigramSearch,
     contamination, bloomPrefilter,
