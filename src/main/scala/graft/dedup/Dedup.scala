@@ -345,7 +345,7 @@ object Dedup {
     * engine feeds it; the join+min primitives are the same if a
     * deep-graph variant is ever needed.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 40): DataFrame = {
     // Materialize the (possibly expensive) upstream edge pipeline ONCE —
     // an eager localCheckpoint truncates lineage so every iteration reads
     // stored blocks instead of re-deriving (or first-action-priming) it.

@@ -854,8 +854,12 @@ object DocQueries extends QueryPack {
 
   // final + literal => compile-time constant, immune to object-val
   // initialization order (the query vals above evaluate bucketCcSql
-  // during construction, before later plain vals are assigned)
-  private final val ccRounds = 16
+  // during construction, before later plain vals are assigned).
+  // 20 rounds: the r14 guard measured the sf100 slice10 graph converging
+  // at EXACTLY depth 16 (the r13 value was tight, not comfortable), so
+  // the output depth gets headroom; the guard below proves the fixpoint
+  // with one extra idempotent round either way.
+  private final val ccRounds = 20
 
   // The CC oracles replay the 32-permutation MinHash the way the Spark
   // side computes it — 32 min-expressions in ONE pass over a per-doc
@@ -910,12 +914,18 @@ object DocQueries extends QueryPack {
 
   /** Full bucket-CC oracle prefix, ending in a `comp (id, component)` CTE.
     * The final labels are CONVERGENCE-GUARDED (ADVICE r13): the Spark
-    * side iterates to fixpoint (maxIter 25) while the oracle runs a fixed
+    * side iterates to fixpoint while the oracle runs a fixed
     * ccRounds-deep chain, so a graph with min-label eccentricity above
     * ccRounds would leave the oracle unconverged and flag correct Spark
-    * output as a hash mismatch. The guard compares the last two rounds
-    * row-wise and raises a DuckDB error() naming the real problem instead
-    * — converged graphs pay one O(V) equi-join.
+    * output as a hash mismatch. The guard runs ONE EXTRA propagation
+    * round and requires it to be idempotent (l_{k+1} == l_k row-wise) —
+    * "no change in the round AFTER the output" is exactly "the output is
+    * the fixpoint", whereas comparing the last two OUTPUT rounds
+    * misfires when convergence lands exactly on the final round (the r14
+    * sf100 slice10 graph converges at exactly depth 16 — the first
+    * guard draft errored on a hash-green case). Unconverged graphs raise
+    * a DuckDB error() naming the real problem; converged ones pay one
+    * O(edges) round + one O(V) equi-join.
     */
   private def bucketCcPrefixSql(where: String): String = s"""
       ${listMinhashBkSql(where)},
@@ -928,12 +938,12 @@ object DocQueries extends QueryPack {
         SELECT id_a AS s, id_b AS d FROM edges
         UNION SELECT id_b, id_a FROM edges),
       l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS lbl FROM sym),
-      ${(1 to ccRounds).map(ccRoundSql).mkString(",")},
+      ${(1 to ccRounds + 1).map(ccRoundSql).mkString(",")},
       comp AS (
         SELECT id,
                CASE WHEN (SELECT COUNT(*)
-                          FROM l$ccRounds a
-                          JOIN l${ccRounds - 1} b USING (id)
+                          FROM l${ccRounds + 1} a
+                          JOIN l$ccRounds b USING (id)
                           WHERE a.lbl <> b.lbl) > 0
                     THEN error('bucket-CC oracle unconverged at depth $ccRounds')
                     ELSE lbl END AS component

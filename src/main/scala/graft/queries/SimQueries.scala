@@ -210,43 +210,31 @@ object SimQueries extends QueryPack {
   private val scTarget = 32L
   private val scPool =
     Similarity.hyperplanes(scBands * scMaxP, dim = 64, seed = 43)
-  private val scBucketSql = (0 until scBands).map { b =>
+  private def scBucketSql(where: String) = (0 until scBands).map { b =>
     val terms = (0 until scMaxP).map { j =>
       val dot = planeDotSql(scPool(b * scMaxP + j))
       s"(CASE WHEN $j < pp.p AND $dot > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("\n                 + ")
     s"SELECT vec_id, $b AS band, CAST($terms AS BIGINT) AS bucket " +
-      "FROM embeddings, pp"
+      s"FROM embeddings, pp$where"
   }.mkString(" UNION ALL ")
 
-  val nearDupScaled: GraftQuery = GraftQuery(
-    "embedding_near_dup_scaled",
-    (s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      val p = Similarity.scaledPlaneCount(
-        emb.count(), scTarget, scMinP, scMaxP)
-      val buckets = (0 until scBands).map { b =>
-        Similarity.lshBucket(
-          col("embedding"), scPool.slice(b * scMaxP, b * scMaxP + p))
-      }
-      Similarity.nearDupFromBands(emb, "vec_id", "embedding", 0.4, buckets)
-    },
-    Some(s"""
+  private def scNearDupSql(where: String): String = s"""
       WITH pp AS (
         SELECT LEAST(GREATEST(
                  CASE WHEN q <= 1 THEN 0
                       ELSE length(printf('%b', q - 1)) END, $scMinP),
                $scMaxP) AS p
         FROM (SELECT (COUNT(*) + ${scTarget - 1}) // $scTarget AS q
-              FROM embeddings)),
-      bk AS MATERIALIZED ($scBucketSql),
+              FROM embeddings$where)),
+      bk AS MATERIALIZED (${scBucketSql(where)}),
       cand AS (SELECT DISTINCT a.vec_id AS ia, b2.vec_id AS ib
                FROM bk a JOIN bk b2
                  ON a.band = b2.band AND a.bucket = b2.bucket
                     AND a.vec_id < b2.vec_id),
       v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS x
-            FROM embeddings),
+            FROM embeddings$where),
       n AS (SELECT vec_id, SUM(x * x) AS nr FROM v GROUP BY vec_id),
       d AS (SELECT ia, ib, SUM(va.x * vb.x) AS dot
             FROM cand JOIN v va ON va.vec_id = ia
@@ -256,7 +244,44 @@ object SimQueries extends QueryPack {
                    round(dot / (sqrt(na.nr) * sqrt(nb.nr)), 6) AS cos
             FROM d JOIN n na ON na.vec_id = ia JOIN n nb ON nb.vec_id = ib)
       SELECT id_a, id_b, cos FROM c WHERE cos >= 0.4
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b"""
+
+  /** The scaled near-dup operator on any embedding subset: p from the
+    * SUBSET's count (induced semantics, mirrored by the oracle's
+    * COUNT(*) over the same filter), buckets from the static pool.
+    */
+  private def scNearDupRun(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = Similarity.scaledPlaneCount(emb.count(), scTarget, scMinP, scMaxP)
+    val buckets = (0 until scBands).map { b =>
+      Similarity.lshBucket(
+        col("embedding"), scPool.slice(b * scMaxP, b * scMaxP + p))
+    }
+    Similarity.nearDupFromBands(emb, "vec_id", "embedding", 0.4, buckets)
+  }
+
+  val nearDupScaled: GraftQuery = GraftQuery(
+    "embedding_near_dup_scaled",
+    (s, dir) => scNearDupRun(Tables(s, dir, "embeddings")),
+    Some(scNearDupSql("")))
+
+  /** 1% induced-subgraph slice of the scaled near-dup for sf100 VALUE
+    * evidence: the full-corpus replay is a measured DuckDB disk bound
+    * (487.4 s, `r14_oracle.out`) because the OUTPUT itself is ~200M
+    * pairs — this corpus replicates every vector ~100x and all those
+    * copies pass the exact cos >= 0.4 rerank, so the pair mass is
+    * quadratic in duplicate count by the operator's own contract (the
+    * Spark side completes; the parameterization fix removed only the
+    * accidental bucket-occupancy quadratic). The slice keeps 20k of the
+    * 2M sf100 vectors; p derives from the SLICED count in both engines,
+    * so the whole adaptive pipeline — count, plane selection, banding,
+    * rerank — replays value-level at sf100 data characteristics.
+    */
+  val nearDupScaledSlice: GraftQuery = GraftQuery(
+    "embedding_near_dup_scaled_slice",
+    (s, dir) => scNearDupRun(
+      Tables(s, dir, "embeddings").filter(col("vec_id") % 100 === 7)),
+    Some(scNearDupSql(" WHERE vec_id % 100 = 7")))
 
   /** LSH-bucketed ANN — the 100-TB path: each query scores one bucket.
     * Seeded hyperplanes replayed in the oracle as literal coefficients.
@@ -933,7 +958,7 @@ object SimQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] =
     Seq(cosineTopK, knnVote, nearDup, semanticDedup, nearDupLsh,
-      nearDupScaled, annTopK,
+      nearDupScaled, nearDupScaledSlice, annTopK,
       annTopKSign,
       centroids, assignCentroid, randomProjection, ivfTopK, annRecall,
       annRecallPq, annRecallSign, annRecallLsh,
