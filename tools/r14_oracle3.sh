@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-14 sf100 stage 3: slice value evidence under the FIXED
+# convergence guard (idempotent extra round; ccRounds 20) — the stage-2
+# replays errored because the first guard draft compared the last two
+# output rounds and the slice graph converges at exactly depth 16.
+# Re-proves dedup_components_slice10 under the new 20-round oracle and
+# adds the embedding scaled-near-dup 1% slice.
+set -u
+cd /root/repo
+. tools/scratch_guard.sh
+jar cf /tmp/graft-classes.jar -C target/scala-2.13/classes .
+JAR=/tmp/graft-classes.jar
+SF=target/scale/sf100
+OUT=target/scale/verify_r14_sf100
+LOG=target/scale/r14_oracle3.out
+ERR=target/scale/r14_oracle3.err
+
+: > "$LOG"; : > "$ERR"
+QS=dedup_components_slice10,dedup_drop_components_slice10,dedup_keep_best_components_slice10,embedding_near_dup_scaled_slice
+scratch_guard 30 >> "$LOG" 2>&1 || { echo R14_ABORT_DISK >> "$LOG"; exit 1; }
+env SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$QS" \
+  SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
+/opt/spark/bin/spark-submit --master local[32] --driver-memory 96g \
+  --conf spark.local.dir=/root/repo/target/spark-tmp \
+  --class graft.Verify "$JAR" "$SF" "$OUT" 2>>"$ERR"
+for q in ${QS//,/ }; do
+  python3 tools/oracle_budget.py "$SF" "$OUT" 1800 "$q" >> "$LOG" 2>&1
+  rm -rf target/spark-tmp/duck
+done
+echo R14_STAGE3_DONE >> "$LOG"
+echo R14_STAGE3_DONE

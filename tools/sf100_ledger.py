@@ -49,6 +49,8 @@ SF100_LOGS = [
     ("r13_oracle5.out", "budget", "r13"),
     ("r14_oracle.out", "budget", "r14"),
     ("r14_oracle2.out", "budget", "r14"),
+    ("r14_oracle3.out", "budget", "r14"),
+    ("r14_oracle4.out", "budget", "r14"),
     # NOTE: r13_stream_trigger.out (bounded-trigger knob-ON parity) is
     # deliberately NOT a ledger source — it measures trigger-split
     # semantics for the watermarked streams, not the registered
