@@ -27,7 +27,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "dedup_distinct_stream", "cms_heavy_hitters_stream", "dedup_clusters_lsh",
     "funnel_stream", "events_dau_stream", "events_enriched_stream",
     "hll_users_stream", "latest_status_stream",
-    "dedup_within_watermark_stream")
+    "dedup_within_watermark_stream", "interval_join_ordered_stream")
 
   /** Queries that intentionally attach a bounded tiny broadcast side via
     * crossJoin — a <=1-row aggregate (share-of-total denominators, a
@@ -44,7 +44,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "macro_f1_synth", "weighted_prf_synth", "entropy_gini_returnflag",
     "priority_abs_deviation", "quality_sample_docs", "lm_score_docs",
     "hist_quantile_totalprice", "bloom_contamination_prefilter",
-    "incremental_dedup_shard", "mixing_plan_langs",
+    "incremental_dedup_shard", "incremental_dedup_components",
+    // inherit the near-dup family's bounded attaches (scaled planes)
+    "embedding_near_dup_scaled", "embedding_near_dup_scaled_slice",
+    "mixing_plan_langs",
     "mixing_temperature_langs",
     "embedding_assign_centroid", "lm_ppl_holdout", "pmi_collocations",
     "class_balance_downsample", "schema_drift_report", "join_size_profile",
