@@ -283,6 +283,54 @@ object SimQueries extends QueryPack {
       Tables(s, dir, "embeddings").filter(col("vec_id") % 100 === 7)),
     Some(scNearDupSql(" WHERE vec_id % 100 = 7")))
 
+  /** SemDeDup DECISION over the corpus-scaled buckets — the linear-output
+    * twin of `semantic_dedup_keep` the way `dedup_drop_components` twins
+    * `dedup_drop_list`: drop every vector with a LOWER-id near-dup among
+    * its scaled-LSH candidates, keep the rest. The candidate/rerank work
+    * is the scaled family's (bucket occupancy ~32 at any corpus); the
+    * OUTPUT is the kept-vector list — linear in the corpus, unlike the
+    * pair queries whose result itself is quadratic in duplicate mass.
+    * This is the production shape: a pipeline ships the keep-list, not
+    * the pairs.
+    */
+  private def scSemanticKeepRun(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val drop = scNearDupRun(emb).select(col("id_b").as("vec_id")).distinct()
+    emb.join(drop, Seq("vec_id"), "left_anti")
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
+
+  private def scSemanticKeepSql(where: String): String = {
+    // the scaled near-dup CTE chain, with the final pair select swapped
+    // for the min-id-wins drop + anti-join
+    val base = scNearDupSql(where)
+    val cut = base.lastIndexOf("SELECT id_a, id_b, cos FROM c")
+    // base ends "...)\n      SELECT id_a, ..." — splice a further CTE in
+    base.substring(0, cut).trim.stripSuffix(")") + s"""),
+      dropped AS (
+        SELECT DISTINCT id_b AS vec_id FROM c WHERE cos >= 0.4)
+      SELECT e.vec_id, e.label
+      FROM (SELECT vec_id, label FROM embeddings$where) e
+      ANTI JOIN dropped USING (vec_id)
+      ORDER BY e.vec_id"""
+  }
+
+  val semanticDedupScaled: GraftQuery = GraftQuery(
+    "semantic_dedup_scaled",
+    (s, dir) => scSemanticKeepRun(Tables(s, dir, "embeddings")),
+    Some(scSemanticKeepSql("")))
+
+  /** 1% induced-subgraph slice of the scaled SemDeDup decision — the
+    * sf100 value gate (the full oracle pays the same 200M-candidate
+    * rerank as the pair query's measured disk bound).
+    */
+  val semanticDedupScaledSlice: GraftQuery = GraftQuery(
+    "semantic_dedup_scaled_slice",
+    (s, dir) => scSemanticKeepRun(
+      Tables(s, dir, "embeddings").filter(col("vec_id") % 100 === 7)),
+    Some(scSemanticKeepSql(" WHERE vec_id % 100 = 7")))
+
   /** LSH-bucketed ANN — the 100-TB path: each query scores one bucket.
     * Seeded hyperplanes replayed in the oracle as literal coefficients.
     */
@@ -958,7 +1006,8 @@ object SimQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] =
     Seq(cosineTopK, knnVote, nearDup, semanticDedup, nearDupLsh,
-      nearDupScaled, nearDupScaledSlice, annTopK,
+      nearDupScaled, nearDupScaledSlice, semanticDedupScaled,
+      semanticDedupScaledSlice, annTopK,
       annTopKSign,
       centroids, assignCentroid, randomProjection, ivfTopK, annRecall,
       annRecallPq, annRecallSign, annRecallLsh,

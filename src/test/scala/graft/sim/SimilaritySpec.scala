@@ -188,6 +188,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(lsh / n >= 0.05, s"seeded-LSH mean recall@10 regressed: ${lsh / n}")
   }
 
+  test("scaledPlaneCount: integer boundaries and clamps") {
+    def p(n: Long) = Similarity.scaledPlaneCount(n, 32L, 4, 20)
+    // smallest p with 32 * 2^p >= n, clamped to [4, 20]
+    assert(p(0) == 4 && p(1) == 4 && p(32) == 4) // q <= 1 -> 0 -> clamp
+    assert(p(512) == 4)     // 32 * 2^4 = 512, exactly covered at the min
+    assert(p(513) == 5)     // one past the boundary needs the next bit
+    assert(p(1024) == 5 && p(1025) == 6)
+    assert(p(2000000) == 16)       // the sf100 corpus
+    assert(p(Long.MaxValue / 2) == 20) // max clamp
+    // contract: 32 * 2^p >= n whenever unclamped
+    for (n <- Seq(33L, 100L, 5000L, 123457L, 2000000L)) {
+      val k = p(n)
+      assert(k == 20 || 32L * (1L << k) >= n, s"n=$n p=$k")
+      assert(k == 4 || 32L * (1L << (k - 1)) < n, s"n=$n p=$k not minimal")
+    }
+  }
+
   test("corpus-scaled near-dup: subset of exact pairs, pair-recall floor") {
     // The registered embedding_near_dup_scaled derives planes-per-band
     // from the corpus count (scaledPlaneCount), so its oracle would
