@@ -51,6 +51,7 @@ SF100_LOGS = [
     ("r14_oracle2.out", "budget", "r14"),
     ("r14_oracle3.out", "budget", "r14"),
     ("r14_oracle4.out", "budget", "r14"),
+    ("r14_oracle5.out", "budget", "r14"),
     # NOTE: r13_stream_trigger.out (bounded-trigger knob-ON parity) is
     # deliberately NOT a ledger source — it measures trigger-split
     # semantics for the watermarked streams, not the registered
