@@ -23,12 +23,28 @@ object PipelineQueries extends QueryPack {
       import spark.implicits._
       val train = HouseSynth.labeled(s, 2000, seed = 11)
       val test = HouseSynth.synth(s, 800, idBase = 200000, seed = 12)
-      val r = HousePipeline.run(train, test,
-        HousePipeline.Config(tree = graft.tree.TreeParams(
-          maxDepth = 4, minSamplesSplit = 20, minSamplesLeaf = 10,
-          criterion = "entropy")))
-      val hist = r.submission.groupBy("label").agg(count(lit(1)).as("n"))
-        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      // The gate frame is 2000 rows but the pipeline is ~20 actions
+      // (encoder/binner fits, per-level tree jobs, metrics); at the
+      // session's core-count shuffle partitioning each of those actions
+      // schedules 32 reducers for a few KB of data, and AQE's
+      // parallelismFirst mode deliberately keeps partition count at
+      // defaultParallelism rather than the advisory size. Size the
+      // shuffle to the DATA for the gate's scope (same move as
+      // cv_random_search's coalesce(8)): measured 20.6 -> ~14 s on the
+      // r14 box. Values are partition-independent (hash split, exact
+      // quantiles, deterministic tree), so the gate output is unchanged.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val (r, hist) =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val res = HousePipeline.run(train, test,
+            HousePipeline.Config(tree = graft.tree.TreeParams(
+              maxDepth = 4, minSamplesSplit = 20, minSamplesLeaf = 10,
+              criterion = "entropy")))
+          val h = res.submission.groupBy("label").agg(count(lit(1)).as("n"))
+            .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+          (res, h)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       Seq((
         Q.r6Double(r.valAccuracy), Q.r6Double(r.valMacroF1),
         hist.getOrElse(0L, 0L), hist.getOrElse(1L, 0L),
