@@ -950,11 +950,79 @@ object TextExtraQueries extends QueryPack {
              CAST(SUM(contrib_micro) OVER () AS BIGINT) AS jsd_micro
       FROM m ORDER BY contrib_micro DESC, tok LIMIT 15"""))
 
+  /** Distributed BPE merge training (8 greedy rounds over the weighted
+    * word-frequency table — see [[graft.text.Bpe]] for the 100-TB design:
+    * one corpus-scale word count, then every round runs on the
+    * Heaps-law-bounded vocab frame). The output is the trained merge
+    * table itself, so the gate pins pair counting, the lexicographic
+    * tie-broken argmax, AND the leftmost-first greedy application
+    * (sentinel-space `replace`) across all 8 rounds — a wrong merge in
+    * round k derails every later round's counts. Oracle: fixed-depth
+    * unrolled CTE blocks ([[graft.text.Bpe.trainSql]]), the `ccRoundSql`
+    * pattern.
+    */
+  val bpeMergeTrain: GraftQuery = GraftQuery(
+    "bpe_merge_train",
+    (s, dir) => graft.text.Bpe.train(
+      s, Tables(s, dir, "documents"), col("text"), rounds = 8),
+    Some(graft.text.Bpe.trainSql(8)))
+
+  /** Corpus novelty profile: per (lang, source), the share of distinct
+    * word-trigrams whose FIRST corpus occurrence (min doc_id) is in that
+    * document — the standard freshness diagnostic for incremental dumps
+    * (a re-crawled source scores near 0, novel text near 1). Linear
+    * shape, same class as the shingle family: one distinct
+    * (doc_id, gram) explode, a map-side-combinable min(doc_id) per gram,
+    * and a join back on the gram key it is already partitioned by; the
+    * output is the bounded (lang, source) grid. Ratio-of-sums over exact
+    * Longs, one final rounded division.
+    */
+  val gramNovelty: GraftQuery = GraftQuery(
+    "gram_novelty_sources",
+    (s, dir) => {
+      val perDoc = graft.text.TextOps.gramNovelty(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"))
+      perDoc.groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("total").as("total_grams"),
+          sum("novel").as("novel_grams"),
+          Q.r6(sum("novel") * 1.0 / sum("total")).as("novelty_ratio"))
+        .orderBy("lang", "source")
+    },
+    Some("""
+      WITH g AS MATERIALIZED (
+        SELECT DISTINCT doc_id, lang, source,
+               arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS gram
+        FROM (SELECT doc_id, lang, source, arr,
+                     unnest(range(1, len(arr) - 1)) AS i
+              FROM (SELECT doc_id, lang, source,
+                           string_split(text, ' ') AS arr
+                    FROM documents)
+              WHERE len(arr) >= 3)),
+      first AS MATERIALIZED (
+        SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+      perdoc AS MATERIALIZED (
+        SELECT g.doc_id, g.lang, g.source,
+               CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN f.first_doc = g.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS novel
+        FROM g JOIN first f USING (gram)
+        GROUP BY g.doc_id, g.lang, g.source)
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(total) AS BIGINT) AS total_grams,
+             CAST(SUM(novel) AS BIGINT) AS novel_grams,
+             round(SUM(novel) * 1.0 / SUM(total), 6) AS novelty_ratio
+      FROM perdoc GROUP BY lang, source ORDER BY lang, source"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(wordCount, cmsHeavyHitters, cmsStream, cmsMerge, distinctEstimate,
       hllDistinct, hllDistinctSlice,
       gopherRules, gopherRulesSlice,
       describeStrings, monthly, chunkDocs, tfidfTop, topBigrams,
       repetitionScores, qualityGate, repetitionStream, lmScore,
-      lmPplHoldout, vocabOov, pmiCollocations, boilerplate, jsdUnigrams)
+      lmPplHoldout, vocabOov, pmiCollocations, boilerplate, jsdUnigrams,
+      bpeMergeTrain, gramNovelty)
 }

@@ -1,0 +1,134 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding MERGE TRAINING (Sennrich et al. 2016) —
+  * the tokenizer-fit step of an LLM data pipeline, expressed in the
+  * classic two-tier shape that makes BPE tractable at 100 TB:
+  *
+  *   1. ONE corpus-scale job builds the weighted word-frequency table
+  *      (`explode` + `groupBy` — map-side combinable, shuffle keyed on
+  *      the word). By Heaps' law the distinct-word frame is orders of
+  *      magnitude smaller than the corpus, and it is the ONLY thing the
+  *      merge loop ever touches again.
+  *   2. Each merge round runs entirely on that persisted vocab frame:
+  *      adjacent-pair counts weighted by word frequency (an array
+  *      transform + one small groupBy — no window, no corpus rescan),
+  *      a 1-row argmax collect (model-sized, same bounded-driver-state
+  *      pattern as the tree trainer's frontier stats), and a literal
+  *      `replace` of the winning pair in every word's token string.
+  *
+  * Token sequences are carried as single strings with sentinel spaces
+  * (`" s c a n "`), so applying a merge is one non-overlapping
+  * left-to-right `replace(" l r ", " lr ")` — exactly BPE's
+  * leftmost-first greedy application (on `" a a a "` the pair `(a,a)`
+  * merges once into `" aa a "`, because the second occurrence overlaps
+  * the consumed separator). Both Spark's and DuckDB's `replace` scan
+  * left-to-right without re-examining replaced output, so the oracle
+  * replays the semantics exactly.
+  *
+  * Ties in the pair argmax break to the lexicographically smallest
+  * (left, right) — counts are exact Longs, so every round is
+  * deterministic and the merge table is hash-replayable.
+  *
+  * Reference scope: the reference's notebooks tokenize by whitespace
+  * only (`data_analysis.ipynb` cell 3 value_counts over split text);
+  * BPE training is net-new surface per the build brief's
+  * training-data-pipeline mandate (token counting "BPE-ish" tier).
+  */
+object Bpe {
+
+  /** Weighted word-frequency vocab: (word, w, toks) where toks is the
+    * sentinel-spaced character sequence `" s c a n "`.
+    */
+  def vocab(docs: DataFrame, textCol: Column): DataFrame =
+    docs
+      .select(explode(split(textCol, " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("w"))
+      .withColumn(
+        "toks", concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+
+  /** Weighted adjacent-pair counts over a vocab frame: (l, r, n). */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .withColumn("arr", split(trim(col("toks")), " "))
+      .filter(size(col("arr")) >= 2)
+      .select(
+        col("w"),
+        explode(expr(
+          "transform(sequence(0, size(arr) - 2)," +
+            " i -> struct(arr[i] AS l, arr[i + 1] AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("w").as("n"))
+
+  /** `rounds` greedy merge rounds over `docs.textCol`. Returns the merge
+    * table (round, lhs, rhs, merged, n) — the trained tokenizer model.
+    * Stops early (shorter output) if the vocab runs out of pairs.
+    */
+  def train(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: Column,
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    var v = vocab(docs, textCol).persist()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (k <- 1 to rounds if !exhausted) {
+      val top = pairCounts(v)
+        .orderBy(desc("n"), col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, l, r, l + r, n))
+        v = v.withColumn(
+          "toks",
+          call_function("replace",
+            col("toks"), lit(s" $l $r "), lit(s" $l$r ")))
+      }
+    }
+    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "n")
+  }
+
+  /** DuckDB twin of [[train]]: `rounds` unrolled CTE blocks, each one
+    * pair-count + argmax + replace, same sentinel-space representation
+    * (same fixed-depth-unroll pattern as the CC oracle's `ccRoundSql`).
+    */
+  def trainSql(rounds: Int): String = {
+    val blocks = (1 to rounds).map { k =>
+      s"""pairs$k AS MATERIALIZED (
+         |  SELECT arr[i] AS l, arr[i + 1] AS r, w
+         |  FROM (SELECT w, arr, unnest(range(1, len(arr))) AS i
+         |        FROM (SELECT w, string_split(trim(toks), ' ') AS arr
+         |              FROM vocab${k - 1}))),
+         |best$k AS MATERIALIZED (
+         |  SELECT $k AS round, l, r, l || r AS merged,
+         |         CAST(SUM(w) AS BIGINT) AS n
+         |  FROM pairs$k GROUP BY l, r
+         |  ORDER BY n DESC, l, r LIMIT 1),
+         |vocab$k AS MATERIALIZED (
+         |  SELECT v.word, v.w,
+         |         replace(v.toks, ' ' || b.l || ' ' || b.r || ' ',
+         |                 ' ' || b.merged || ' ') AS toks
+         |  FROM vocab${k - 1} v CROSS JOIN best$k b)""".stripMargin
+    }
+    val union = (1 to rounds)
+      .map(k => s"SELECT round, l AS lhs, r AS rhs, merged, n FROM best$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH vocab0 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS w,
+       |         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS toks
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       |${blocks.mkString(",\n")}
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+}

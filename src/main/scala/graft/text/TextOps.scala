@@ -163,4 +163,37 @@ object TextOps {
     val noCtrl = regexp_replace(noTags, "[\\x00-\\x1f\\x7f]", " ")
     trim(regexp_replace(noCtrl, "  +", " "))
   }
+
+  /** Per-document word-trigram novelty: for each doc (id, grouping
+    * columns), the count of its DISTINCT trigrams and how many of them
+    * make their FIRST corpus appearance (min id) in that doc — the
+    * freshness diagnostic for incremental dumps (an exact re-crawl
+    * scores 0 novel, brand-new text scores all-novel). Docs with < 3
+    * tokens carry no trigram and drop out. Linear shape: one distinct
+    * (id, gram) explode, a map-side-combinable min(id) per gram, and a
+    * join back on the gram key the aggregate is already partitioned by.
+    *
+    * @return one row per doc: (groupCols..., idCol, total, novel)
+    */
+  def gramNovelty(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      groupCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val g = df
+      .withColumn("arr", tokens(col(textCol)))
+      .filter(size(col("arr")) >= 3)
+      .select(
+        col(idCol) +: groupCols.map(col) :+
+          explode(expr(
+            "transform(sequence(0, size(arr) - 3)," +
+              " i -> concat_ws(' ', arr[i], arr[i + 1], arr[i + 2]))"))
+            .as("gram"): _*)
+      .distinct()
+    val first = g.groupBy("gram").agg(min(idCol).as("first_doc"))
+    g.join(first, "gram")
+      .groupBy(idCol, groupCols: _*)
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))
+          .as("novel"))
+  }
 }

@@ -27,7 +27,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "dedup_distinct_stream", "cms_heavy_hitters_stream", "dedup_clusters_lsh",
     "funnel_stream", "events_dau_stream", "events_enriched_stream",
     "hll_users_stream", "latest_status_stream",
-    "dedup_within_watermark_stream", "interval_join_ordered_stream")
+    "dedup_within_watermark_stream", "interval_join_ordered_stream",
+    // driver-orchestrated merge loop: a plan per round (tree-trainer
+    // pattern); every round's frame is the Heaps-bounded vocab
+    "bpe_merge_train")
 
   /** Queries that intentionally attach a bounded tiny broadcast side via
     * crossJoin — a <=1-row aggregate (share-of-total denominators, a
