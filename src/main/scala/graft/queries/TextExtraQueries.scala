@@ -977,21 +977,19 @@ object TextExtraQueries extends QueryPack {
     * output is the bounded (lang, source) grid. Ratio-of-sums over exact
     * Longs, one final rounded division.
     */
-  val gramNovelty: GraftQuery = GraftQuery(
-    "gram_novelty_sources",
-    (s, dir) => {
-      val perDoc = graft.text.TextOps.gramNovelty(
-        Tables(s, dir, "documents"), "doc_id", "text",
-        Seq("lang", "source"))
-      perDoc.groupBy("lang", "source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum("total").as("total_grams"),
-          sum("novel").as("novel_grams"),
-          Q.r6(sum("novel") * 1.0 / sum("total")).as("novelty_ratio"))
-        .orderBy("lang", "source")
-    },
-    Some("""
+  private def noveltyReport(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.text.TextOps
+      .gramNovelty(docs, "doc_id", "text", Seq("lang", "source"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("total").as("total_grams"),
+        sum("novel").as("novel_grams"),
+        Q.r6(sum("novel") * 1.0 / sum("total")).as("novelty_ratio"))
+      .orderBy("lang", "source")
+
+  private def noveltySql(where: String): String = s"""
       WITH g AS MATERIALIZED (
         SELECT DISTINCT doc_id, lang, source,
                arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS gram
@@ -999,7 +997,7 @@ object TextExtraQueries extends QueryPack {
                      unnest(range(1, len(arr) - 1)) AS i
               FROM (SELECT doc_id, lang, source,
                            string_split(text, ' ') AS arr
-                    FROM documents)
+                    FROM documents$where)
               WHERE len(arr) >= 3)),
       first AS MATERIALIZED (
         SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
@@ -1015,7 +1013,27 @@ object TextExtraQueries extends QueryPack {
              CAST(SUM(total) AS BIGINT) AS total_grams,
              CAST(SUM(novel) AS BIGINT) AS novel_grams,
              round(SUM(novel) * 1.0 / SUM(total), 6) AS novelty_ratio
-      FROM perdoc GROUP BY lang, source ORDER BY lang, source"""))
+      FROM perdoc GROUP BY lang, source ORDER BY lang, source"""
+
+  val gramNovelty: GraftQuery = GraftQuery(
+    "gram_novelty_sources",
+    (s, dir) => noveltyReport(Tables(s, dir, "documents")),
+    Some(noveltySql("")))
+
+  /** 10% truth slice of the novelty profile (`doc_id % 10 = 7`) — the
+    * sf100 value gate if the full DuckDB replay (a ~1B-row gram frame)
+    * measures out as a bound. INDUCED-SUBCORPUS semantics, like the CC
+    * slices: "first occurrence" means first within the sliced corpus on
+    * BOTH engines (a gram whose true first appearance is in an unsliced
+    * doc counts as novel for the earliest SLICED doc carrying it), so
+    * the gate pins the operator motion — explode, min-agg, join-back —
+    * at sf100 data characteristics, not the full-corpus ratios.
+    */
+  val gramNoveltySlice: GraftQuery = GraftQuery(
+    "gram_novelty_slice",
+    (s, dir) => noveltyReport(
+      Tables(s, dir, "documents").filter(col("doc_id") % 10 === 7)),
+    Some(noveltySql(" WHERE doc_id % 10 = 7")))
 
   override def queries: Seq[GraftQuery] =
     Seq(wordCount, cmsHeavyHitters, cmsStream, cmsMerge, distinctEstimate,
@@ -1024,5 +1042,5 @@ object TextExtraQueries extends QueryPack {
       describeStrings, monthly, chunkDocs, tfidfTop, topBigrams,
       repetitionScores, qualityGate, repetitionStream, lmScore,
       lmPplHoldout, vocabOov, pmiCollocations, boilerplate, jsdUnigrams,
-      bpeMergeTrain, gramNovelty)
+      bpeMergeTrain, gramNovelty, gramNoveltySlice)
 }
