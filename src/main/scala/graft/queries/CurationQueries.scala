@@ -835,10 +835,123 @@ object CurationQueries extends QueryPack {
                AS kept_chars
       FROM r GROUP BY source ORDER BY source"""))
 
+  // ---- DSIR importance resampling (hashed-n-gram selection) ----------
+
+  /** Shared DuckDB chain for the DSIR queries: hashed unigram+bigram
+    * explode, per-bucket target/raw counts, the single-ln micro
+    * log-ratio model, and per-doc integer weight sums — the mirror of
+    * [[graft.text.Dsir]] (same md5 bucket hash, same double op order,
+    * same half-away micro quantization).
+    */
+  private def dsirWeightsSql(where: String): String = s"""
+      WITH d AS MATERIALIZED (
+        SELECT doc_id, lang, source, string_split(text, ' ') AS arr
+        FROM documents$where),
+      g AS MATERIALIZED (
+        SELECT doc_id, lang, source,
+               CAST(concat('0x', substring(md5(gram || '|${graft.text.Dsir.HashSeed}'), 1, 15))
+                 AS BIGINT) % ${graft.text.Dsir.Buckets} AS bucket
+        FROM (
+          SELECT doc_id, lang, source, arr[i] AS gram
+          FROM (SELECT doc_id, lang, source, arr,
+                       unnest(range(1, len(arr) + 1)) AS i FROM d)
+          UNION ALL
+          SELECT doc_id, lang, source, arr[i] || ' ' || arr[i + 1] AS gram
+          FROM (SELECT doc_id, lang, source, arr,
+                       unnest(range(1, len(arr))) AS i FROM d)
+        )),
+      cnt AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(COUNT(*) AS BIGINT) AS cr
+        FROM g GROUP BY bucket),
+      tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                     CAST(SUM(cr) AS BIGINT) AS nr FROM cnt),
+      model AS (
+        SELECT bucket,
+               CASE WHEN lr >= 0 THEN CAST(floor(lr * 1e6 + 0.5) AS BIGINT)
+                    ELSE -CAST(floor(-lr * 1e6 + 0.5) AS BIGINT) END AS lr_micro
+        FROM (SELECT bucket,
+                     ln(((ct + 1.0) * (nr + ${graft.text.Dsir.Buckets}.0))
+                       / ((cr + 1.0) * (nt + ${graft.text.Dsir.Buckets}.0))) AS lr
+              FROM cnt, tot)),
+      w AS MATERIALIZED (
+        SELECT g.doc_id, g.lang, g.source,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(m.lr_micro) AS BIGINT) AS weight_micro
+        FROM g JOIN model m USING (bucket)
+        GROUP BY g.doc_id, g.lang, g.source)"""
+
+  private val dsirTarget: Column = col("lang") === "en"
+
+  /** DSIR-style selection (Xie et al. 2023): hashed unigram+bigram
+    * importance weights against the `lang = 'en'` target slice, top-100
+    * most-target-like docs. The whole scoring chain is two linear passes
+    * plus a ≤4096-row broadcast model — the shape that runs on the full
+    * pretraining corpus. See [[graft.text.Dsir]] for the scale notes.
+    */
+  val dsirSelect: GraftQuery = GraftQuery(
+    "dsir_select_top",
+    (s, dir) => graft.text.Dsir
+      .docWeights(Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), dsirTarget)
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+      .limit(100),
+    Some(dsirWeightsSql("") + """
+      SELECT doc_id, lang, source, n_grams, weight_micro
+      FROM w ORDER BY weight_micro DESC, doc_id LIMIT 100"""))
+
+  /** The paper's actual resampling step, deterministic: Gumbel-top-k
+    * over `weight_micro + micro(-ln(-ln(u)))` with a seeded-md5 uniform
+    * — samples 100 docs WITHOUT replacement with probability
+    * proportional to the importance ratio, reproducibly in both engines.
+    */
+  val dsirGumbel: GraftQuery = GraftQuery(
+    "dsir_gumbel_sample",
+    (s, dir) => graft.text.Dsir
+      .docWeights(Tables(s, dir, "documents"), "doc_id", "text",
+        Seq("lang"), dsirTarget)
+      .withColumn("key_micro",
+        col("weight_micro") + graft.text.Dsir.gumbelKey(col("doc_id")))
+      .select("doc_id", "lang", "weight_micro", "key_micro")
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(100),
+    Some(dsirWeightsSql("") + s"""
+      SELECT doc_id, lang, weight_micro,
+             weight_micro
+               + CASE WHEN gk >= 0 THEN CAST(floor(gk * 1e6 + 0.5) AS BIGINT)
+                      ELSE -CAST(floor(-gk * 1e6 + 0.5) AS BIGINT) END
+               AS key_micro
+      FROM (SELECT doc_id, lang, weight_micro,
+                   -ln(-ln((CAST(concat('0x', substring(
+                       md5(CAST(doc_id AS VARCHAR) || '|${graft.text.Dsir.GumbelSeed}'),
+                       1, 15)) AS BIGINT) + 0.5) / 1152921504606846976.0)) AS gk
+            FROM w)
+      ORDER BY key_micro DESC, doc_id LIMIT 100"""))
+
+  /** 10% truth slice of the DSIR selection (`doc_id % 10 = 7`) — the
+    * sf100 value gate if the full replay (the hashed-gram frame is ~1B
+    * rows there) measures out as a bound. INDUCED-SUBCORPUS semantics:
+    * the model is fit on the sliced corpus on BOTH engines, so the gate
+    * pins the operator motion (explode, bucket counts, broadcast score)
+    * at sf100 data characteristics.
+    */
+  val dsirSelectSlice: GraftQuery = GraftQuery(
+    "dsir_select_slice",
+    (s, dir) => graft.text.Dsir
+      .docWeights(
+        Tables(s, dir, "documents").filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", Seq("lang", "source"), dsirTarget)
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+      .limit(100),
+    Some(dsirWeightsSql(" WHERE doc_id % 10 = 7") + """
+      SELECT doc_id, lang, source, n_grams, weight_micro
+      FROM w ORDER BY weight_micro DESC, doc_id LIMIT 100"""))
+
   override def queries: Seq[GraftQuery] =
     Seq(piiRedact, shardAssign, samplePerGroup, weightedSample, mixingPlan,
       mixingTemperature,
       cleanNormalize, qualityQuartileGate, curationPipeline, budgetCurve,
       corpusSummary, classBalance, kAnonymity, hllOverlap, kmvOverlap,
-      sourceCap)
+      sourceCap, dsirSelect, dsirGumbel, dsirSelectSlice)
 }

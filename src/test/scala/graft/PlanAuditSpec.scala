@@ -113,6 +113,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     * the 1-row-agg + broadcast-attach pattern (`Stats.valueCounts`).
     */
   private val boundedGlobalWindow = Set(
+    // (a) the DSIR model's total-count window runs over the FIXED
+    // <=4096-row hashed-bucket frame, never the corpus
+    "dsir_select_top", "dsir_gumbel_sample", "dsir_select_slice",
     "benford_digit_audit", "chi2_flag_status", "cusum_changepoint_daily",
     "entropy_gini_returnflag", "hist_quantile_totalprice",
     "ks_drift_totalprice", "label_encode_nation", "label_encode_unseen",
