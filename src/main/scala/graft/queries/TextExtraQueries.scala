@@ -967,6 +967,39 @@ object TextExtraQueries extends QueryPack {
       s, Tables(s, dir, "documents"), col("text"), rounds = 8),
     Some(graft.text.Bpe.trainSql(8)))
 
+  /** Fit-then-transform for the trained tokenizer: apply the 8 trained
+    * BPE merges and report the per-language whitespace-vs-BPE token
+    * inventory (the "how many tokens is my corpus" planning number).
+    * The encode itself never touches documents: token counts live on
+    * the Heaps-bounded vocab frame and join back onto the exploded
+    * corpus by word — at 100 TB that join shuffles on the word key
+    * (or broadcasts, when AQE sees a small trained vocab), which is
+    * the only corpus-scale motion in the pass.
+    */
+  val bpeEncode: GraftQuery = GraftQuery(
+    "bpe_encode_ratio",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val (_, v) = graft.text.Bpe.trainWithVocab(s, docs, col("text"), 8)
+      val enc = v.select(col("word"),
+        size(split(trim(col("toks")), " ")).cast("long").as("n_toks"))
+      val x = docs
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      val j = x.join(enc, "word")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("ws_tokens"), sum("n_toks").as("bpe_tokens"))
+      val dd = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"))
+      dd.join(j, "lang")
+        .select(col("lang"), col("n_docs"), col("n_chars"),
+          col("ws_tokens"), col("bpe_tokens"),
+          Q.r6(col("bpe_tokens") * 1.0 / col("ws_tokens"))
+            .as("toks_per_word"))
+        .orderBy("lang")
+    },
+    Some(graft.text.Bpe.encodeSql(8)))
+
   /** Corpus novelty profile: per (lang, source), the share of distinct
     * word-trigrams whose FIRST corpus occurrence (min doc_id) is in that
     * document — the standard freshness diagnostic for incremental dumps
@@ -1042,5 +1075,5 @@ object TextExtraQueries extends QueryPack {
       describeStrings, monthly, chunkDocs, tfidfTop, topBigrams,
       repetitionScores, qualityGate, repetitionStream, lmScore,
       lmPplHoldout, vocabOov, pmiCollocations, boilerplate, jsdUnigrams,
-      bpeMergeTrain, gramNovelty, gramNoveltySlice)
+      bpeMergeTrain, bpeEncode, gramNovelty, gramNoveltySlice)
 }

@@ -71,7 +71,19 @@ object Bpe {
       spark: SparkSession,
       docs: DataFrame,
       textCol: Column,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    trainWithVocab(spark, docs, textCol, rounds)._1
+
+  /** [[train]] plus the post-merge vocab frame (word, w, toks) — the
+    * fit-then-transform surface: `toks` carries each word's final token
+    * sequence, so ENCODING the corpus is a join on the Heaps-bounded
+    * word frame, never a per-document merge scan.
+    */
+  def trainWithVocab(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: Column,
+      rounds: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     var v = vocab(docs, textCol).persist()
     val merges = scala.collection.mutable.ArrayBuffer
@@ -93,7 +105,7 @@ object Bpe {
             col("toks"), lit(s" $l $r "), lit(s" $l$r ")))
       }
     }
-    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "n")
+    (merges.toSeq.toDF("round", "lhs", "rhs", "merged", "n"), v)
   }
 
   /** DuckDB twin of [[train]]: `rounds` unrolled CTE blocks, each one
@@ -101,6 +113,19 @@ object Bpe {
     * (same fixed-depth-unroll pattern as the CC oracle's `ccRoundSql`).
     */
   def trainSql(rounds: Int): String = {
+    val union = (1 to rounds)
+      .map(k => s"SELECT round, l AS lhs, r AS rhs, merged, n FROM best$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${vocabChain(rounds)}
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
+  /** The shared CTE prefix of the BPE oracles: vocab0 (the weighted
+    * word-frequency table) plus one pair-count + argmax + replace block
+    * per round, ending at `vocab$rounds` — the post-merge vocab.
+    */
+  private def vocabChain(rounds: Int): String = {
     val blocks = (1 to rounds).map { k =>
       s"""pairs$k AS MATERIALIZED (
          |  SELECT arr[i] AS l, arr[i + 1] AS r, w
@@ -118,17 +143,39 @@ object Bpe {
          |                 ' ' || b.merged || ' ') AS toks
          |  FROM vocab${k - 1} v CROSS JOIN best$k b)""".stripMargin
     }
-    val union = (1 to rounds)
-      .map(k => s"SELECT round, l AS lhs, r AS rhs, merged, n FROM best$k")
-      .mkString("\nUNION ALL\n")
-    s"""WITH vocab0 AS MATERIALIZED (
+    s"""vocab0 AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS w,
        |         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS toks
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
        |        FROM documents)
        |  GROUP BY word),
-       |${blocks.mkString(",\n")}
-       |$union
-       |ORDER BY round""".stripMargin
+       |${blocks.mkString(",\n")}""".stripMargin
   }
+
+  /** DuckDB twin of the encode pass: the same vocab chain, then token
+    * counts per word joined back onto the exploded corpus — per-language
+    * whitespace-vs-BPE token inventory.
+    */
+  def encodeSql(rounds: Int): String =
+    s"""WITH ${vocabChain(rounds)},
+       |enc AS MATERIALIZED (
+       |  SELECT word,
+       |         CAST(len(string_split(trim(toks), ' ')) AS BIGINT) AS n_toks
+       |  FROM vocab$rounds),
+       |x AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |j AS (
+       |  SELECT x.lang,
+       |         CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+       |         CAST(SUM(e.n_toks) AS BIGINT) AS bpe_tokens
+       |  FROM x JOIN enc e ON x.word = e.word
+       |  GROUP BY x.lang),
+       |dd AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |         CAST(SUM(length(text)) AS BIGINT) AS n_chars
+       |  FROM documents GROUP BY lang)
+       |SELECT lang, n_docs, n_chars, ws_tokens, bpe_tokens,
+       |       round(bpe_tokens * 1.0 / ws_tokens, 6) AS toks_per_word
+       |FROM dd JOIN j USING (lang) ORDER BY lang""".stripMargin
 }

@@ -30,7 +30,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "dedup_within_watermark_stream", "interval_join_ordered_stream",
     // driver-orchestrated merge loop: a plan per round (tree-trainer
     // pattern); every round's frame is the Heaps-bounded vocab
-    "bpe_merge_train")
+    "bpe_merge_train", "bpe_encode_ratio")
 
   /** Queries that intentionally attach a bounded tiny broadcast side via
     * crossJoin — a <=1-row aggregate (share-of-total denominators, a

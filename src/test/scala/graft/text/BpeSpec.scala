@@ -43,6 +43,17 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
       m(1).getLong(4) == 2L)
   }
 
+  test("encode: post-merge vocab carries the per-word token counts") {
+    // rounds=2 trains (l,o)->lo then (lo,w)->low (see test above), so
+    // "low" encodes to 1 token and "lower" to [low, e, r] = 3.
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val (_, v) = Bpe.trainWithVocab(spark, docs, col("text"), 2)
+    val enc = v
+      .select(col("word"), size(split(trim(col("toks")), " ")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(enc == Map("low" -> 1, "lower" -> 3))
+  }
+
   test("vocab exhaustion stops the loop early") {
     // single 2-char word: exactly one merge possible
     val docs = Seq((1L, "ab")).toDF("doc_id", "text")
