@@ -5,7 +5,10 @@
 #     is plausible; the Spark side is two linear passes + a 4096-row
 #     broadcast model and should complete)
 #   - dsir_select_slice (the 10% induced-subcorpus value gate)
-# Spark side first (one Verify for all three), then budgeted replays.
+#   - bpe_encode_ratio (the fit-then-transform twin of the stage-6
+#     trainer; its replay adds one corpus-scale word join to the
+#     2.8 s vocab chain)
+# Spark side first (one Verify for all four), then budgeted replays.
 set -u
 cd /root/repo
 . tools/scratch_guard.sh
@@ -17,7 +20,7 @@ LOG=target/scale/r14_oracle7.out
 ERR=target/scale/r14_oracle7.err
 
 : > "$LOG"; : > "$ERR"
-QS=dsir_select_top,dsir_gumbel_sample,dsir_select_slice
+QS=dsir_select_top,dsir_gumbel_sample,dsir_select_slice,bpe_encode_ratio
 scratch_guard 30 >> "$LOG" 2>&1 || { echo R14_ABORT_DISK >> "$LOG"; exit 1; }
 env SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$QS" \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
