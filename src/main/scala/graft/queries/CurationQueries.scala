@@ -843,6 +843,12 @@ object CurationQueries extends QueryPack {
     * [[graft.text.Dsir]] (same md5 bucket hash, same double op order,
     * same half-away micro quantization).
     */
+  /** Single target-slice constant shared by the Spark predicate and the
+    * DuckDB twin (ADVICE r14: the SQL hardcoded 'en' while the Spark side
+    * was parameterized — changing one silently diverged the other).
+    */
+  private val DsirTargetLang = "en"
+
   private def dsirWeightsSql(where: String): String = s"""
       WITH d AS MATERIALIZED (
         SELECT doc_id, lang, source, string_split(text, ' ') AS arr
@@ -862,7 +868,7 @@ object CurationQueries extends QueryPack {
         )),
       cnt AS (
         SELECT bucket,
-               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(SUM(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
                CAST(COUNT(*) AS BIGINT) AS cr
         FROM g GROUP BY bucket),
       tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
@@ -882,7 +888,7 @@ object CurationQueries extends QueryPack {
         FROM g JOIN model m USING (bucket)
         GROUP BY g.doc_id, g.lang, g.source)"""
 
-  private val dsirTarget: Column = col("lang") === "en"
+  private val dsirTarget: Column = col("lang") === DsirTargetLang
 
   /** DSIR-style selection (Xie et al. 2023): hashed unigram+bigram
     * importance weights against the `lang = 'en'` target slice, top-100

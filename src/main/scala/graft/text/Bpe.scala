@@ -124,6 +124,12 @@ object Bpe {
   /** The shared CTE prefix of the BPE oracles: vocab0 (the weighted
     * word-frequency table) plus one pair-count + argmax + replace block
     * per round, ending at `vocab$rounds` — the post-merge vocab.
+    *
+    * Exhaustion-robust (ADVICE r14): when the vocab runs out of pairs
+    * before `rounds` merges, best$k is EMPTY — the LEFT JOIN ON TRUE +
+    * COALESCE keeps vocab$k = vocab${k - 1} (the fixed point), matching
+    * Spark's early stop in [[trainWithVocab]], instead of a CROSS JOIN
+    * silently emptying every later vocab and zeroing [[encodeSql]].
     */
   private def vocabChain(rounds: Int): String = {
     val blocks = (1 to rounds).map { k =>
@@ -139,9 +145,9 @@ object Bpe {
          |  ORDER BY n DESC, l, r LIMIT 1),
          |vocab$k AS MATERIALIZED (
          |  SELECT v.word, v.w,
-         |         replace(v.toks, ' ' || b.l || ' ' || b.r || ' ',
-         |                 ' ' || b.merged || ' ') AS toks
-         |  FROM vocab${k - 1} v CROSS JOIN best$k b)""".stripMargin
+         |         COALESCE(replace(v.toks, ' ' || b.l || ' ' || b.r || ' ',
+         |                          ' ' || b.merged || ' '), v.toks) AS toks
+         |  FROM vocab${k - 1} v LEFT JOIN best$k b ON TRUE)""".stripMargin
     }
     s"""vocab0 AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS w,

@@ -60,7 +60,15 @@ SF100_LOGS = [
     # (knob-off) query results.
 ]
 
-STATUS_RANK = {"green": 3, "mismatch": 2, "bound": 1, "error": 1}
+STATUS_RANK = {"green": 3, "mismatch": 2, "bound": 1, "bound_disk": 1,
+               "error": 1}
+
+
+def _is_disk_kill(err: str) -> bool:
+    e = (err or "").lower()
+    return ("no space left" in e or "out of memory" in e
+            or "could not allocate" in e or "disk" in e
+            or "temp_directory" in e or "offload" in e)
 
 
 def parse_budget(path, tag, out):
@@ -73,6 +81,11 @@ def parse_budget(path, tag, out):
             st = "green" if js.get("hash_match") else "mismatch"
         elif js.get("status") == "timeout":
             st = "bound"
+        elif _is_disk_kill(js.get("err", "")):
+            # DuckDB temp/disk exhaustion is a measured resource BOUND of
+            # the oracle engine, not a query failure (VERDICT r14 nit:
+            # "error" here was misreadable as failures)
+            st = "bound_disk"
         else:
             st = "error"
         rec = {"status": st, "seconds": js.get("seconds"),
@@ -129,19 +142,25 @@ def parse_scale_md(out):
         if len(cells) != 5:
             continue
         name, ev, sec, rows, src = cells
-        if ev in ("green", "sliced-green"):
+        base = ev.split(" (")[0]
+        if base in ("green", "sliced-green"):
             st = "green"
+        elif base == "bound-disk":
+            st = "bound_disk"
         elif ev.startswith("bound"):
             st = "bound"
         else:
-            continue  # rows-only / untried are recomputed, not carried
+            continue  # rows-only / untried / error are recomputed, not carried
         if name in out:
             continue
         out[name] = {
             "status": st,
             "seconds": float(sec) if sec and sec != "None" else None,
             "rows": int(rows) if rows and rows != "None" else None,
-            "log": src, "round": "recorded"}
+            # carried rows keep original log attribution but are visibly
+            # tagged so a recycled-box claim can't read as a fresh log
+            # (ADVICE r14)
+            "log": src, "round": "recorded", "carried": True}
 
 
 def main():
@@ -224,12 +243,18 @@ def emit_markdown(all_queries, ledger):
             ev = "sliced-green" if q in SLICE_OF else "green"
         elif st == "rows_only":
             ev = "rows-only (declared; COVERAGE.md)"
-        elif st in ("bound", "error"):
+        elif st == "bound_disk":
+            ev = "bound-disk"
+            if sliced_by:
+                ev += f" (slice gate: {', '.join(sliced_by)})"
+        elif st == "bound":
             ev = "bound"
             if sliced_by:
                 ev += f" (slice gate: {', '.join(sliced_by)})"
         else:
-            ev = st
+            ev = st  # "error" stays error (ADVICE r14), "untried" stays
+        if v.get("carried") and st in ("green", "bound", "bound_disk"):
+            ev += " (recorded)"
         sec = v.get("seconds", "")
         rows = v.get("rows", "")
         src = v.get("log", v.get("note", ""))
