@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video travel as opaque
   * `binary` columns with typed metadata alongside. The Spark-side
   * machinery — schema, encoders, partition-wise batch iteration — is
-  * real; the decode step is a clearly-marked deterministic STUB (no
-  * image/audio codecs in this container). A production build swaps
-  * `decodeOne` / `embedOne` for a real codec; everything else stands.
+  * real. IMAGE decode is real too ([[MediaOps.decodeImage]]: the JDK's
+  * `javax.imageio` PNG/BMP reader, oracle-checked on true dimensions
+  * and pixel hashes). The audio/video kernels remain clearly-marked
+  * deterministic STUBS (`decodeOne`/`embedOne` — no audio/video codec
+  * ships with the JDK); a production build swaps those for a real
+  * codec; everything else stands.
   */
 final case class MediaMeta(
     media_id: Long, byte_len: Long, width: Long, height: Long,
@@ -18,6 +21,9 @@ final case class MediaEmbedding(media_id: Long, embedding: Array[Float])
 
 final case class MediaFrame(
     media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+final case class ImageMeta(
+    media_id: Long, fmt: String, width: Long, height: Long, pixel_md5: String)
 
 object MediaOps {
 
@@ -77,6 +83,120 @@ object MediaOps {
           .filter { case (_, i) => i % everyN == 0 }
           .map { case (chunk, i) => MediaFrame(id, i, chunk) }
       }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL image decode (VERDICT r14 task 1): javax.imageio ships in the
+  // JDK (java.desktop) and reads PNG/BMP/GIF/JPEG with no external
+  // codec, so the image half of the decode surface is no longer a stub.
+  // The audio/video kernels (decodeOne/embedOne above) remain the
+  // declared deterministic stubs — no audio codec ships with the JDK.
+  // ------------------------------------------------------------------
+
+  /** Deterministic pixel generator shared by the synthetic encoder and
+    * the DuckDB oracle: RGB byte `i` of media `id` is
+    * `(id * 2654435761 + i * 1013904223) % 127 + 1` — always in
+    * [1, 127], so the oracle rebuilds the exact buffer with
+    * `chr()`/`string_agg` (single-byte UTF-8) and md5s it.
+    */
+  def syntheticPixel(id: Long, i: Long): Int =
+    ((id * 2654435761L + i * 1013904223L) % 127L + 1L).toInt
+
+  /** Synthesize a REAL encoded image blob: the deterministic pixel
+    * buffer rendered row-major RGB into a `BufferedImage` and written
+    * through the JDK's own PNG/BMP encoder. Lossless truecolor in both
+    * formats, so a correct decoder must recover the buffer exactly.
+    */
+  def syntheticImageBytes(id: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var i = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (syntheticPixel(id, i) << 16) | (syntheticPixel(id, i + 1) << 8) |
+            syntheticPixel(id, i + 2))
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode of one encoded image: `ImageIO.read` over the blob
+    * alone (no side-channel — width/height come from the container
+    * header, pixels from the decoder), then md5 over the row-major RGB
+    * buffer. Lowercase hex, DuckDB `md5()` convention.
+    */
+  def decodeImage(id: Long, fmt: String, bytes: Array[Byte]): ImageMeta = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image blob for media $id")
+    val w = img.getWidth
+    val h = img.getHeight
+    val buf = new Array[Byte](w * h * 3)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        buf(i) = ((rgb >> 16) & 0xff).toByte
+        buf(i + 1) = ((rgb >> 8) & 0xff).toByte
+        buf(i + 2) = (rgb & 0xff).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    val d = java.security.MessageDigest.getInstance("MD5").digest(buf)
+    ImageMeta(id, fmt, w.toLong, h.toLong,
+      d.map(b => f"$b%02x").mkString)
+  }
+
+  /** Partition-wise REAL image decode: (id, fmt, blob) in, true
+    * (width, height, pixel_md5) out — the `decodeMetadata` shape with
+    * the stub swapped for `ImageIO`. `ImageIO.setUseCache(false)` keeps
+    * the reader off executor-local disk (the per-partition codec-state
+    * pattern; at scale the decoder never touches scratch).
+    */
+  def decodeImageMetadata(
+      df: DataFrame, idCol: String, fmtCol: String, binCol: String)
+      : Dataset[ImageMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(fmtCol).cast("string"),
+        col(binCol).cast("binary"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, fmt, bytes) => decodeImage(id, fmt, bytes) }
+      }
+  }
+
+  /** Encode-then-decode round trip over an id frame: per id, derive
+    * deterministic dimensions/format, synthesize a real PNG/BMP blob,
+    * and hand ONLY the blob (plus the id/format labels) to the real
+    * decoder. The decoded dimensions and pixel hash are oracle-checked
+    * against pure arithmetic — a wrong decode cannot hash-match.
+    */
+  def imageRoundTrip(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blobs = df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val w = (8 + id % 17).toInt
+          val h = (8 + id % 13).toInt
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          (id, fmt, syntheticImageBytes(id, w, h, fmt))
+        }
+      }
+      .toDF("media_id", "fmt", "media")
+    decodeImageMetadata(blobs, "media_id", "fmt", "media").toDF()
   }
 
   /** Partition-wise embedding extraction with the same batching shape. */

@@ -1737,13 +1737,15 @@ object DocQueries extends QueryPack {
     * detection, interval union) replays verbatim in the oracle.
     */
   private val spanK = 8
-  val spanDedup: GraftQuery = GraftQuery(
-    "span_dedup_coverage",
-    (s, dir) => graft.dedup.SpanDedup
-      .coverageReport(Tables(s, dir, "documents"), "doc_id", "text", spanK)
+
+  private def spanDedupRun(
+      s: org.apache.spark.sql.SparkSession, dir: String, k: Int) =
+    graft.dedup.SpanDedup
+      .coverageReport(Tables(s, dir, "documents"), "doc_id", "text", k)
       .withColumnRenamed("id", "doc_id")
-      .orderBy("doc_id"),
-    Some(s"""
+      .orderBy("doc_id")
+
+  private def spanDedupSql(spanK: Int): String = s"""
       WITH t AS MATERIALIZED (
         SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       w AS MATERIALIZED (
@@ -1776,7 +1778,28 @@ object DocQueries extends QueryPack {
              round(covered_tokens * 1.0 / len(l), 6) AS dup_frac,
              n_removable_spans
       FROM agg JOIN t ON t.doc_id = agg.doc_id
-      ORDER BY agg.doc_id"""))
+      ORDER BY agg.doc_id"""
+
+  val spanDedup: GraftQuery = GraftQuery(
+    "span_dedup_coverage",
+    (s, dir) => spanDedupRun(s, dir, spanK),
+    Some(spanDedupSql(spanK)))
+
+  /** The same ExactSubstr pass at the paper's span granularity
+    * (VERDICT r14 task 3): Lee et al. cut length-50-token duplicate
+    * substrings; k=32 is the longest window the synthetic corpus (10-99
+    * tokens/doc) still duplicates across documents at every sf. Window
+    * length is now a real parameter of [[graft.dedup.SpanDedup]]'s
+    * pipeline — same fingerprint shuffle, same interval union — and
+    * SpanDedupSpec pins the containment law between the two gates: a
+    * duplicated k=32 window implies duplicated k=8 subwindows, so
+    * per-doc k=32 coverage can never exceed k=8 coverage.
+    */
+  private val spanKLong = 32
+  val spanDedupK32: GraftQuery = GraftQuery(
+    "span_dedup_coverage_k32",
+    (s, dir) => spanDedupRun(s, dir, spanKLong),
+    Some(spanDedupSql(spanKLong)))
 
   override def queries: Seq[GraftQuery] = Seq(
     textStats, bpeStats, langId, fingerprint, exactDedup, dedupKept,
@@ -1792,5 +1815,5 @@ object DocQueries extends QueryPack {
     packDocs, packSlice, qualitySample, dedupStream, dedupWatermarkStream,
     trigramSearch,
     contamination, bloomPrefilter,
-    incrementalDedup, spanDedup)
+    incrementalDedup, spanDedup, spanDedupK32)
 }

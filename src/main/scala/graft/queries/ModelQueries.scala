@@ -68,6 +68,47 @@ object ModelQueries extends QueryPack {
              octet_length(encode(text)) * 3 AS duration_ms
       FROM documents ORDER BY media_id"""))
 
+  /** Multimodal REAL image decode (VERDICT r14 task 1): for a
+    * deterministic subset of documents (doc_id % 29 = 3), synthesize a
+    * real PNG/BMP blob from the arithmetic pixel generator, then decode
+    * it with the JDK's `javax.imageio` reader — dimensions come from the
+    * container HEADER and pixels from the real decoder, nothing else
+    * crosses the encode/decode boundary. The oracle recomputes the
+    * expected dimensions and the md5 of the exact RGB buffer from pure
+    * arithmetic (`chr`/`string_agg`), so a decoder that misreads the
+    * header or any pixel cannot hash-match. Both formats are lossless
+    * truecolor; even ids exercise the PNG reader, odd ids the BMP
+    * reader. Scale shape: one narrow projection + `mapPartitions` per
+    * side, no shuffle at all — decode is embarrassingly parallel, which
+    * is the whole multimodal-ingest story at 100 TB.
+    */
+  val mediaMetaReal: GraftQuery = GraftQuery(
+    "media_metadata_real",
+    (s, dir) => MediaOps.imageRoundTrip(
+        Tables(s, dir, "documents").filter(col("doc_id") % 29 === 3)
+          .select(col("doc_id")),
+        "doc_id")
+      .orderBy("media_id"),
+    Some("""
+      WITH sel AS (SELECT doc_id FROM documents WHERE doc_id % 29 = 3),
+      dims AS (
+        SELECT doc_id, 8 + doc_id % 17 AS w, 8 + doc_id % 13 AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt
+        FROM sel),
+      px AS (
+        SELECT doc_id, w, h, fmt,
+               unnest(generate_series(0, w * h * 3 - 1)) AS i
+        FROM dims),
+      b AS (
+        SELECT doc_id, w, h, fmt, i,
+               (doc_id * 2654435761 + i * 1013904223) % 127 + 1 AS v
+        FROM px)
+      SELECT doc_id AS media_id, fmt,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             md5(string_agg(chr(CAST(v AS INTEGER)), '' ORDER BY i))
+               AS pixel_md5
+      FROM b GROUP BY doc_id, fmt, w, h ORDER BY media_id"""))
+
   /** Multimodal frame-sampling plumbing, CONTENT-hash-checked: the
     * row-expanding stub decode (every 4th 32-byte chunk of the blob
     * stands in for a keyframe) with each frame's md5 compared against a
@@ -221,5 +262,6 @@ object ModelQueries extends QueryPack {
     None)
 
   override def queries: Seq[GraftQuery] = Seq(
-    mediaMeta, mediaFrames, mediaDedup, rfEval, l1Select, comparison)
+    mediaMeta, mediaMetaReal, mediaFrames, mediaDedup, rfEval, l1Select,
+    comparison)
 }

@@ -515,12 +515,12 @@ object SimQueries extends QueryPack {
     * remains the library's production quantizer.
     */
   private val ivfIters = 3
-  private def ivfAssignSql(t: Int): String = s"""
+  private def ivfAssignSql(t: Int, tbl: String = "embeddings"): String = s"""
       d$t AS (SELECT e.vec_id, c.clabel,
              list_sum(list_transform(list_zip(e.embedding, c.centroid),
                p -> (CAST(p[1] AS DOUBLE) - p[2])
                   * (CAST(p[1] AS DOUBLE) - p[2]))) AS dist2
-            FROM embeddings e CROSS JOIN c${t - 1} c),
+            FROM $tbl e CROSS JOIN c${t - 1} c),
       a$t AS (SELECT vec_id, clabel AS list
             FROM (SELECT vec_id, clabel,
                          row_number() OVER (PARTITION BY vec_id
@@ -530,7 +530,7 @@ object SimQueries extends QueryPack {
             FROM a$t a
             JOIN (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
                          CAST(unnest(embedding) AS DOUBLE) AS x
-                  FROM embeddings) u USING (vec_id)
+                  FROM $tbl) u USING (vec_id)
             GROUP BY a.list, u.pos),
       c$t AS (SELECT list AS clabel, list(mean ORDER BY pos) AS centroid
             FROM m$t GROUP BY list)"""
@@ -553,7 +553,7 @@ object SimQueries extends QueryPack {
         SELECT CAST(vec_id AS INTEGER) AS clabel,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
         FROM embeddings WHERE vec_id < 8),
-      ${(1 to ivfIters).map(ivfAssignSql).mkString(",")},
+      ${(1 to ivfIters).map(t => ivfAssignSql(t)).mkString(",")},
       q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       pd AS (SELECT c.clabel,
                list_sum(list_transform(list_zip(c.centroid, q.qe),
@@ -575,6 +575,131 @@ object SimQueries extends QueryPack {
       nq AS (SELECT SUM(v * v) AS nq FROM qv)
       SELECT vec_id, round(dot / (sqrt(nd) * sqrt(nq)), 6) AS cos
       FROM agg, nq ORDER BY cos DESC, vec_id LIMIT 10"""))
+
+  // ---- SemDeDup, the paper's cluster-based shape (VERDICT r14 task 2)
+
+  /** The kmeans-dedup drop chain as CTE fragments over source table
+    * `tbl`: the deterministic Lloyd assignment rounds (shared
+    * [[ivfAssignSql]] blocks), within-cluster candidate pairs, exact
+    * cosine rerank, and the min-id-wins drop set. Expects `v`
+    * (per-vector components) and `n` (norms) CTEs over the same rows to
+    * be defined by the caller — the agreement oracle shares them with
+    * the sign-LSH chain.
+    */
+  private def kmeansDropChainSql(tbl: String): String = s"""
+      c0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS clabel,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+        FROM $tbl WHERE vec_id < 8),
+      ${(1 to ivfIters).map(t => ivfAssignSql(t, tbl)).mkString(",")},
+      kp AS (SELECT a.vec_id AS ia, b2.vec_id AS ib
+             FROM a$ivfIters a JOIN a$ivfIters b2
+               ON a.list = b2.list AND a.vec_id < b2.vec_id),
+      kd AS (SELECT ia, ib, SUM(va.x * vb.x) AS dot
+             FROM kp JOIN v va ON va.vec_id = ia
+                     JOIN v vb ON vb.vec_id = ib AND va.pos = vb.pos
+             GROUP BY ia, ib),
+      kdrop AS (SELECT DISTINCT ib AS vec_id
+                FROM kd JOIN n na ON na.vec_id = ia
+                        JOIN n nb ON nb.vec_id = ib
+                WHERE round(dot / (sqrt(na.nr) * sqrt(nb.nr)), 6) >= 0.4)"""
+
+  private def kmeansDedupSql(where: String): String = s"""
+      WITH se AS (SELECT * FROM embeddings$where),
+      v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x FROM se),
+      n AS (SELECT vec_id, SUM(x * x) AS nr FROM v GROUP BY vec_id),
+      ${kmeansDropChainSql("se")}
+      SELECT e.vec_id, e.label FROM se e ANTI JOIN kdrop USING (vec_id)
+      ORDER BY e.vec_id"""
+
+  /** SemDeDup in the paper's ACTUAL shape (Abbas et al. 2023: k-means
+    * clusters, within-cluster cosine threshold, one representative kept
+    * per duplicate relation — min-id-wins here): the deterministic
+    * 8-list Lloyd index `ivf_ann_topk_vec0` already fits (memoized) is
+    * the coarse quantizer, so the WHOLE pipeline — seeding, three E/M
+    * rounds, cluster assignment, within-cluster pairs, exact rerank,
+    * min-id drop — replays verbatim in DuckDB. The sign-LSH keep-list
+    * (`semantic_dedup_scaled`) is the same greedy under band-blocking;
+    * `semantic_dedup_kmeans_agreement` audits the two against each
+    * other. Production scales k with the corpus ([[Similarity.ivfFit]],
+    * seeded MLlib); the within-cluster join shape is unchanged.
+    */
+  val semanticDedupKmeans: GraftQuery = GraftQuery(
+    "semantic_dedup_kmeans",
+    (s, dir) => Similarity
+      .semanticDedupKMeans(lloydIndex(s, dir), 0.4)
+      .join(Tables(s, dir, "embeddings").select("vec_id", "label"),
+        Seq("vec_id"))
+      .orderBy("vec_id"),
+    Some(kmeansDedupSql("")))
+
+  /** Contiguous-prefix slice of the kmeans SemDeDup (`vec_id < 20000`)
+    * — the sf100 value gate (2M vectors would pay a ~200M-pair
+    * within-cluster rerank in the 8-list parity fit; the slice keeps
+    * the original id block, so the Lloyd seed rule `vec_id < 8` stays
+    * exact). At the small sfs the slice equals the full table (max
+    * vec_id 1999), so the gate is pure sf100 duty. INDUCED semantics:
+    * the fit runs on the sliced corpus in BOTH engines.
+    */
+  val semanticDedupKmeansSlice: GraftQuery = GraftQuery(
+    "semantic_dedup_kmeans_slice",
+    (s, dir) => Similarity
+      .semanticDedupKMeans(
+        Similarity.ivfFitLloyd(
+          Tables(s, dir, "embeddings").filter(col("vec_id") < 20000),
+          "vec_id", "embedding", nLists = 8, iters = ivfIters),
+        0.4)
+      .join(Tables(s, dir, "embeddings").select("vec_id", "label"),
+        Seq("vec_id"))
+      .orderBy("vec_id"),
+    Some(kmeansDedupSql(" WHERE vec_id < 20000")))
+
+  /** Blocking-geometry agreement report: the kmeans keep-list vs the
+    * corpus-scaled sign-LSH keep-list (`semantic_dedup_scaled`), the
+    * way `lsh_quality_report` audits MinHash blocking — keep counts,
+    * intersection, and Jaccard in ONE row. Both greedies share the
+    * min-id-wins rule and the exact 0.4 rerank, so every disagreement
+    * is attributable to blocking recall alone.
+    */
+  val semanticDedupAgreement: GraftQuery = GraftQuery(
+    "semantic_dedup_kmeans_agreement",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val kk = Similarity.semanticDedupKMeans(lloydIndex(s, dir), 0.4)
+        .withColumn("mk", lit(1L))
+      val lk = scSemanticKeepRun(emb).select("vec_id")
+        .withColumn("ml", lit(1L))
+      kk.join(lk, Seq("vec_id"), "full_outer")
+        .agg(
+          sum("mk").as("nk"), sum("ml").as("nl"),
+          sum(col("mk") * col("ml")).as("nb"))
+        .select(
+          col("nk").as("n_keep_kmeans"),
+          col("nl").as("n_keep_lsh"),
+          col("nb").as("n_keep_both"),
+          Q.r6(col("nb") * 1.0 / (col("nk") + col("nl") - col("nb")))
+            .as("keep_jaccard"))
+    },
+    Some {
+      val base = scSemanticKeepSql("")
+      val cut = base.lastIndexOf("SELECT e.vec_id, e.label")
+      base.substring(0, cut).trim.stripSuffix(",") + s""",
+      lsh_keep AS (
+        SELECT e.vec_id FROM embeddings e ANTI JOIN dropped USING (vec_id)),
+      ${kmeansDropChainSql("embeddings")},
+      kkeep AS (
+        SELECT e.vec_id FROM embeddings e ANTI JOIN kdrop USING (vec_id))
+      SELECT (SELECT COUNT(*) FROM kkeep) AS n_keep_kmeans,
+             (SELECT COUNT(*) FROM lsh_keep) AS n_keep_lsh,
+             (SELECT COUNT(*) FROM kkeep JOIN lsh_keep USING (vec_id))
+               AS n_keep_both,
+             round((SELECT COUNT(*) FROM kkeep JOIN lsh_keep USING (vec_id))
+               * 1.0 / ((SELECT COUNT(*) FROM kkeep)
+                 + (SELECT COUNT(*) FROM lsh_keep)
+                 - (SELECT COUNT(*) FROM kkeep JOIN lsh_keep USING (vec_id))),
+               6) AS keep_jaccard"""
+    })
 
   /** ANN recall@10 report — the acceptance gate an ANN rollout runs
     * before trading exactness for speed: the IVF (nProbe=2) top-10 for
@@ -604,7 +729,7 @@ object SimQueries extends QueryPack {
         SELECT CAST(vec_id AS INTEGER) AS clabel,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
         FROM embeddings WHERE vec_id < 8),
-      ${(1 to ivfIters).map(ivfAssignSql).mkString(",")},
+      ${(1 to ivfIters).map(t => ivfAssignSql(t)).mkString(",")},
       q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       pd AS (SELECT c.clabel,
                list_sum(list_transform(list_zip(c.centroid, q.qe),
@@ -1007,7 +1132,8 @@ object SimQueries extends QueryPack {
   override def queries: Seq[GraftQuery] =
     Seq(cosineTopK, knnVote, nearDup, semanticDedup, nearDupLsh,
       nearDupScaled, nearDupScaledSlice, semanticDedupScaled,
-      semanticDedupScaledSlice, annTopK,
+      semanticDedupScaledSlice, semanticDedupKmeans,
+      semanticDedupKmeansSlice, semanticDedupAgreement, annTopK,
       annTopKSign,
       centroids, assignCentroid, randomProjection, ivfTopK, annRecall,
       annRecallPq, annRecallSign, annRecallLsh,

@@ -406,6 +406,41 @@ object Similarity {
     emb.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup in the PAPER's actual shape (Abbas et al. 2023 §2: k-means
+    * cluster the embeddings, then threshold pairwise cosine WITHIN each
+    * cluster and keep one representative per duplicate relation): pairs
+    * are generated per cluster list from a fitted [[IvfIndex]], exact
+    * cosine reranked, and every vector with a LOWER-id near-duplicate in
+    * its cluster is dropped — the same min-id-wins greedy as
+    * [[semanticDedupKeep]], so the two keep-lists differ only in the
+    * BLOCKING geometry (centroid cells vs sign-LSH bands) and can be
+    * audited against each other. Cluster count bounds the pair mass: the
+    * paper scales k with the corpus (50k clusters on LAION); the
+    * parity-mode gate reuses the deterministic 8-list Lloyd fit, and the
+    * production path is the same composition over [[ivfFit]] (seeded
+    * MLlib k-means) with k ∝ n. Cost: one shuffle on the list key + the
+    * within-cluster join; nothing is all-pairs across clusters.
+    */
+  def semanticDedupKMeans(index: IvfIndex, threshold: Double): DataFrame = {
+    val idCol = index.idCol
+    val vecCol = index.vecCol
+    val withNorm = index.assigned.select(
+      col("list"), col(idCol), col(vecCol), normD(col(vecCol)).as("__n"))
+    val a = withNorm.select(col("list"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = withNorm.select(col("list"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    val drop = a.join(b, Seq("list"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"),
+        Q.r6(dotD(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    index.assigned.select(col(idCol))
+      .join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Per-vector subvector frame for product quantization: each vector
     * split into `m` contiguous `subDim`-wide slices — (id, sub, subvec).
     */

@@ -51,6 +51,35 @@ class SpanDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(rep(2L).getAs[Long]("n_removable_spans") == 2L)
   }
 
+  test("coverage is antitone in window length k (containment law)") {
+    // docs 1/2 share a 40-token run; docs 3/4 share only a 12-token run
+    // (present at k=8, absent at k=32); doc 5 is unique filler.
+    val run40 = (1 to 40).map(i => s"s$i").mkString(" ")
+    val run12 = (1 to 12).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $run40 a3 a4"),
+      (2L, s"b1 $run40 b2 b3 b4"),
+      (3L, s"c1 c2 c3 $run12 c4"),
+      (4L, s"d1 $run12 d2 d3 d4"),
+      (5L, (1 to 50).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    def cov(k: Int): Map[Long, Long] =
+      SpanDedup.coverageReport(docs, "doc_id", "text", k)
+        .collect().map(r =>
+          r.getAs[Long]("id") -> r.getAs[Long]("covered_tokens")).toMap
+    val c8 = cov(8)
+    val c32 = cov(32)
+    // a duplicated 32-window implies duplicated 8-subwindows: every doc
+    // flagged at k=32 is flagged at k=8 with >= coverage
+    assert(c32.keySet.subsetOf(c8.keySet))
+    for ((id, c) <- c32) assert(c <= c8(id), s"doc $id: k32 $c > k8 ${c8(id)}")
+    // and the k-sensitivity is real: the short shared run is k=8-only
+    assert(c8.keySet == Set(1L, 2L, 3L, 4L))
+    assert(c32.keySet == Set(1L, 2L))
+    // exact interval unions: 40 shared tokens at k=32 -> windows at 9
+    // positions covering all 40; at k=8 -> 33 positions covering 40
+    assert(c32(1L) == 40L && c8(1L) == 40L)
+  }
+
   test("same span repeated within ONE doc is not a cross-doc duplicate") {
     val self = Seq((1L, "a b c a b c"), (2L, "q r s t u v"))
       .toDF("doc_id", "text")

@@ -27,6 +27,33 @@ class MediaOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(byId(1L).map(_.frame_idx).toSeq == Seq(0)) // 5-byte blob
   }
 
+  test("real image decode recovers exact dimensions and pixels (PNG+BMP)") {
+    // Expected md5s computed INDEPENDENTLY (python hashlib over the raw
+    // arithmetic buffer at spec-authoring time) — a cross-implementation
+    // pin, not a call back into the code under test.
+    // id=3:  11x11 bmp; id=32: 23x14 png.
+    val got = MediaOps.imageRoundTrip(
+        Seq(3L, 32L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(3L) ==
+      (("bmp", 11L, 11L, "238ca6601ab8bcfa0b4134a0e9311cf7")))
+    assert(got(32L) ==
+      (("png", 23L, 14L, "e58f40e34cd43cc5b871cdfccd41f093")))
+  }
+
+  test("image decode reads header dimensions from the blob alone") {
+    // decode a blob whose encode-side dims differ from the generator's
+    // defaults — the decoder must report what the CONTAINER says
+    val bytes = MediaOps.syntheticImageBytes(7L, 5, 9, "png")
+    val meta = MediaOps.decodeImage(7L, "png", bytes)
+    assert(meta.width == 5L && meta.height == 9L)
+    // and the pixel buffer round-trips losslessly through the codec
+    val viaBmp = MediaOps.decodeImage(
+      7L, "bmp", MediaOps.syntheticImageBytes(7L, 5, 9, "bmp"))
+    assert(viaBmp.pixel_md5 == meta.pixel_md5)
+  }
+
   test("embedding stub is deterministic and fixed-dim") {
     val a = MediaOps.extractEmbeddings(docs, "id", "media").collect()
       .map(e => e.media_id -> e.embedding.toSeq).toMap

@@ -70,6 +70,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(expectedDropped.nonEmpty) // the corpus has planted near-dups
   }
 
+  test("kmeans SemDeDup: drops ⊆ brute-force near-dups; within-cluster sound") {
+    val emb2 = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.ivfFitLloyd(emb2, "vec_id", "embedding",
+      nLists = 8, iters = 3)
+    val all = emb2.select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = Similarity.semanticDedupKMeans(idx, 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = all -- kept
+    assert(dropped.nonEmpty) // the corpus has planted near-dups
+    // within-cluster pairs are a subset of all pairs, so every drop must
+    // have a LOWER-id brute-force near-dup (blocking can only lose
+    // recall, never invent a duplicate)
+    val bruteDrops = Similarity
+      .nearDupPairs(emb2, "vec_id", "embedding", 0.4)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    assert(dropped.subsetOf(bruteDrops))
+    // and every drop shares its cluster with a lower-id near-dup
+    val lists = idx.assigned.select("vec_id", "list")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pairs = Similarity
+      .nearDupPairs(emb2, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (d <- dropped)
+      assert(pairs.exists { case (a, b) => b == d && lists(a) == lists(d) })
+  }
+
   test("sign-bucket ANN: results share the query bucket; cosines are exact") {
     import org.apache.spark.sql.functions.col
     val emb2 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
