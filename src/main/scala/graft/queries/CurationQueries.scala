@@ -949,7 +949,7 @@ object CurationQueries extends QueryPack {
             THEN CAST(floor($a * 1.0 / $b + 0.5) AS BIGINT)
             ELSE -CAST(floor(-($a * 1.0 / $b) + 0.5) AS BIGINT) END"""
 
-  private def qcSql(rounds: Int, lr: String): String = {
+  private def qcSql(rounds: Int, lr: String, where: String = ""): String = {
     val blocks = (1 to rounds).map { k =>
       val m = s"m.m / 1000000.0 / ds.n"
       s"""m$k AS (
@@ -983,7 +983,7 @@ object CurationQueries extends QueryPack {
     }
     s"""WITH d0 AS (
        |  SELECT doc_id, lang, string_split(text, ' ') AS arr
-       |  FROM documents),
+       |  FROM documents$where),
        |g AS MATERIALIZED (
        |  SELECT doc_id, lang,
        |         CAST(concat('0x', substring(
@@ -1046,6 +1046,32 @@ object CurationQueries extends QueryPack {
       graft.text.QualityClassifier.Rounds,
       graft.text.QualityClassifier.Lr.toString)))
 
+  /** 10% truth slice of the quality classifier (`doc_id % 10 = 7`) —
+    * the sf100 value gate (the full replay is 8 gradient rounds over a
+    * ~750M-row count frame there). INDUCED-SUBCORPUS semantics like
+    * `dsir_select_slice`: the model trains on the sliced corpus in BOTH
+    * engines, so the gate pins the whole training motion — featurize,
+    * margin pass, residual, gradient, weight update — at sf100 data
+    * characteristics.
+    */
+  val qualityClassifierSlice: GraftQuery = GraftQuery(
+    "quality_classifier_slice",
+    (s, dir) => {
+      val (x, ds) = graft.text.QualityClassifier.featurize(
+        Tables(s, dir, "documents").filter(col("doc_id") % 10 === 7),
+        "doc_id", "text", Seq("lang"), dsirTarget)
+      val xp = x.persist()
+      val dsp = ds.persist()
+      val w = graft.text.QualityClassifier.train(xp, dsp, "doc_id")
+      graft.text.QualityClassifier.score(xp, dsp, "doc_id", Seq("lang"), w)
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(100)
+    },
+    Some(qcSql(
+      graft.text.QualityClassifier.Rounds,
+      graft.text.QualityClassifier.Lr.toString,
+      " WHERE doc_id % 10 = 7")))
+
   /** 10% truth slice of the DSIR selection (`doc_id % 10 = 7`) — the
     * sf100 value gate if the full replay (the hashed-gram frame is ~1B
     * rows there) measures out as a bound. INDUCED-SUBCORPUS semantics:
@@ -1070,5 +1096,6 @@ object CurationQueries extends QueryPack {
       mixingTemperature,
       cleanNormalize, qualityQuartileGate, curationPipeline, budgetCurve,
       corpusSummary, classBalance, kAnonymity, hllOverlap, kmvOverlap,
-      sourceCap, dsirSelect, dsirGumbel, dsirSelectSlice, qualityClassifier)
+      sourceCap, dsirSelect, dsirGumbel, dsirSelectSlice,
+      qualityClassifier, qualityClassifierSlice)
 }
