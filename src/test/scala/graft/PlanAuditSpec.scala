@@ -53,6 +53,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "mixing_plan_langs",
     "mixing_temperature_langs",
     "embedding_assign_centroid", "lm_ppl_holdout", "pmi_collocations",
+    // cluster-based SemDeDup: every Lloyd E-step and the final
+    // assignment attach the fixed-k centroid frame (assignToCentroids,
+    // broadcast k rows) — the ivf/embedding_assign_centroid shape; the
+    // agreement row additionally attaches two 1-row keep-list counts
+    "semantic_dedup_kmeans", "semantic_dedup_kmeans_slice",
+    "semantic_dedup_kmeans_agreement",
     "class_balance_downsample", "schema_drift_report", "join_size_profile",
     "seasonality_index_monthly", "basket_brand_pairs_lift",
     // two fixed-9-row attaches: decile targets, then the decile edges

@@ -27,7 +27,8 @@ run_batch () {
     SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
   /opt/spark/bin/spark-submit --master local[32] --driver-memory 96g \
     --conf spark.local.dir=/root/repo/target/spark-tmp \
-    --class graft.Verify "$JAR" "$SF" "$OUT" 2>>"$ERR"
+    --class graft.Verify "$JAR" "$SF" "$OUT" 2>>"$ERR" \
+    || { echo "R14_SPARK_FAIL" >> "$LOG"; exit 1; }
   echo "=== oracle $tag $(date +%T) ===" >> "$ERR"
   for q in ${qs//,/ }; do
     python3 tools/oracle_budget.py "$SF" "$OUT" "$budget" "$q" >> "$LOG" 2>&1

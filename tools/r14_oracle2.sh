@@ -20,7 +20,8 @@ env SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY="$QS" \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
 /opt/spark/bin/spark-submit --master local[32] --driver-memory 96g \
   --conf spark.local.dir=/root/repo/target/spark-tmp \
-  --class graft.Verify "$JAR" "$SF" "$OUT" 2>>"$ERR"
+  --class graft.Verify "$JAR" "$SF" "$OUT" 2>>"$ERR" \
+    || { echo "R14_SPARK_FAIL" >> "$LOG"; exit 1; }
 for q in ${QS//,/ }; do
   python3 tools/oracle_budget.py "$SF" "$OUT" 1800 "$q" >> "$LOG" 2>&1
   rm -rf target/spark-tmp/duck

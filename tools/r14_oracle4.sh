@@ -18,7 +18,8 @@ env SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ONLY=interval_join_ordered_stream \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_METRICS=1 \
 /opt/spark/bin/spark-submit --master local[32] --driver-memory 96g \
   --conf spark.local.dir=/root/repo/target/spark-tmp \
-  --class graft.Verify "$JAR" "$SF" "$OUT" 2>>"$ERR"
+  --class graft.Verify "$JAR" "$SF" "$OUT" 2>>"$ERR" \
+    || { echo "R14_SPARK_FAIL" >> "$LOG"; exit 1; }
 grep -c "stream-metrics" "$ERR" >> "$LOG" || true
 python3 tools/oracle_budget.py "$SF" "$OUT" 900 interval_join_ordered_stream >> "$LOG" 2>&1
 rm -rf target/spark-tmp/duck

@@ -19,7 +19,8 @@ env SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
 /opt/spark/bin/spark-submit --master local[32] --driver-memory 96g \
   --conf spark.local.dir=/root/repo/target/spark-tmp \
-  --class graft.Verify "$JAR" "$SF" "$OUT" 2>>"$ERR"
+  --class graft.Verify "$JAR" "$SF" "$OUT" 2>>"$ERR" \
+    || { echo "R14_SPARK_FAIL" >> "$LOG"; exit 1; }
 python3 tools/oracle_budget.py "$SF" "$OUT" 1800 semantic_dedup_scaled_slice >> "$LOG" 2>&1
 rm -rf target/spark-tmp/duck
 scratch_guard 30 >> "$LOG" 2>&1 || { echo R14_ABORT_DISK >> "$LOG"; exit 1; }

@@ -54,6 +54,8 @@ SF100_LOGS = [
     ("r14_oracle5.out", "budget", "r14"),
     ("r14_oracle6.out", "budget", "r14"),
     ("r14_oracle7.out", "budget", "r14"),
+    ("r15_oracle.out", "budget", "r15"),
+    ("r15_staged.out", "budget", "r15"),
     # NOTE: r13_stream_trigger.out (bounded-trigger knob-ON parity) is
     # deliberately NOT a ledger source — it measures trigger-split
     # semantics for the watermarked streams, not the registered
@@ -178,7 +180,9 @@ def main():
     # Registry = the CURRENT oracle_sql dump when present (includes
     # queries registered after the last driver correctness run);
     # no-oracle queries stay the CORRECTNESS-declared rows-only set.
-    cur = f"{SCALE}/verify_r14_sf100/oracle_sql.json"
+    cur = f"{SCALE}/verify_r15_sf100/oracle_sql.json"
+    if not os.path.exists(cur):
+        cur = f"{SCALE}/verify_r14_sf100/oracle_sql.json"
     if not os.path.exists(cur):
         cur = f"{SCALE}/verify_r13_sf100/oracle_sql.json"
     if os.path.exists(cur):
