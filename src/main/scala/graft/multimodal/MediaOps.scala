@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * machinery — schema, encoders, partition-wise batch iteration — is
   * real. IMAGE decode is real too ([[MediaOps.decodeImage]]: the JDK's
   * `javax.imageio` PNG/BMP reader, oracle-checked on true dimensions
-  * and pixel hashes). The audio/video kernels remain clearly-marked
-  * deterministic STUBS (`decodeOne`/`embedOne` — no audio/video codec
-  * ships with the JDK); a production build swaps those for a real
-  * codec; everything else stands.
+  * and pixel hashes), and so is AUDIO ([[MediaOps.decodeWav]]: the
+  * JDK's `javax.sound.sampled` RIFF/WAVE PCM reader, oracle-checked on
+  * header fields and the decoded sample stream). Only the VIDEO kernels
+  * remain clearly-marked deterministic STUBS (`decodeOne`/`embedOne` —
+  * no video codec ships with the JDK); a production build swaps those
+  * for a real codec; everything else stands.
   */
 final case class MediaMeta(
     media_id: Long, byte_len: Long, width: Long, height: Long,
@@ -24,6 +26,10 @@ final case class MediaFrame(
 
 final case class ImageMeta(
     media_id: Long, fmt: String, width: Long, height: Long, pixel_md5: String)
+
+final case class AudioMeta(
+    media_id: Long, sample_rate: Long, channels: Long, bits: Long,
+    n_samples: Long, duration_ms: Long, pcm_md5: String)
 
 object MediaOps {
 
@@ -197,6 +203,76 @@ object MediaOps {
       }
       .toDF("media_id", "fmt", "media")
     decodeImageMetadata(blobs, "media_id", "fmt", "media").toDF()
+  }
+
+  // ------------------------------------------------------------------
+  // REAL audio decode: javax.sound.sampled ships in the JDK
+  // (java.desktop) and reads RIFF/WAVE PCM with no external codec, so
+  // the audio half of the decode surface is no longer a stub either.
+  // Only the VIDEO kernels (decodeOne/embedOne above) remain the
+  // declared deterministic stubs — no video codec ships with the JDK.
+  // ------------------------------------------------------------------
+
+  /** Synthesize a REAL RIFF/WAVE blob: 16-bit signed PCM mono whose raw
+    * little-endian byte stream is the shared arithmetic generator
+    * ([[syntheticPixel]], every byte in [1, 127]), written through the
+    * JDK's own WAV encoder. PCM is lossless — a correct decoder must
+    * recover the byte stream exactly.
+    */
+  def syntheticWavBytes(id: Long, nSamples: Int, rate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var j = 0
+    while (j < pcm.length) { pcm(j) = syntheticPixel(id, j).toByte; j += 1 }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode of one WAV blob: sample rate / channels / bit depth
+    * come from the RIFF header, the frame count from the data chunk,
+    * and the hash from the decoded PCM byte stream — nothing but the
+    * blob crosses in. `duration_ms` is integer floor, matching the
+    * oracle's integer division.
+    */
+  def decodeWav(id: Long, bytes: Array[Byte]): AudioMeta = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val af = ais.getFormat
+    val frames = ais.getFrameLength
+    val pcm = ais.readAllBytes()
+    ais.close()
+    val d = java.security.MessageDigest.getInstance("MD5").digest(pcm)
+    AudioMeta(id, af.getSampleRate.toLong, af.getChannels.toLong,
+      af.getSampleSizeInBits.toLong, frames,
+      frames * 1000L / af.getSampleRate.toLong,
+      d.map(b => f"$b%02x").mkString)
+  }
+
+  /** Encode-then-decode round trip over an id frame: per id, derive a
+    * deterministic sample rate and length, synthesize a real WAV blob,
+    * and hand ONLY the blob to the real decoder. Header fields,
+    * duration, and the decoded-PCM md5 are oracle-checked against pure
+    * arithmetic — a decoder that misreads the header or any sample
+    * cannot hash-match. Same no-shuffle `mapPartitions` shape as the
+    * image round trip: decode is embarrassingly parallel.
+    */
+  def audioRoundTrip(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val rate = if (id % 2 == 0) 8000 else 16000
+          val n = (64 + id % 101).toInt
+          decodeWav(id, syntheticWavBytes(id, n, rate))
+        }
+      }
+      .toDF()
   }
 
   /** Partition-wise embedding extraction with the same batching shape. */

@@ -109,6 +109,49 @@ object ModelQueries extends QueryPack {
                AS pixel_md5
       FROM b GROUP BY doc_id, fmt, w, h ORDER BY media_id"""))
 
+  /** Multimodal REAL audio decode: for a deterministic subset of
+    * documents (doc_id % 31 = 4), synthesize a real RIFF/WAVE 16-bit PCM
+    * mono blob from the shared arithmetic byte generator, then decode it
+    * with the JDK's `javax.sound.sampled` reader — sample rate, channel
+    * count, and bit depth come from the RIFF HEADER, the frame count
+    * from the data chunk, and the hash from the decoded PCM stream;
+    * nothing but the blob crosses the encode/decode boundary. The oracle
+    * recomputes every field plus the md5 of the exact byte stream from
+    * pure arithmetic, so a decoder that misreads the header or any
+    * sample cannot hash-match. Even ids exercise 8 kHz, odd ids 16 kHz.
+    * Same scale shape as the image round trip: narrow projection +
+    * `mapPartitions`, no shuffle — embarrassingly parallel ingest.
+    */
+  val audioMetaReal: GraftQuery = GraftQuery(
+    "audio_metadata_real",
+    (s, dir) => MediaOps.audioRoundTrip(
+        Tables(s, dir, "documents").filter(col("doc_id") % 31 === 4)
+          .select(col("doc_id")),
+        "doc_id")
+      .orderBy("media_id"),
+    Some("""
+      WITH sel AS (SELECT doc_id FROM documents WHERE doc_id % 31 = 4),
+      dims AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+               64 + doc_id % 101 AS n
+        FROM sel),
+      b AS (
+        SELECT doc_id, rate, n,
+               unnest(generate_series(0, n * 2 - 1)) AS j
+        FROM dims),
+      v AS (
+        SELECT doc_id, rate, n, j,
+               (doc_id * 2654435761 + j * 1013904223) % 127 + 1 AS v
+        FROM b)
+      SELECT doc_id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+             CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+             CAST(n AS BIGINT) AS n_samples,
+             CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+             md5(string_agg(chr(CAST(v AS INTEGER)), '' ORDER BY j))
+               AS pcm_md5
+      FROM v GROUP BY doc_id, rate, n ORDER BY media_id"""))
+
   /** Multimodal frame-sampling plumbing, CONTENT-hash-checked: the
     * row-expanding stub decode (every 4th 32-byte chunk of the blob
     * stands in for a keyframe) with each frame's md5 compared against a
@@ -262,6 +305,7 @@ object ModelQueries extends QueryPack {
     None)
 
   override def queries: Seq[GraftQuery] = Seq(
-    mediaMeta, mediaMetaReal, mediaFrames, mediaDedup, rfEval, l1Select,
+    mediaMeta, mediaMetaReal, audioMetaReal, mediaFrames, mediaDedup,
+    rfEval, l1Select,
     comparison)
 }

@@ -54,6 +54,30 @@ class MediaOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(viaBmp.pixel_md5 == meta.pixel_md5)
   }
 
+  test("real audio decode recovers header fields and exact PCM (WAV)") {
+    // Expected md5s computed INDEPENDENTLY (python hashlib over the raw
+    // arithmetic byte stream at spec-authoring time) — a
+    // cross-implementation pin, not a call back into the code under
+    // test. id=4: 8 kHz, 68 samples; id=7: 16 kHz, 71 samples.
+    val got = MediaOps.audioRoundTrip(Seq(4L, 7L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6))).toMap
+    assert(got(4L) ==
+      ((8000L, 1L, 16L, 68L, 8L, "79979eab4a73439b2dde0de914b44960")))
+    assert(got(7L) ==
+      ((16000L, 1L, 16L, 71L, 4L, "bd2a1b8673a4c2a2dae39d88b2465f00")))
+  }
+
+  test("audio decode reads format fields from the RIFF header alone") {
+    // decode a blob whose encode-side rate/length differ from the
+    // round-trip defaults — the decoder must report what the HEADER says
+    val meta = MediaOps.decodeWav(
+      9L, MediaOps.syntheticWavBytes(9L, 50, 44100))
+    assert(meta.sample_rate == 44100L && meta.n_samples == 50L &&
+      meta.channels == 1L && meta.bits == 16L && meta.duration_ms == 1L)
+  }
+
   test("embedding stub is deterministic and fixed-dim") {
     val a = MediaOps.extractEmbeddings(docs, "id", "media").collect()
       .map(e => e.media_id -> e.embedding.toSeq).toMap

@@ -46,7 +46,7 @@ run_batch () {
 
 # batch 1: the cheap-replay additions (decode round trip is per-row
 # arithmetic; the BPE frames are vocab-bounded after one word count)
-run_batch media_metadata_real,bpe_merge_train_deep,bpe_tokens_curve 1800 T1
+run_batch media_metadata_real,audio_metadata_real,bpe_merge_train_deep,bpe_tokens_curve 1800 T1
 
 # batch 2: quality classifier — slice first (the value gate), then the
 # full replay under budget (expected bound: 8 gradient rounds x a
