@@ -103,10 +103,15 @@ object MediaOps {
     * the DuckDB oracle: RGB byte `i` of media `id` is
     * `(id * 2654435761 + i * 1013904223) % 127 + 1` — always in
     * [1, 127], so the oracle rebuilds the exact buffer with
-    * `chr()`/`string_agg` (single-byte UTF-8) and md5s it.
+    * `chr()`/`string_agg` (single-byte UTF-8) and md5s it. The id is
+    * reduced mod 127 BEFORE the multiply: `(id % 127) * c ≡ id * c
+    * (mod 127)`, so every value is unchanged, but the product can no
+    * longer overflow INT64 at corpus-scale ids (sf100 doc_ids exceed
+    * 3.4e9, where `id * 2654435761` wraps in Spark and raises in
+    * DuckDB).
     */
   def syntheticPixel(id: Long, i: Long): Int =
-    ((id * 2654435761L + i * 1013904223L) % 127L + 1L).toInt
+    (((id % 127L) * 2654435761L + i * 1013904223L) % 127L + 1L).toInt
 
   /** Synthesize a REAL encoded image blob: the deterministic pixel
     * buffer rendered row-major RGB into a `BufferedImage` and written

@@ -101,7 +101,7 @@ object ModelQueries extends QueryPack {
         FROM dims),
       b AS (
         SELECT doc_id, w, h, fmt, i,
-               (doc_id * 2654435761 + i * 1013904223) % 127 + 1 AS v
+               ((doc_id % 127) * 2654435761 + i * 1013904223) % 127 + 1 AS v
         FROM px)
       SELECT doc_id AS media_id, fmt,
              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
@@ -142,7 +142,7 @@ object ModelQueries extends QueryPack {
         FROM dims),
       v AS (
         SELECT doc_id, rate, n, j,
-               (doc_id * 2654435761 + j * 1013904223) % 127 + 1 AS v
+               ((doc_id % 127) * 2654435761 + j * 1013904223) % 127 + 1 AS v
         FROM b)
       SELECT doc_id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
              CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
