@@ -421,22 +421,41 @@ object Similarity {
     * MLlib k-means) with k ∝ n. Cost: one shuffle on the list key + the
     * within-cluster join; nothing is all-pairs across clusters.
     */
-  def semanticDedupKMeans(index: IvfIndex, threshold: Double): DataFrame = {
+  def semanticDedupKMeans(
+      index: IvfIndex, threshold: Double, blocks: Int = 8): DataFrame = {
     val idCol = index.idCol
     val vecCol = index.vecCol
+    // Triangular block decomposition of the within-cluster self-join:
+    // a plain join on `list` caps parallelism at the CLUSTER COUNT (the
+    // parity-mode fit has 8 lists, so a 2M-vector corpus ran 8-wide —
+    // observed at sf100). Splitting each cluster into `blocks` id-hash
+    // sub-blocks turns every cluster into blocks*(blocks+1)/2
+    // independent block-pair tasks (8 lists x 36 tasks = 288-way), the
+    // standard all-pairs triangle scheme. Each unordered vector pair
+    // meets in exactly one block-pair task — except same-block pairs,
+    // which meet in both orientations inside their diagonal task; the
+    // drop rule (`greatest(id)` + distinct) absorbs the double hit. Dot
+    // and norms are commutative, so the r6'd cosine is orientation-
+    // independent and the drop SET — and every small-sf hash — is
+    // unchanged; the oracle SQL needs no change.
     val withNorm = index.assigned.select(
-      col("list"), col(idCol), col(vecCol), normD(col(vecCol)).as("__n"))
-    val a = withNorm.select(col("list"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"), col("__n").as("__na"))
-    val b = withNorm.select(col("list"), col(idCol).as("id_b"),
-      col(vecCol).as("__vb"), col("__n").as("__nb"))
-    val drop = a.join(b, Seq("list"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_b"),
+      col("list"), col(idCol), col(vecCol), normD(col(vecCol)).as("__n"),
+      pmod(col(idCol), lit(blocks.toLong)).as("__blk"))
+    val a = withNorm
+      .withColumn("__hi", explode(sequence(col("__blk"), lit(blocks - 1L))))
+      .select(col("list"), col("__blk").as("__lo"), col("__hi"),
+        col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = withNorm
+      .withColumn("__lo", explode(sequence(lit(0L), col("__blk"))))
+      .select(col("list"), col("__lo"), col("__blk").as("__hi"),
+        col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
+    val drop = a.join(b, Seq("list", "__lo", "__hi"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
         Q.r6(dotD(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
           .as("cos"))
       .filter(col("cos") >= threshold)
-      .select(col("id_b").as(idCol)).distinct()
+      .select(greatest(col("id_a"), col("id_b")).as(idCol)).distinct()
     index.assigned.select(col(idCol))
       .join(drop, Seq(idCol), "left_anti")
   }
