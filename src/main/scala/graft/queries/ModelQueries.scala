@@ -152,6 +152,86 @@ object ModelQueries extends QueryPack {
                AS pcm_md5
       FROM v GROUP BY doc_id, rate, n ORDER BY media_id"""))
 
+  /** Multimodal REAL video decode: for a deterministic subset of
+    * documents (doc_id % 37 = 5), synthesize a real RIFF/AVI blob —
+    * uncompressed 24-bit DIB frames in the true wire layout (bottom-up
+    * rows, BGR order, 4-byte row stride padding, proper avih/strh/strf
+    * headers) — and hand ONLY the blob to the hand-rolled chunk-tree
+    * parser. Dimensions, frame count, and frame interval come from the
+    * container HEADERS; the hash covers the concatenated logical
+    * top-down RGB frame stream the parser reconstructs, so a parser
+    * that misreads a header or mishandles the DIB layout (row flip,
+    * BGR swap, stride padding) cannot hash-match. The oracle recomputes
+    * every field and the stream md5 from pure arithmetic. Even ids run
+    * at 25 fps (40000 us/frame), odd at 30 (33333). Scale shape: narrow
+    * projection + `mapPartitions`, no shuffle — embarrassingly parallel
+    * ingest, same as the image/audio round trips.
+    */
+  val videoMetaReal: GraftQuery = GraftQuery(
+    "video_metadata_real",
+    (s, dir) => MediaOps.videoRoundTrip(
+        Tables(s, dir, "documents").filter(col("doc_id") % 37 === 5)
+          .select(col("doc_id")),
+        "doc_id")
+      .orderBy("media_id"),
+    Some("""
+      WITH sel AS (SELECT doc_id FROM documents WHERE doc_id % 37 = 5),
+      dims AS (
+        SELECT doc_id, 8 + doc_id % 11 AS w, 6 + doc_id % 7 AS h,
+               3 + doc_id % 5 AS n,
+               CASE WHEN doc_id % 2 = 0 THEN 40000 ELSE 33333 END AS usec
+        FROM sel),
+      px AS (
+        SELECT doc_id, w, h, n, usec,
+               unnest(generate_series(0, n * w * h * 3 - 1)) AS i
+        FROM dims),
+      b AS (
+        SELECT doc_id, w, h, n, usec, i,
+               ((doc_id % 127) * 2654435761 + i * 1013904223) % 127 + 1 AS v
+        FROM px)
+      SELECT doc_id AS media_id,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(n AS BIGINT) AS n_frames,
+             CAST(usec AS BIGINT) AS usec_per_frame,
+             CAST(n * usec // 1000 AS BIGINT) AS duration_ms,
+             md5(string_agg(chr(CAST(v AS INTEGER)), '' ORDER BY i))
+               AS frames_md5
+      FROM b GROUP BY doc_id, w, h, n, usec ORDER BY media_id"""))
+
+  /** Multimodal REAL video frame sampling: the row-expanding (1 -> many)
+    * decode shape over the real AVI parser — every 2nd decoded frame's
+    * logical-RGB md5, one row per kept frame. Exercises per-frame
+    * boundaries inside the container (a parser that misplaces a single
+    * '00db' chunk boundary or frame index cannot hash-match), where
+    * `video_metadata_real` pins the whole-stream hash.
+    */
+  val videoFramesReal: GraftQuery = GraftQuery(
+    "video_frames_real",
+    (s, dir) => MediaOps.videoFramesReal(
+        Tables(s, dir, "documents").filter(col("doc_id") % 37 === 5)
+          .select(col("doc_id")),
+        "doc_id", everyN = 2)
+      .orderBy("media_id", "frame_idx"),
+    Some("""
+      WITH sel AS (SELECT doc_id FROM documents WHERE doc_id % 37 = 5),
+      dims AS (
+        SELECT doc_id, 8 + doc_id % 11 AS w, 6 + doc_id % 7 AS h,
+               3 + doc_id % 5 AS n
+        FROM sel),
+      px AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, n * w * h * 3 - 1)) AS i
+        FROM dims),
+      b AS (
+        SELECT doc_id, i // (w * h * 3) AS f, i,
+               ((doc_id % 127) * 2654435761 + i * 1013904223) % 127 + 1 AS v
+        FROM px)
+      SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+             md5(string_agg(chr(CAST(v AS INTEGER)), '' ORDER BY i))
+               AS frame_md5
+      FROM b WHERE f % 2 = 0
+      GROUP BY doc_id, f ORDER BY media_id, frame_idx"""))
+
   /** Multimodal frame-sampling plumbing, CONTENT-hash-checked: the
     * row-expanding stub decode (every 4th 32-byte chunk of the blob
     * stands in for a keyframe) with each frame's md5 compared against a
@@ -305,7 +385,8 @@ object ModelQueries extends QueryPack {
     None)
 
   override def queries: Seq[GraftQuery] = Seq(
-    mediaMeta, mediaMetaReal, audioMetaReal, mediaFrames, mediaDedup,
+    mediaMeta, mediaMetaReal, audioMetaReal, videoMetaReal,
+    videoFramesReal, mediaFrames, mediaDedup,
     rfEval, l1Select,
     comparison)
 }

@@ -78,6 +78,48 @@ class MediaOpsSpec extends AnyFunSuite with SparkTestSession {
       meta.channels == 1L && meta.bits == 16L && meta.duration_ms == 1L)
   }
 
+  test("real video decode recovers headers and exact frame pixels (AVI)") {
+    // Expected md5s computed INDEPENDENTLY (python hashlib over the raw
+    // arithmetic stream at spec-authoring time) — a cross-implementation
+    // pin, not a call back into the code under test.
+    // id=5:  13x11, 3 frames @30fps; id=42: 17x6, 5 frames @25fps.
+    val got = MediaOps.videoRoundTrip(Seq(5L, 42L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(6))).toMap
+    assert(got(5L) ==
+      ((13L, 11L, 3L, 33333L, 99L, "ddfef332a732cbdefdb889fcc30b1651")))
+    assert(got(42L) ==
+      ((17L, 6L, 5L, 40000L, 200L, "f0b735686581bfe6a885e9becde77b3b")))
+  }
+
+  test("video frame sampling hashes exact per-frame pixels") {
+    val got = MediaOps.videoFramesReal(
+        Seq(42L).toDF("doc_id"), "doc_id", everyN = 2)
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(got == Map(
+      0L -> "e3917694bdbee111c3cce9aaf9fd9702",
+      2L -> "a804256f307c5b0aafdb4682755c9c94",
+      4L -> "d614cd180a8715b358d58cc1168aacc0"))
+  }
+
+  test("AVI wire layout genuinely differs from the logical stream") {
+    // the writer emits bottom-up BGR padded rows; if the parser (or a
+    // future refactor) ever short-circuited by hashing raw chunk bytes,
+    // it could not reproduce the logical hash — pin that the raw blob
+    // does NOT contain frame 0's logical top-down RGB buffer verbatim
+    val id = 5L
+    val (w, h, n) = (13, 11, 3)
+    val bytes = MediaOps.syntheticAviBytes(id, w, h, n, 33333L)
+    val logical0 = Array.tabulate(w * h * 3)(i =>
+      MediaOps.syntheticPixel(id, i.toLong).toByte)
+    assert(!bytes.containsSlice(logical0))
+    // and the parser reports what the HEADERS say, not encode-side args
+    val (meta, frames) = MediaOps.decodeAvi(id, bytes)
+    assert(meta.width == w && meta.height == h && meta.n_frames == n)
+    assert(frames.head.toSeq == logical0.toSeq)
+  }
+
   test("embedding stub is deterministic and fixed-dim") {
     val a = MediaOps.extractEmbeddings(docs, "id", "media").collect()
       .map(e => e.media_id -> e.embedding.toSeq).toMap
