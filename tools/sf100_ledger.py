@@ -55,6 +55,8 @@ SF100_LOGS = [
     ("r14_oracle6.out", "budget", "r14"),
     ("r14_oracle7.out", "budget", "r14"),
     ("r15_oracle.out", "budget", "r15"),
+    ("r15_oracle2.out", "budget", "r15"),
+    ("r15_oracle3.out", "budget", "r15"),
     ("r15_staged.out", "budget", "r15"),
     # NOTE: r13_stream_trigger.out (bounded-trigger knob-ON parity) is
     # deliberately NOT a ledger source — it measures trigger-split
