@@ -57,6 +57,7 @@ SF100_LOGS = [
     ("r15_oracle.out", "budget", "r15"),
     ("r15_oracle2.out", "budget", "r15"),
     ("r15_oracle3.out", "budget", "r15"),
+    ("r15_oracle4.out", "budget", "r15"),
     ("r15_staged.out", "budget", "r15"),
     # NOTE: r13_stream_trigger.out (bounded-trigger knob-ON parity) is
     # deliberately NOT a ledger source — it measures trigger-split
