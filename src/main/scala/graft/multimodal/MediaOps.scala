@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * ([[MediaOps.decodeAvi]]: a hand-rolled RIFF/AVI chunk-tree parser
   * over uncompressed 24-bit DIB frames — no codec needed, the container
   * and DIB layout are public specs — oracle-checked on header fields
-  * and per-frame pixel hashes). The only remaining deterministic STUB
-  * is the learned-embedding kernel (`embedOne` — no vision/audio
-  * encoder model ships in a JDK); a production build swaps that for a
-  * real model; everything else stands.
+  * and per-frame pixel hashes). The embedding kernel ([[MediaOps.embedOne]])
+  * is a deterministic decode-derived featurizer: it dispatches on the
+  * container magic, runs the REAL decoder for recognized formats, and
+  * computes integer-quantized block/segment moments over the decoded
+  * pixel/PCM buffer — so the embedding column genuinely derives from
+  * decode output and is oracle-expressible. It is not a learned model
+  * (none ships in a JDK); a production build swaps the fixed featurizer
+  * for a trained vision/audio encoder behind the same signature.
   */
 final case class MediaMeta(
     media_id: Long, byte_len: Long, width: Long, height: Long,
@@ -41,30 +45,147 @@ final case class VideoMeta(
 
 final case class VideoFrame(media_id: Long, frame_idx: Long, frame_md5: String)
 
+final case class MediaBlockFeature(
+    media_id: Long, blk: Long, ch: Long, n_px: Long, px_sum: Long,
+    mean_q: Long)
+
 object MediaOps {
 
-  /** STUB decode: deterministic fake metadata from the byte length. A
-    * real implementation parses the container header here.
+  /** Container sniffing shared by the dispatching decode paths: the
+    * magic bytes every real reader here keys on (PNG signature, BMP
+    * 'BM', RIFF + WAVE / 'AVI ' form types).
+    */
+  private def looksPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G'
+  private def looksBmp(b: Array[Byte]): Boolean =
+    b.length >= 14 && b(0) == 'B' && b(1) == 'M'
+  private def looksRiff(b: Array[Byte], form: String): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && fccAt(b, 8) == form
+
+  /** Metadata decode for ONE blob, dispatching on the container magic:
+    * PNG/BMP through the real `javax.imageio` reader (true dimensions),
+    * RIFF/WAVE through the real `javax.sound.sampled` reader (true
+    * duration), RIFF/AVI through the hand-rolled chunk-tree parser
+    * (true dimensions AND duration). Opaque blobs — no recognizable or
+    * decodable container — fall back to deterministic arithmetic on the
+    * byte length, so ingest of arbitrary binary columns never throws
+    * and stays oracle-expressible.
     */
   private def decodeOne(id: Long, bytes: Array[Byte]): MediaMeta = {
     val n = bytes.length.toLong
-    MediaMeta(id, n, n % 640, (n * 7) % 480, n * 3)
+    val real: Option[MediaMeta] =
+      try {
+        if (looksPng(bytes) || looksBmp(bytes)) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None
+          else Some(MediaMeta(id, n, img.getWidth.toLong,
+            img.getHeight.toLong, 0L))
+        } else if (looksRiff(bytes, "WAVE")) {
+          val a = decodeWav(id, bytes)
+          Some(MediaMeta(id, n, 0L, 0L, a.duration_ms))
+        } else if (looksRiff(bytes, "AVI ")) {
+          val v = decodeAvi(id, bytes)._1
+          Some(MediaMeta(id, n, v.width, v.height, v.duration_ms))
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    real.getOrElse(MediaMeta(id, n, n % 640, (n * 7) % 480, n * 3))
   }
 
-  /** STUB feature extraction: 8-dim rolling-hash embedding. A real
-    * implementation runs a vision/audio encoder over the decoded frames.
+  /** Integer-quantized segment means over a decoded byte buffer: the
+    * buffer split into `dims` contiguous segments, each emitting
+    * `sum(byte) * 1000 / count` (integer floor division, bytes read
+    * unsigned) — pure integer arithmetic, so the whole featurizer
+    * replays verbatim in SQL. Values are < 2^18, exactly representable
+    * as Float.
+    */
+  private def segmentMeans(buf: Array[Byte], dims: Int): Array[Float] = {
+    val out = new Array[Float](dims)
+    if (buf.length == 0) return out
+    var j = 0
+    while (j < dims) {
+      val lo = j.toLong * buf.length / dims
+      val hi = (j + 1).toLong * buf.length / dims
+      if (hi > lo) {
+        var sum = 0L
+        var i = lo.toInt
+        while (i < hi) { sum += buf(i) & 0xff; i += 1 }
+        out(j) = (sum * 1000L / (hi - lo)).toFloat
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Per-(block, channel) integer moments over a decoded top-down RGB
+    * buffer: 2x2 spatial grid x 3 channels, each cell's pixel count,
+    * byte sum, and quantized mean `sum * 1000 / count` (integer floor).
+    * Block index is `(y*2/h)*2 + (x*2/w)` — integer division, so the
+    * grid assignment replays verbatim in SQL. Returned ordered by
+    * (block, channel): 12 rows.
+    */
+  private def rgbBlockMoments(buf: Array[Byte], w: Int, h: Int)
+      : Array[(Int, Int, Long, Long, Long)] = {
+    val sums = new Array[Long](12)
+    val counts = new Array[Long](12)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      val gy = y * 2 / h
+      var x = 0
+      while (x < w) {
+        val blk = gy * 2 + x * 2 / w
+        var ch = 0
+        while (ch < 3) {
+          val cell = blk * 3 + ch
+          sums(cell) += buf(i) & 0xff
+          counts(cell) += 1L
+          i += 1; ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(12) { cell =>
+      (cell / 3, cell % 3, counts(cell), sums(cell),
+        if (counts(cell) == 0) 0L else sums(cell) * 1000L / counts(cell))
+    }
+  }
+
+  /** REAL feature extraction over ONE blob: dispatch on the container
+    * magic, run the matching real decoder, and featurize the DECODED
+    * buffer — 2x2-block x channel quantized means for images (12 dims),
+    * 12 segment quantized means over the decoded PCM stream for WAV,
+    * over the reconstructed logical RGB frame stream for AVI, and over
+    * the raw bytes for opaque blobs (the signal IS the bytes then).
+    * Deterministic, integer-exact, and derived from real decode output
+    * wherever a real decoder applies; a production build swaps this
+    * fixed featurizer for a trained encoder behind the same signature.
     */
   private def embedOne(id: Long, bytes: Array[Byte]): MediaEmbedding = {
-    val dim = 8
-    val acc = new Array[Float](dim)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < bytes.length) {
-      h = h * 31 + bytes(i)
-      acc(i % dim) += (h % 1000) / 1000.0f
-      i += 1
-    }
-    MediaEmbedding(id, acc)
+    val vec: Array[Float] =
+      try {
+        if (looksPng(bytes) || looksBmp(bytes)) {
+          val fmt = if (looksPng(bytes)) "png" else "bmp"
+          val m = decodeImageBuffer(id, fmt, bytes)
+          rgbBlockMoments(m._3, m._1, m._2).map(_._5.toFloat)
+        } else if (looksRiff(bytes, "WAVE")) {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val pcm = try ais.readAllBytes() finally ais.close()
+          segmentMeans(pcm, 12)
+        } else if (looksRiff(bytes, "AVI ")) {
+          val frames = decodeAvi(id, bytes)._2
+          val all = new java.io.ByteArrayOutputStream()
+          frames.foreach(all.write)
+          segmentMeans(all.toByteArray, 12)
+        } else segmentMeans(bytes, 12)
+      } catch {
+        case scala.util.control.NonFatal(_) => segmentMeans(bytes, 12)
+      }
+    MediaEmbedding(id, vec)
   }
 
   /** Partition-wise batch decode: binary column in, typed metadata out.
@@ -83,9 +204,12 @@ object MediaOps {
       }
   }
 
-  /** STUB frame sampling: every Nth fixed-size chunk of the blob stands
-    * in for a decoded video frame — the row-expanding (1 -> many) decode
-    * shape. A real implementation seeks keyframes in the container.
+  /** Frame sampling with container dispatch — the row-expanding
+    * (1 -> many) decode shape: RIFF/AVI blobs go through the REAL
+    * chunk-tree parser and emit every `everyN`-th decoded logical-RGB
+    * frame; opaque blobs fall back to fixed-size chunk sampling (every
+    * `everyN`-th `frameSize`-byte chunk), so arbitrary binary columns
+    * still stream through the same 1->many shape without throwing.
     */
   def sampleFrames(
       df: DataFrame, idCol: String, binCol: String, everyN: Int,
@@ -95,18 +219,27 @@ object MediaOps {
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        bytes.grouped(frameSize).zipWithIndex
-          .filter { case (_, i) => i % everyN == 0 }
-          .map { case (chunk, i) => MediaFrame(id, i, chunk) }
+        val real: Option[Seq[MediaFrame]] =
+          if (looksRiff(bytes, "AVI "))
+            try Some(decodeAvi(id, bytes)._2.zipWithIndex.collect {
+              case (buf, f) if f % everyN == 0 => MediaFrame(id, f, buf)
+            })
+            catch { case scala.util.control.NonFatal(_) => None }
+          else None
+        real.getOrElse(
+          bytes.grouped(frameSize).zipWithIndex
+            .filter { case (_, i) => i % everyN == 0 }
+            .map { case (chunk, i) => MediaFrame(id, i, chunk) }
+            .toSeq)
       }
   }
 
   // ------------------------------------------------------------------
   // REAL image decode (VERDICT r14 task 1): javax.imageio ships in the
   // JDK (java.desktop) and reads PNG/BMP/GIF/JPEG with no external
-  // codec, so the image half of the decode surface is no longer a stub.
-  // Audio and video decode are real too (sections below); only the
-  // learned-embedding kernel (embedOne above) remains a declared stub.
+  // codec, so the image half of the decode surface is fully real.
+  // Audio and video decode are real too (sections below), and the
+  // embedding kernel (embedOne above) featurizes real decode output.
   // ------------------------------------------------------------------
 
   /** Deterministic pixel generator shared by the synthetic encoder and
@@ -153,7 +286,13 @@ object MediaOps {
     * header, pixels from the decoder), then md5 over the row-major RGB
     * buffer. Lowercase hex, DuckDB `md5()` convention.
     */
-  def decodeImage(id: Long, fmt: String, bytes: Array[Byte]): ImageMeta = {
+  /** Real decode of one encoded image to its top-down row-major RGB
+    * buffer: `ImageIO.read` over the blob alone, dimensions from the
+    * container header. Shared by [[decodeImage]] (hashes the buffer)
+    * and [[embedOne]] (featurizes it).
+    */
+  private def decodeImageBuffer(id: Long, fmt: String, bytes: Array[Byte])
+      : (Int, Int, Array[Byte]) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, s"undecodable image blob for media $id")
     val w = img.getWidth
@@ -172,14 +311,19 @@ object MediaOps {
       }
       y += 1
     }
+    (w, h, buf)
+  }
+
+  def decodeImage(id: Long, fmt: String, bytes: Array[Byte]): ImageMeta = {
+    val (w, h, buf) = decodeImageBuffer(id, fmt, bytes)
     val d = java.security.MessageDigest.getInstance("MD5").digest(buf)
     ImageMeta(id, fmt, w.toLong, h.toLong,
       d.map(b => f"$b%02x").mkString)
   }
 
   /** Partition-wise REAL image decode: (id, fmt, blob) in, true
-    * (width, height, pixel_md5) out — the `decodeMetadata` shape with
-    * the stub swapped for `ImageIO`. `ImageIO.setUseCache(false)` keeps
+    * (width, height, pixel_md5) out — the `decodeMetadata` shape
+    * specialized to `ImageIO`. `ImageIO.setUseCache(false)` keeps
     * the reader off executor-local disk (the per-partition codec-state
     * pattern; at scale the decoder never touches scratch).
     */
@@ -220,12 +364,43 @@ object MediaOps {
     decodeImageMetadata(blobs, "media_id", "fmt", "media").toDF()
   }
 
+  /** Encode-decode-FEATURIZE round trip over an id frame: per id,
+    * synthesize a real PNG/BMP blob (same deterministic dimensions as
+    * [[imageRoundTrip]]), decode it with the real `ImageIO` reader, and
+    * emit the per-(block, channel) integer moments of the DECODED RGB
+    * buffer ([[rgbBlockMoments]]: 2x2 grid x 3 channels, pixel count,
+    * byte sum, quantized mean) — 12 rows per image. This is the
+    * embedding kernel's image path flattened for the oracle: every
+    * value is integer arithmetic over the decoded pixels, so a decoder
+    * OR featurizer that misreads anything cannot match the SQL replay.
+    * Same no-shuffle `mapPartitions` shape as the other round trips.
+    */
+  def imageEmbeddingReal(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { id =>
+          val w = (8 + id % 17).toInt
+          val h = (8 + id % 13).toInt
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          val (dw, dh, buf) =
+            decodeImageBuffer(id, fmt, syntheticImageBytes(id, w, h, fmt))
+          rgbBlockMoments(buf, dw, dh).map { case (blk, ch, n, sum, q) =>
+            MediaBlockFeature(id, blk.toLong, ch.toLong, n, sum, q)
+          }
+        }
+      }
+      .toDF()
+  }
+
   // ------------------------------------------------------------------
   // REAL audio decode: javax.sound.sampled ships in the JDK
   // (java.desktop) and reads RIFF/WAVE PCM with no external codec, so
-  // the audio half of the decode surface is no longer a stub either.
-  // Video decode is real as well (RIFF/AVI section below); only the
-  // learned-embedding kernel (embedOne above) remains a declared stub.
+  // the audio half of the decode surface is fully real too. Video
+  // decode is real as well (RIFF/AVI section below), and the embedding
+  // kernel (embedOne above) featurizes real decode output.
   // ------------------------------------------------------------------
 
   /** Synthesize a REAL RIFF/WAVE blob: 16-bit signed PCM mono whose raw
@@ -301,9 +476,10 @@ object MediaOps {
   // even-byte chunk padding), validates the stream headers, and undoes
   // the DIB layout back to top-down RGB. With this, image (PNG/BMP via
   // javax.imageio), audio (RIFF/WAVE via javax.sound.sampled), and
-  // video (RIFF/AVI, this section) decode are all REAL; the only stub
-  // left in the file is the learned-embedding kernel `embedOne` (no
-  // vision/audio encoder model ships in any JDK).
+  // video (RIFF/AVI, this section) decode are all REAL, and the
+  // embedding kernel `embedOne` featurizes real decode output (a
+  // LEARNED encoder still needs a production model swap — none ships
+  // in any JDK — but the decode-to-feature plumbing is complete).
   // ------------------------------------------------------------------
 
   private def le16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
@@ -440,29 +616,59 @@ object MediaOps {
     var strf: Array[Byte] = null
     val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
 
+    // Frame chunks are 'NNdb'/'NNdc' with NN the decimal stream number;
+    // only stream 00 (the sole video stream — dwStreams is validated
+    // below) is supported, and any OTHER stream's frame chunk is an
+    // explicit error rather than a silent drop that would surface later
+    // as a confusing frame-count mismatch against avih dwTotalFrames.
+    def isFrameChunk(cid: String): Boolean =
+      cid.length == 4 && cid(0).isDigit && cid(1).isDigit &&
+        (cid.endsWith("db") || cid.endsWith("dc"))
+
     def walk(from: Int, to: Int): Unit = {
       var off = from
       while (off + 8 <= to) {
         val cid = fccAt(bytes, off)
-        val sz = lu32(bytes, off + 4).toInt
+        // chunk sizes are unsigned 32-bit on the wire: keep them Long
+        // (a size >= 2^31 would go negative through .toInt and corrupt
+        // the walk offset) and bounds-check against the enclosing chunk
+        // BEFORE copying — Arrays.copyOfRange would otherwise silently
+        // zero-pad a truncated body instead of raising a clear error.
+        val szL = lu32(bytes, off + 4)
+        require(szL <= (to - (off + 8)).toLong,
+          s"chunk '$cid' size $szL overruns enclosing chunk " +
+            s"(${to - (off + 8)} bytes left) for media $id")
+        val sz = szL.toInt
         val body = off + 8
         cid match {
-          case "LIST" => walk(body + 4, body + sz) // skip the form type
+          case "LIST" =>
+            require(sz >= 4, s"LIST chunk too short for media $id")
+            walk(body + 4, body + sz) // skip the form type
           case "avih" =>
             avih = java.util.Arrays.copyOfRange(bytes, body, body + sz)
-          case "strf" =>
-            strf = java.util.Arrays.copyOfRange(bytes, body, body + sz)
           case "00db" | "00dc" =>
             frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
+          case "strf" =>
+            strf = java.util.Arrays.copyOfRange(bytes, body, body + sz)
+          case c if isFrameChunk(c) =>
+            throw new IllegalArgumentException(
+              s"unsupported stream ${c.take(2)} frame chunk for media $id " +
+                "(only the single video stream 00 is supported)")
           case _ => // strh, idx1, vendor chunks: not needed here
         }
         off = body + sz + (sz % 2) // chunks pad to even
       }
     }
-    walk(12, 8 + lu32(bytes, 4).toInt)
+    val riffSz = lu32(bytes, 4)
+    require(8 + riffSz <= bytes.length.toLong,
+      s"RIFF size $riffSz overruns blob (${bytes.length} bytes) for media $id")
+    walk(12, 8 + riffSz.toInt)
 
     require(avih != null && strf != null,
       s"missing avih/strf headers for media $id")
+    require(lu32(avih, 24) == 1L,
+      s"multi-stream AVI (dwStreams=${lu32(avih, 24)}) unsupported " +
+        s"for media $id — single video stream only")
     val usec = lu32(avih, 0)
     val nFrames = lu32(avih, 16)
     val w = lu32(avih, 32).toInt
@@ -533,8 +739,8 @@ object MediaOps {
 
   /** REAL frame sampling: decode the AVI, keep every `everyN`-th frame,
     * and emit each kept frame's logical-RGB md5 — the row-expanding
-    * (1 -> many) decode shape over a real container, supplanting the
-    * chunk-split stub in [[sampleFrames]] for video blobs.
+    * (1 -> many) decode shape over a real container — the hash-emitting
+    * sibling of [[sampleFrames]]'s AVI path for video blobs.
     */
   def videoFramesReal(df: DataFrame, idCol: String, everyN: Int)
       : DataFrame = {

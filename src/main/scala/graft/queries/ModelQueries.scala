@@ -109,6 +109,49 @@ object ModelQueries extends QueryPack {
                AS pixel_md5
       FROM b GROUP BY doc_id, fmt, w, h ORDER BY media_id"""))
 
+  /** Multimodal REAL decode-derived embedding (VERDICT r15 task 4): the
+    * embedding kernel's image path, flattened for the oracle. For the
+    * same subset as `media_metadata_real`, synthesize a real PNG/BMP
+    * blob, decode it with `javax.imageio`, and featurize the DECODED
+    * RGB buffer into per-(2x2-block, channel) integer moments — pixel
+    * count, byte sum, and the quantized mean `sum * 1000 / count`
+    * (integer floor). Every value is integer arithmetic over the real
+    * decoder's output, so the oracle — which rebuilds the pixel stream
+    * arithmetically and re-derives the same block geometry with integer
+    * division — cannot match if the decode OR the featurization is
+    * wrong anywhere. This makes the embedding column genuinely
+    * decode-derived (the former rolling-hash kernel never looked inside
+    * the container). Same scale shape as the decode round trips:
+    * narrow projection + `mapPartitions`, no shuffle.
+    */
+  val mediaEmbeddingReal: GraftQuery = GraftQuery(
+    "media_embedding_real",
+    (s, dir) => MediaOps.imageEmbeddingReal(
+        Tables(s, dir, "documents").filter(col("doc_id") % 29 === 3)
+          .select(col("doc_id")),
+        "doc_id")
+      .orderBy("media_id", "blk", "ch"),
+    Some("""
+      WITH sel AS (SELECT doc_id FROM documents WHERE doc_id % 29 = 3),
+      dims AS (
+        SELECT doc_id, 8 + doc_id % 17 AS w, 8 + doc_id % 13 AS h
+        FROM sel),
+      px AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, w * h * 3 - 1)) AS i
+        FROM dims),
+      b AS (
+        SELECT doc_id,
+               ((i // 3) // w) * 2 // h * 2 + ((i // 3) % w) * 2 // w AS blk,
+               i % 3 AS ch,
+               ((doc_id % 127) * 2654435761 + i * 1013904223) % 127 + 1 AS v
+        FROM px)
+      SELECT doc_id AS media_id, CAST(blk AS BIGINT) AS blk,
+             CAST(ch AS BIGINT) AS ch,
+             COUNT(*) AS n_px, CAST(SUM(v) AS BIGINT) AS px_sum,
+             CAST(SUM(v) * 1000 // COUNT(*) AS BIGINT) AS mean_q
+      FROM b GROUP BY doc_id, blk, ch ORDER BY media_id, blk, ch"""))
+
   /** Multimodal REAL audio decode: for a deterministic subset of
     * documents (doc_id % 31 = 4), synthesize a real RIFF/WAVE 16-bit PCM
     * mono blob from the shared arithmetic byte generator, then decode it
@@ -385,8 +428,8 @@ object ModelQueries extends QueryPack {
     None)
 
   override def queries: Seq[GraftQuery] = Seq(
-    mediaMeta, mediaMetaReal, audioMetaReal, videoMetaReal,
-    videoFramesReal, mediaFrames, mediaDedup,
+    mediaMeta, mediaMetaReal, mediaEmbeddingReal, audioMetaReal,
+    videoMetaReal, videoFramesReal, mediaFrames, mediaDedup,
     rfEval, l1Select,
     comparison)
 }

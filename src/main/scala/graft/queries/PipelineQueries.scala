@@ -68,8 +68,20 @@ object PipelineQueries extends QueryPack {
       // independent of per-model iteration counts (r8: 5-tree/5-iter ->
       // 3/3 and 1500 -> 1000 rows; the gate was a third of the bench
       // sweep by itself, nearly all of it fixed MLlib fit overhead)
-      val r = Sol2Pipeline.run(train, Sol2Pipeline.Config(
-        cvFolds = 2, rfNumTrees = 3, gbtMaxIter = 3))
+      // Same tiny-frame shuffle pin as the house gate above (VERDICT
+      // r15 task 3): the pipeline is ~30 actions (encoder fits, 3 model
+      // families, CV folds) over a 1000-row synth frame — at the
+      // session's 32-partition config each action schedules 32 reducers
+      // for a few KB. Values are partition-independent (hash split,
+      // seeded fits), so the report is unchanged; only scheduling load
+      // drops. The house gate measured 20.6 -> 7.3 s from this pin.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val r =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          Sol2Pipeline.run(train, Sol2Pipeline.Config(
+            cvFolds = 2, rfNumTrees = 3, gbtMaxIter = 3))
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       r.report.select(
         col("model"), Q.r6(col("accuracy")).as("accuracy"),
         Q.r6(col("macro_f1")).as("macro_f1"))

@@ -233,14 +233,32 @@ object Similarity {
   def ivfFitLloyd(
       emb: DataFrame, idCol: String, vecCol: String, nLists: Int,
       iters: Int): IvfIndex = {
-    var cents: DataFrame = emb
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // Centroids are MATERIALIZED to the driver after every M-step (k
+    // rows of k*d doubles — trivially small) and re-parallelized as a
+    // literal frame for the next E-step. Collected doubles round-trip
+    // exactly, so every computed value — and therefore oracle parity —
+    // is identical to the fully-lazy chain; what changes is the
+    // LINEAGE: each E-step's plan depends on emb + a k-row literal
+    // instead of the whole preceding E/M history, so the n*k E-step
+    // (the fit's dominant cost at corpus-scaled k — 2M x 1954 rows at
+    // sf100) executes once per round instead of once per round PER
+    // downstream evaluation of the index (the final `assigned` frame
+    // re-evaluates only its own round-`iters` E-step, not the chain).
+    def centsDf(cs: Seq[(Int, Seq[Double])]): DataFrame =
+      cs.toDF("clabel", "centroid")
+    var centSeq: Seq[(Int, Seq[Double])] = emb
       .filter(col(idCol) < nLists)
       .select(col(idCol).cast("int").as("clabel"),
         transform(col(vecCol), x => x.cast("double")).as("centroid"))
-    var assigned: DataFrame = cents.sparkSession.emptyDataFrame
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq.sortBy(_._1)
+    var assigned: DataFrame = spark.emptyDataFrame
     for (_ <- 1 to iters) {
-      assigned = assignToCentroids(emb, idCol, vecCol, cents)
-      cents = emb.join(assigned.select(col(idCol), col("assigned")), Seq(idCol))
+      assigned = assignToCentroids(emb, idCol, vecCol, centsDf(centSeq))
+      centSeq = emb
+        .join(assigned.select(col(idCol), col("assigned")), Seq(idCol))
         .select(col("assigned").as("clabel"),
           posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
         .groupBy("clabel", "pos")
@@ -249,9 +267,9 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("mean")))),
           s => s.getField("mean")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq.sortBy(_._1)
     }
-    val centSeq = cents.collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toSeq.sortBy(_._1)
     IvfIndex(
       emb.join(assigned.select(col(idCol), col("assigned").as("list")),
         Seq(idCol)).select(col(idCol), col(vecCol), col("list")),
@@ -300,10 +318,13 @@ object Similarity {
   def assignToCentroids(
       emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
-    val dist2 = aggregate(
-      zip_with(col(vecCol), col("centroid"),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, v) => acc + v)
+    // codegen'd sequential fold of (x-y)^2 — bit-identical to the
+    // zip_with/aggregate form (same double ops, same order), so the
+    // argmin and oracle parity are unchanged; ~20x faster per row,
+    // which matters now the E-step scores n*k rows at corpus-scaled k
+    // (see graft.expressions.SqDist).
+    val dist2 = graft.expressions.SqDist.sqDist(
+      col(vecCol), col("centroid"))
     // argmin via min(struct): lexicographic struct ordering = (dist, label)
     // tie-break, map-side combinable — no per-id window sort.
     emb.crossJoin(broadcast(centroids))
@@ -328,6 +349,24 @@ object Similarity {
     val bits =
       if (q <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
     math.min(math.max(bits, minP), maxP)
+  }
+
+  /** Corpus-scaled k-means list count — [[scaledPlaneCount]]'s sibling
+    * for the cluster-based SemDeDup family: `ceil(n / targetCluster)`
+    * clamped to [minK, maxK], so expected cluster size stays
+    * ~targetCluster as the corpus scales and the within-cluster pair
+    * mass stays ~targetCluster/2 * n (linear in the corpus) instead of
+    * going quadratic at a fixed k — exactly the regime the SemDeDup
+    * paper runs (tens of thousands of clusters on billions of
+    * embeddings). Unlike the LSH planes, cluster count is the unit
+    * itself, so the scaling is plain ceil-division, not a bit length.
+    * Integer-exact and replayable verbatim in SQL as
+    * `GREATEST(minK, LEAST(maxK, (COUNT(*) + t - 1) // t))`.
+    */
+  def scaledListCount(
+      n: Long, targetCluster: Long, minK: Int, maxK: Int): Int = {
+    val k = (n + targetCluster - 1) / targetCluster
+    math.min(math.max(k, minK.toLong), maxK.toLong).toInt
   }
 
   /** Seeded random hyperplanes (driver-side, deterministic). */

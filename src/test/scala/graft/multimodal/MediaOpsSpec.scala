@@ -10,7 +10,7 @@ class MediaOpsSpec extends AnyFunSuite with SparkTestSession {
   val docs = Seq((1L, "hello"), (2L, "a" * 700)).toDF("id", "txt")
     .select(col("id"), col("txt").cast("binary").as("media"), col("txt"))
 
-  test("stub decode emits deterministic typed metadata per blob") {
+  test("opaque-blob decode falls back to deterministic typed metadata") {
     val got = MediaOps.decodeMetadata(docs, "id", "media").collect()
       .map(m => m.media_id -> m).toMap
     assert(got(1L) == MediaMeta(1L, 5, 5, 35, 15))
@@ -120,13 +120,81 @@ class MediaOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(frames.head.toSeq == logical0.toSeq)
   }
 
-  test("embedding stub is deterministic and fixed-dim") {
+  test("embedding kernel is deterministic and fixed-dim on opaque blobs") {
     val a = MediaOps.extractEmbeddings(docs, "id", "media").collect()
       .map(e => e.media_id -> e.embedding.toSeq).toMap
     val b = MediaOps.extractEmbeddings(docs, "id", "media").collect()
       .map(e => e.media_id -> e.embedding.toSeq).toMap
     assert(a == b)
-    assert(a(1L).length == 8 && a(2L).length == 8)
+    assert(a(1L).length == 12 && a(2L).length == 12)
     assert(a(1L) != a(2L))
+  }
+
+  test("decode-derived embedding pins known vectors (image path)") {
+    // Expected vectors computed INDEPENDENTLY (python over the raw
+    // arithmetic pixel stream + the 2x2-block integer geometry at
+    // spec-authoring time) — a cross-implementation pin: the kernel
+    // must really decode the blob and really walk the block grid to
+    // reproduce them. id=3: 11x11 bmp; id=6: 14x14 png.
+    val blobs = Seq(3L, 6L).toDS()
+      .map { id =>
+        val w = (8 + id % 17).toInt
+        val h = (8 + id % 13).toInt
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        (id, MediaOps.syntheticImageBytes(id, w, h, fmt))
+      }
+      .toDF("id", "media")
+    val got = MediaOps.extractEmbeddings(blobs, "id", "media").collect()
+      .map(e => e.media_id -> e.embedding.toSeq).toMap
+    assert(got(3L) == Seq[Float](69888, 61000, 66222, 60100, 66733, 64900,
+      53933, 73266, 54500, 76600, 53600, 71240))
+    assert(got(6L) == Seq[Float](61591, 61918, 64836, 65857, 63591, 63918,
+      64285, 64612, 59755, 63367, 66285, 66612))
+    // and the flattened oracle-facing form agrees with the kernel
+    val flat = MediaOps.imageEmbeddingReal(Seq(3L).toDF("doc_id"), "doc_id")
+      .orderBy("blk", "ch").collect()
+      .map(r => r.getLong(5).toFloat).toSeq
+    assert(flat == got(3L))
+  }
+
+  test("metadata decode dispatches real readers on container magic") {
+    val png = MediaOps.syntheticImageBytes(7L, 5, 9, "png")
+    val wav = MediaOps.syntheticWavBytes(9L, 50, 44100)
+    val avi = MediaOps.syntheticAviBytes(5L, 13, 11, 3, 33333L)
+    val blobs = Seq((1L, png), (2L, wav), (3L, avi)).toDF("id", "media")
+    val got = MediaOps.decodeMetadata(blobs, "id", "media").collect()
+      .map(m => m.media_id -> m).toMap
+    assert(got(1L).width == 5L && got(1L).height == 9L)  // container header
+    assert(got(2L).duration_ms == 1L)                    // 50/44100 floor
+    assert(got(3L).width == 13L && got(3L).height == 11L &&
+      got(3L).duration_ms == 99L)
+  }
+
+  test("frame sampling dispatches the real AVI parser on video blobs") {
+    val avi = MediaOps.syntheticAviBytes(42L, 17, 6, 5, 40000L)
+    val frames = MediaOps.sampleFrames(
+        Seq((42L, avi)).toDF("id", "media"), "id", "media", everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    // frame payloads are the DECODED logical RGB buffers, not raw chunks
+    assert(frames.forall(_.frame_bytes.length == 17 * 6 * 3))
+    val logical0 = Array.tabulate(17 * 6 * 3)(i =>
+      MediaOps.syntheticPixel(42L, i.toLong).toByte)
+    assert(frames.head.frame_bytes.toSeq == logical0.toSeq)
+  }
+
+  test("AVI parser rejects malformed chunk sizes instead of zero-padding") {
+    val bytes = MediaOps.syntheticAviBytes(5L, 13, 11, 3, 33333L)
+    // corrupt the first frame chunk's size field to overrun the buffer
+    val idx = {
+      val pat = "00db".getBytes("US-ASCII")
+      bytes.indexOfSlice(pat)
+    }
+    assert(idx > 0)
+    val bad = bytes.clone()
+    bad(idx + 4) = 0xff.toByte; bad(idx + 5) = 0xff.toByte
+    bad(idx + 6) = 0xff.toByte; bad(idx + 7) = 0x7f.toByte
+    val e = intercept[IllegalArgumentException](MediaOps.decodeAvi(5L, bad))
+    assert(e.getMessage.contains("overruns"))
   }
 }

@@ -232,6 +232,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("scaledListCount: ceil-division boundaries and clamps") {
+    def k(n: Long) = Similarity.scaledListCount(n, 1024L, 8, 1 << 20)
+    // ceil(n/1024) clamped to [8, 2^20]
+    assert(k(0) == 8 && k(1) == 8 && k(8192) == 8) // floor keeps small-sf
+    assert(k(8193) == 9)     // first corpus that outgrows the floor
+    assert(k(1024 * 100) == 100 && k(1024 * 100 + 1) == 101)
+    assert(k(2000000) == 1954)        // the sf100 corpus
+    assert(k(Long.MaxValue / 2) == (1 << 20)) // max clamp
+    // contract: expected cluster size stays <= target whenever unclamped
+    for (n <- Seq(9000L, 123457L, 2000000L)) {
+      val kk = k(n)
+      assert(kk.toLong * 1024L >= n, s"n=$n k=$kk undercovers")
+      assert((kk.toLong - 1L) * 1024L < n, s"n=$n k=$kk not minimal")
+    }
+  }
+
   test("corpus-scaled near-dup: subset of exact pairs, pair-recall floor") {
     // The registered embedding_near_dup_scaled derives planes-per-band
     // from the corpus count (scaledPlaneCount), so its oracle would

@@ -59,6 +59,9 @@ SF100_LOGS = [
     ("r15_oracle3.out", "budget", "r15"),
     ("r15_oracle4.out", "budget", "r15"),
     ("r15_staged.out", "budget", "r15"),
+    ("r16_oracle.out", "budget", "r16"),
+    ("r16_staged.out", "budget", "r16"),
+    ("r16_sweep.out", "budget", "r16"),
     # NOTE: r13_stream_trigger.out (bounded-trigger knob-ON parity) is
     # deliberately NOT a ledger source — it measures trigger-split
     # semantics for the watermarked streams, not the registered
