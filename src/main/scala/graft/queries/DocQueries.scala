@@ -117,18 +117,55 @@ object DocQueries extends QueryPack {
              MIN(doc_id) AS keep_id
       FROM documents GROUP BY key HAVING COUNT(*) > 1 ORDER BY key"""))
 
+  /** Distinct k=3 shingle ARRAY of a text column by name — the same
+    * expression [[Dedup.shingleSet]] explodes, kept as an array so
+    * adjacent-pair Jaccard can intersect per row instead of joining
+    * exploded frames.
+    */
+  private def shingleArr3(textCol: String) =
+    array_distinct(expr(
+      s"transform(sequence(1, greatest(length($textCol) - 2, 0))," +
+        s" i -> substring($textCol, i, 3))"))
+
+  /** Exact 3-gram Jaccard for the ADJACENT pairs (id, id+1) without
+    * exploding: one self-join of the doc table on the shifted id, then a
+    * per-row `array_intersect` of the two distinct shingle arrays.
+    * |array_intersect(Sa, Sb)| equals the exploded path's distinct
+    * shingle-match count and size(Sa)/size(Sb) its per-doc counts, and
+    * pairs with an empty intersection are dropped either way (the old
+    * inner joins vs the `inter > 0` filter), so the r6'd jaccard rows
+    * are identical. Plan (see plans/r16): 4 Generate + 3 aggregate
+    * Exchanges + a full-shingle-frame BroadcastExchange collapse to two
+    * scans + one equi-join — guide §2.4 (remove shuffles outright) and
+    * §2.3 (the shuffle that remains carries text once, never the ~2000x
+    * heavier exploded shingle rows).
+    */
+  private def adjacentJaccard3(
+      docs: org.apache.spark.sql.DataFrame,
+      pairPred: org.apache.spark.sql.Column) = {
+    val a = docs.filter(pairPred)
+      .select(col("doc_id").as("id_a"), col("text").as("__ta"))
+    val b = docs.select(
+      (col("doc_id") - 1).as("id_a"), col("text").as("__tb"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), (col("id_a") + 1).as("id_b"),
+        shingleArr3("__ta").as("__sa"), shingleArr3("__tb").as("__sb"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).as("inter"),
+        size(col("__sa")).as("n_a"), size(col("__sb")).as("n_b"))
+      .filter(col("inter") > 0)
+      .select(col("id_a"), col("id_b"),
+        Q.r6(col("inter") * 1.0
+          / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .orderBy("id_a")
+  }
+
   /** Exact 3-gram Jaccard for adjacent doc-id pairs (oracle-checked
     * baseline for the MinHash estimate).
     */
   val jaccardAdjacent: GraftQuery = GraftQuery(
     "ngram_jaccard_adjacent",
-    (s, dir) => {
-      val d = Tables(s, dir, "documents")
-      val sh = Dedup.shingleSet(d, "doc_id", "text", 3)
-      val pairs = d.select(
-        col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
-      Dedup.jaccardForPairs(sh, pairs).orderBy("id_a")
-    },
+    (s, dir) => adjacentJaccard3(Tables(s, dir, "documents"), lit(true)),
     Some("""
       WITH sh AS (
         SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS sh
@@ -159,13 +196,9 @@ object DocQueries extends QueryPack {
     */
   val jaccardAdjacentSlice: GraftQuery = GraftQuery(
     "ngram_jaccard_slice",
-    (s, dir) => {
-      val d = Tables(s, dir, "documents").filter(col("doc_id") <= 100000)
-      val sh = Dedup.shingleSet(d, "doc_id", "text", 3)
-      val pairs = d.filter(col("doc_id") < 100000).select(
-        col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
-      Dedup.jaccardForPairs(sh, pairs).orderBy("id_a")
-    },
+    (s, dir) => adjacentJaccard3(
+      Tables(s, dir, "documents").filter(col("doc_id") <= 100000),
+      col("doc_id") < 100000),
     Some("""
       WITH sh AS (
         SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS sh

@@ -52,6 +52,21 @@ object QualityClassifier {
 
   /** Per-(doc, bucket) occurrence counts + per-doc stats from the hashed
     * gram frame: (idCol, keep..., bucket, c) and (idCol, keep..., n, y).
+    *
+    * Both frames come out HASH-PARTITIONED BY THE DOC ID and the count
+    * frame sorted by it within partitions (guide §2.4 "remove shuffles
+    * outright"): every downstream consumer — the per-round margin
+    * aggregation (`groupBy(idCol)`), the residual join-back
+    * (`join(..., idCol)`), the per-doc stats, the final scoring join —
+    * is keyed on the doc id, so once callers persist these frames the
+    * 2x-per-round exchanges of the count frame disappear; each training
+    * round degrades to two cache scans plus one <= Buckets-row gradient
+    * exchange. The doc-id repartition replaces (not adds to) the
+    * aggregation exchange: hash(idCol) satisfies the (idCol, keep...,
+    * bucket) clustering the count aggregation needs, so the plan carries
+    * exactly one exchange of the gram frame either way. Values are
+    * partition-independent (integer counts/sums), so results and oracle
+    * parity are untouched.
     */
   def featurize(
       docs: DataFrame,
@@ -60,8 +75,10 @@ object QualityClassifier {
       keep: Seq[String],
       targetPred: Column): (DataFrame, DataFrame) = {
     val grams = Dsir.hashedGrams(docs, idCol, textCol, keep)
-    val x = grams.groupBy(idCol, ("bucket" +: keep): _*)
+    val x = grams.repartition(col(idCol))
+      .groupBy(idCol, ("bucket" +: keep): _*)
       .agg(count(lit(1)).as("c"))
+      .sortWithinPartitions(idCol)
     val ds = x.groupBy(idCol, keep: _*)
       .agg(sum("c").as("n"))
       .withColumn("y", when(targetPred, 1L).otherwise(0L))
