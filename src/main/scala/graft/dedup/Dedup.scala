@@ -74,11 +74,7 @@ object Dedup {
   /** Distinct character k-shingles, one row per (id, shingle). */
   def shingleSet(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(
-        col(idCol),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 0))," +
-            s" i -> substring($textCol, i, $k))"))).as("sh"))
+    df.select(col(idCol), explode(shingleArray(textCol, k)).as("sh"))
 
   /** Exact Jaccard for given candidate id pairs (pairs with empty
     * intersection are dropped — they'd be 0 anyway).
@@ -197,6 +193,40 @@ object Dedup {
         col("id"),
         array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
   }
+
+  /** Distinct k-shingle ARRAY of a text column — the same value set
+    * [[shingleSet]] explodes, kept per-row so consumers can compute
+    * whole-document statistics (signatures, intersections) without a
+    * Generate + re-group round trip. Compiled kernel
+    * ([[graft.expressions.ShingleSet]]): one O(bytes) scan instead of
+    * the composed form's interpreted per-position lambdas with O(n^2)
+    * substring re-scans.
+    */
+  def shingleArray(textCol: String, k: Int): Column =
+    graft.expressions.ShingleMinHash.shingleSet(col(textCol), k)
+
+  /** MinHash signatures computed PER ROW — the same integer arithmetic
+    * as [[minhashSignaturesPerm]] over [[shingleSet]] (one md5 per
+    * distinct shingle, then min of (a_i*h + b_i) mod P31 per
+    * permutation), but evaluated as ONE compiled projection over the doc
+    * table ([[graft.expressions.MinHashSig]]): no Generate, no exchange,
+    * nothing shuffled at all. The exploded path shuffles ~|shingles|
+    * hashed rows per doc to regroup what was already grouped — per-row
+    * evaluation keeps the signature derivation where the text is (guide
+    * §2.4: remove shuffles outright). Null texts are dropped, exactly as
+    * the explode drops them. Per-row transient state is O(doc length) —
+    * the same order as the text itself.
+    */
+  def minhashSigsPerRow(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      numHashes: Int): DataFrame =
+    df
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).as("id"),
+        graft.expressions.ShingleMinHash
+          .minhashSig(col(textCol), k, permConstants(numHashes))
+          .as("sig"))
 
   /** (id, sig, band, bucket) banding of a signature frame — the shared
     * blocking step of the self-join and cross-set LSH variants below.

@@ -122,10 +122,7 @@ object DocQueries extends QueryPack {
     * adjacent-pair Jaccard can intersect per row instead of joining
     * exploded frames.
     */
-  private def shingleArr3(textCol: String) =
-    array_distinct(expr(
-      s"transform(sequence(1, greatest(length($textCol) - 2, 0))," +
-        s" i -> substring($textCol, i, 3))"))
+  private def shingleArr3(textCol: String) = Dedup.shingleArray(textCol, 3)
 
   /** Exact 3-gram Jaccard for the ADJACENT pairs (id, id+1) without
     * exploding: one self-join of the doc table on the shifted id, then a
@@ -143,14 +140,19 @@ object DocQueries extends QueryPack {
   private def adjacentJaccard3(
       docs: org.apache.spark.sql.DataFrame,
       pairPred: org.apache.spark.sql.Column) = {
+    // Shingle arrays are built in the SCAN-SIDE projections, not after
+    // the join: the `inter > 0` filter gets pushed into the join
+    // CONDITION (it references both sides), and with post-join arrays
+    // that condition re-derived the full shingle computation per pair on
+    // top of the output projection's copy (measured: the dominant cost
+    // of the first r16 rewrite). Prebuilt arrays make the pushed
+    // condition touch attributes only.
     val a = docs.filter(pairPred)
-      .select(col("doc_id").as("id_a"), col("text").as("__ta"))
+      .select(col("doc_id").as("id_a"), shingleArr3("text").as("__sa"))
     val b = docs.select(
-      (col("doc_id") - 1).as("id_a"), col("text").as("__tb"))
+      (col("doc_id") - 1).as("id_a"), shingleArr3("text").as("__sb"))
     a.join(b, Seq("id_a"))
       .select(col("id_a"), (col("id_a") + 1).as("id_b"),
-        shingleArr3("__ta").as("__sa"), shingleArr3("__tb").as("__sb"))
-      .select(col("id_a"), col("id_b"),
         size(array_intersect(col("__sa"), col("__sb"))).as("inter"),
         size(col("__sa")).as("n_a"), size(col("__sb")).as("n_b"))
       .filter(col("inter") > 0)
@@ -478,11 +480,14 @@ object DocQueries extends QueryPack {
       out
     })
 
-  /** MinHash(32) + LSH(4 bands) candidate edges at est_jaccard >= 0.5. */
+  /** MinHash(32) + LSH(4 bands) candidate edges at est_jaccard >= 0.5.
+    * Signatures come from the per-row form (r16): no shingle explode or
+    * regroup exchange — the signature projection runs where the text is.
+    */
   private def lshEdges(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "lsh_edges") {
-      val sh = Dedup.shingleSet(Tables(s, dir, "documents"), "doc_id", "text", 3)
-      val sigs = Dedup.minhashSignaturesPerm(sh, 32)
+      val sigs = Dedup.minhashSigsPerRow(
+        Tables(s, dir, "documents"), "doc_id", "text", 3, 32)
       // lshCandidates checkpoints the signature frame internally
       // (consumed 3x); its blocks free with RDD GC — no cleanup here
       Dedup.lshCandidates(sigs, 4, sqlBuckets = true)
@@ -534,11 +539,10 @@ object DocQueries extends QueryPack {
   val lshQuality: GraftQuery = GraftQuery(
     "lsh_quality_report",
     (s, dir) => {
-      val sliced = Dedup.shingleSet(
-        Tables(s, dir, "documents").filter(col("doc_id") < 500),
-        "doc_id", "text", 3)
       val cand = Dedup.lshCandidates(
-          Dedup.minhashSignaturesPerm(sliced, 32), 4, sqlBuckets = true)
+          Dedup.minhashSigsPerRow(
+            Tables(s, dir, "documents").filter(col("doc_id") < 500),
+            "doc_id", "text", 3, 32), 4, sqlBuckets = true)
         .filter(col("est_jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"), lit(1L).as("c"))
       val truth = allPairs05(s, dir)
@@ -660,16 +664,31 @@ object DocQueries extends QueryPack {
     "minhash_estimate_error",
     (s, dir) => {
       val d = Tables(s, dir, "documents").filter(col("doc_id") < 2000)
-      val sh = Dedup.shingleSet(d, "doc_id", "text", 3)
-      val sigs = Dedup.minhashSignaturesPerm(sh, 32)
-      val pairs = d.select(
-        col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
-      Dedup.jaccardForPairs(sh, pairs)
-        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
-          Seq("id_a"))
-        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
-          Seq("id_b"))
-        .select(col("jaccard"),
+      // Per-row featurization (r16): each side of the adjacent-pair join
+      // carries its distinct shingle array AND its 32-perm signature,
+      // both computed in the scan-side projection by the compiled
+      // kernels — the r15 shape re-derived the shingle explode for the
+      // exact-jaccard join pair and the signature frame twice more
+      // (26 Exchanges / 14 scans of the doc table). Same hash and
+      // integer arithmetic ([[graft.expressions.MinHashSig]]).
+      def feats(side: String): org.apache.spark.sql.DataFrame = d
+        .select(col("doc_id"),
+          Dedup.shingleArray("text", 3).as(s"__s$side"),
+          graft.expressions.ShingleMinHash
+            .minhashSig(col("text"), 3, Dedup.permConstants(32))
+            .as(s"sig_$side"))
+      val a = feats("a").toDF("id_a", "__sa", "sig_a")
+      val b = feats("b").select(
+        (col("doc_id") - 1).as("id_a"), col("__sb"), col("sig_b"))
+      a.join(b, Seq("id_a"))
+        .select(col("id_a"), (col("id_a") + 1).as("id_b"),
+          size(array_intersect(col("__sa"), col("__sb"))).as("inter"),
+          size(col("__sa")).as("n_a"), size(col("__sb")).as("n_b"),
+          col("sig_a"), col("sig_b"))
+        .filter(col("inter") > 0)
+        .select(
+          Q.r6(col("inter") * 1.0
+            / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"),
           expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y)," +
             " z -> z))").as("matches"))
         .groupBy("matches")
@@ -853,9 +872,9 @@ object DocQueries extends QueryPack {
       docs: => DataFrame): DataFrame =
     memo(s, dir, memoKey + "_cc") {
       val edges = memo(s, dir, memoKey) {
-        val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
         Dedup.lshBucketStarEdges(
-          Dedup.minhashSignaturesPerm(sh, 32), 4, sqlBuckets = true)
+          Dedup.minhashSigsPerRow(docs, "doc_id", "text", 3, 32),
+          4, sqlBuckets = true)
       }
       Dedup.connectedComponents(edges)
     }
@@ -1155,20 +1174,29 @@ object DocQueries extends QueryPack {
         .join(corpus.select(md5(col("text").cast("binary")).as("fp"))
           .distinct(), Seq("fp"), "left_semi")
         .select("doc_id")
-      val sigsNew = Dedup.minhashSignaturesPerm(
-        Dedup.shingleSet(newDocs, "doc_id", "text", 3), 32)
-      val sigsOld = Dedup.minhashSignaturesPerm(
-        Dedup.shingleSet(corpus, "doc_id", "text", 3), 32)
-      // consumed twice below (own count + union) — materialize once
+      val sigsNew = Dedup.minhashSigsPerRow(newDocs, "doc_id", "text", 3, 32)
+      val sigsOld = Dedup.minhashSigsPerRow(corpus, "doc_id", "text", 3, 32)
       val near = Dedup.lshBucketHitIds(sigsNew, sigsOld, 4,
           sqlBuckets = true)
         .withColumnRenamed("id", "doc_id")
-        .localCheckpoint()
-      val dup = exactIds.unionByName(near).distinct()
-      newDocs.agg(count(lit(1)).as("n_new"))
-        .crossJoin(exactIds.agg(count(lit(1)).as("n_exact_dup")))
-        .crossJoin(near.agg(count(lit(1)).as("n_near_bucket")))
-        .crossJoin(dup.agg(count(lit(1)).as("n_dup_docs")))
+      // ONE labeled pass instead of four crossJoined aggregates: the old
+      // shape re-derived exactIds twice and scanned newDocs five times
+      // (each crossJoin branch is its own subtree). exactIds and near are
+      // distinct id sets by construction, so the left joins preserve
+      // cardinality and the flag sums equal the old per-frame counts;
+      // n_dup_docs = |exactIds ∪ near| is the count of rows with either
+      // flag (guide §1.2: don't compute things twice).
+      newDocs.select(col("doc_id"))
+        .join(exactIds.withColumn("__e", lit(1L)), Seq("doc_id"), "left")
+        .join(near.withColumn("__n", lit(1L)), Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_new"),
+          coalesce(sum(coalesce(col("__e"), lit(0L))), lit(0L))
+            .as("n_exact_dup"),
+          coalesce(sum(coalesce(col("__n"), lit(0L))), lit(0L))
+            .as("n_near_bucket"),
+          coalesce(sum(when(col("__e") === 1L || col("__n") === 1L, 1L)
+            .otherwise(0L)), lit(0L)).as("n_dup_docs"))
         .select(col("n_new"), col("n_exact_dup"), col("n_near_bucket"),
           col("n_dup_docs"),
           (col("n_new") - col("n_dup_docs")).as("n_clean"))
@@ -1411,10 +1439,20 @@ object DocQueries extends QueryPack {
       "trigram_index_search",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val postings = Dedup.shingleSet(docs, "doc_id", "text", 3)
         val qGrams = needle.sliding(3).toSeq.distinct
-        val cand = postings
-          .filter(col("sh").isin(qGrams: _*))
+        // r16: intersect each doc's distinct-trigram array with the
+        // query's grams BEFORE the explode — the posting probe emits
+        // <= |qGrams| rows per doc instead of the doc's whole trigram
+        // set (the old plan generated every posting and filtered after
+        // the Generate, ~30x the rows through the explode). Identical
+        // candidates: intersect-with-qGrams == isin filter on the
+        // distinct shingle set.
+        val probe = docs.select(
+          col("doc_id"),
+          explode(array_intersect(
+            Dedup.shingleArray("text", 3),
+            array(qGrams.map(lit): _*))).as("sh"))
+        val cand = probe
           .groupBy("doc_id").agg(count(lit(1)).as("hits"))
           .filter(col("hits") === qGrams.size)
         docs.join(cand, Seq("doc_id"), "left_semi")
@@ -1617,21 +1655,26 @@ object DocQueries extends QueryPack {
         .join(corpus.select(md5(col("text").cast("binary")).as("fp"))
           .distinct(), Seq("fp"), "left_semi")
         .select("doc_id")
-      val sigsNew = Dedup.minhashSignaturesPerm(
-        Dedup.shingleSet(newDocs, "doc_id", "text", 3), 32)
-      val sigsOld = Dedup.minhashSignaturesPerm(
-        Dedup.shingleSet(corpus, "doc_id", "text", 3), 32)
-      // consumed twice below (own count + union) — materialize once
+      val sigsNew = Dedup.minhashSigsPerRow(newDocs, "doc_id", "text", 3, 32)
+      val sigsOld = Dedup.minhashSigsPerRow(corpus, "doc_id", "text", 3, 32)
       val near = Dedup.lshCandidatesAcross(sigsNew, sigsOld, 4,
           sqlBuckets = true)
         .filter(col("est_jaccard") >= 0.5)
         .select(col("id_a").as("doc_id")).distinct()
-        .localCheckpoint()
-      val dup = exactIds.unionByName(near).distinct()
-      newDocs.agg(count(lit(1)).as("n_new"))
-        .crossJoin(exactIds.agg(count(lit(1)).as("n_exact_dup")))
-        .crossJoin(near.agg(count(lit(1)).as("n_near_dup")))
-        .crossJoin(dup.agg(count(lit(1)).as("n_dup_docs")))
+      // ONE labeled pass instead of four crossJoined aggregates — same
+      // rewrite as incremental_dedup_components above: distinct id sets
+      // joined as flags, counts from one aggregation.
+      newDocs.select(col("doc_id"))
+        .join(exactIds.withColumn("__e", lit(1L)), Seq("doc_id"), "left")
+        .join(near.withColumn("__n", lit(1L)), Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).as("n_new"),
+          coalesce(sum(coalesce(col("__e"), lit(0L))), lit(0L))
+            .as("n_exact_dup"),
+          coalesce(sum(coalesce(col("__n"), lit(0L))), lit(0L))
+            .as("n_near_dup"),
+          coalesce(sum(when(col("__e") === 1L || col("__n") === 1L, 1L)
+            .otherwise(0L)), lit(0L)).as("n_dup_docs"))
         .select(col("n_new"), col("n_exact_dup"), col("n_near_dup"),
           col("n_dup_docs"),
           (col("n_new") - col("n_dup_docs")).as("n_clean"))

@@ -263,9 +263,7 @@ object TextExtraQueries extends QueryPack {
       // hashing duplicates and lands on the same registers)
       val sh = docs.select(
         col("source"),
-        explode(array_distinct(
-          expr("transform(sequence(1, greatest(length(text) - 2, 0))," +
-            " i -> substring(text, i, 3))"))).as("sh"))
+        explode(graft.dedup.Dedup.shingleArray("text", 3)).as("sh"))
       // Per-distinct pre-aggregation BEFORE the md5/register hashing:
       // HLL registers and the exact counts depend only on the DISTINCT
       // (source, shingle) set, so dedupe first — map-side partial

@@ -111,13 +111,40 @@ object Dsir {
       keep: Seq[String],
       targetPred: Column): DataFrame = {
     val grams = hashedGrams(docs, idCol, textCol, keep)
-    val model = fitModel(grams, targetPred)
-    grams
-      .join(broadcast(model), "bucket")
-      .groupBy(idCol, keep: _*)
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum("lr_micro").as("weight_micro"))
+    // The model is <= Buckets rows by construction — collect it (the
+    // same bounded-driver-state class as bin edges and k-means
+    // centroids) and score each document IN ONE PROJECTION: per-row
+    // bucket array -> integer sum of map-literal lookups. The r15 shape
+    // exploded every gram occurrence a second time and shuffled the
+    // per-occurrence frame through a broadcast join + per-doc
+    // re-aggregation; scoring is a pure map now (guide §2.4). The md5
+    // per occurrence is unchanged (scoring must hash its grams either
+    // way); weight_micro is an exact integer sum over the same
+    // occurrence multiset, so results are bit-identical and
+    // accumulation-order free.
+    val byBucket = fitModel(grams, targetPred).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dense array literal indexed by bucket: element_at on an array is
+    // O(1) where a map literal's GetMapValue is a linear key scan —
+    // 4096 entries per lookup would dwarf the hashing itself. Buckets
+    // absent from the corpus-fit model carry 0 (they can't occur in the
+    // same corpus being scored; 0 keeps the sum identity exact even so).
+    val modelArr = typedLit(
+      (0 until Buckets).map(b => byBucket.getOrElse(b.toLong, 0L)))
+    val words = split(col(textCol), " ")
+    val n1 = greatest(size(words) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(words, lit(1), n1), slice(words, lit(2), n1),
+      (a: Column, b: Column) => concat(a, lit(" "), b))
+    val buckets = transform(
+      concat(words, bigrams),
+      g => graft.dedup.Dedup.md5Hash60(g, HashSeed) % Buckets)
+    docs.select(
+      (col(idCol) +: keep.map(col)) :+
+        size(buckets).cast("long").as("n_grams") :+
+        aggregate(buckets, lit(0L),
+          (acc, b) => acc + element_at(modelArr, (b + 1).cast("int")))
+          .as("weight_micro"): _*)
   }
 
   /** Deterministic Gumbel key for proportional sampling without
