@@ -42,21 +42,18 @@ object SpanDedup {
     * shared by every text operator in [[graft.text.TextOps]].
     */
   def spanFingerprints(
-      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    df.select(col(idCol).as("id"), toks.as("toks"))
-      .select(
-        col("id"),
-        posexplode(
-          when(size(col("toks")) >= k,
-            transform(
-              sequence(lit(1), size(col("toks")) - (k - 1)),
-              i => conv(substring(
-                md5(array_join(slice(col("toks"), i, lit(k)), " ")),
-                1, 15), 16, 10).cast("long")))
-            .otherwise(array().cast("array<long>"))).as(Seq("p0", "fp")))
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    // compiled kernel (r16): tokens split on single spaces re-joined
+    // with one space ARE the original byte span, so each window
+    // fingerprint is one md5 over a byte range — no per-window
+    // array_join allocation, no interpreted lambda, no hex-string
+    // parse. Same fingerprints (TextHashKernelsSpec pins equality);
+    // docs shorter than k tokens still emit nothing (empty array).
+    df.select(
+        col(idCol).as("id"),
+        posexplode(graft.expressions.TextHashKernels
+          .spanFps(col(textCol), k)).as(Seq("p0", "fp")))
       .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("fp"))
-  }
 
   /** Fingerprints occurring in >= 2 distinct documents. One aggregation
     * keyed on the fingerprint — the only corpus-wide shuffle in the

@@ -39,10 +39,19 @@ object Profiling {
     }.toMap
     val p2aggs = cols.flatMap { case (c, d) =>
       val x = Stats.scaled(col(c), d).cast("double")
+      // plain multiplications, not pow(): Math.pow costs ~100ns/call
+      // (3 calls x rows x columns on this pass) where the products are
+      // single fused ops. pow(y,2) and y*y are both the correctly
+      // rounded square; the cubed/fourth powers round once more per
+      // product, within the same ulp band as the two engines' differing
+      // libm pow already sits — the r6-rounded outputs are unchanged
+      // (re-verified against the DuckDB pow() oracle at both scales).
+      val dlt = x - meanS(c)
+      val d2 = dlt * dlt
       Seq(
-        sum(pow(x - meanS(c), 2)).as(s"${c}__s2"),
-        sum(pow(x - meanS(c), 3)).as(s"${c}__s3"),
-        sum(pow(x - meanS(c), 4)).as(s"${c}__s4"))
+        sum(d2).as(s"${c}__s2"),
+        sum(d2 * dlt).as(s"${c}__s3"),
+        sum(d2 * d2).as(s"${c}__s4"))
     }
     val p2 = df.agg(p2aggs.head, p2aggs.tail: _*).head()
     cols.map { case (c, d) =>

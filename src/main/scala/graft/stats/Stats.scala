@@ -147,11 +147,15 @@ object Stats {
       val n = m.getLong(1).toDouble
       val mean = m.getLong(0) * 1.0 / n
       val x = scaled(col(c), d).cast("double")
+      // multiplications instead of pow() — same rationale and ulp
+      // argument as Profiling.columnStats's moment pass (r16)
+      val dlt = x - mean
+      val d2 = dlt * dlt
       val mom = df
         .agg(
-          sum(pow(x - mean, 2)).as("s2"),
-          sum(pow(x - mean, 3)).as("s3"),
-          sum(pow(x - mean, 4)).as("s4"))
+          sum(d2).as("s2"),
+          sum(d2 * dlt).as("s3"),
+          sum(d2 * d2).as("s4"))
         .head()
       val (m2, m3, m4) =
         (mom.getDouble(0) / n, mom.getDouble(1) / n, mom.getDouble(2) / n)

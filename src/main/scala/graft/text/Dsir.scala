@@ -61,20 +61,16 @@ object Dsir {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      keep: Seq[String]): DataFrame = {
-    val words = split(col(textCol), " ")
-    val n1 = greatest(size(words) - 1, lit(0))
-    val bigrams = zip_with(
-      slice(words, lit(1), n1), slice(words, lit(2), n1),
-      (a: Column, b: Column) => concat(a, lit(" "), b))
-    docs
-      .select(
-        (col(idCol) +: keep.map(col)) :+
-          explode(concat(words, bigrams)).as("gram"): _*)
-      .withColumn(
-        "bucket", Dedup.md5Hash60(col("gram"), HashSeed) % Buckets)
-      .drop("gram")
-  }
+      keep: Seq[String]): DataFrame =
+    // compiled kernel (r16): buckets computed per row in one pass (one
+    // digest per gram over byte slices of the original string), so the
+    // Generate fans out longs instead of gram strings and no interpreted
+    // per-gram hash chain runs post-explode. Same grams, same seeded
+    // md5-60bit % Buckets values (TextHashKernelsSpec pins equality).
+    docs.select(
+      (col(idCol) +: keep.map(col)) :+
+        explode(graft.expressions.TextHashKernels
+          .gramBuckets(col(textCol), HashSeed, Buckets)).as("bucket"): _*)
 
   /** Per-bucket micro log-ratio model fit from a hashed-gram frame:
     * `lr = ln(((ct+1)*(nr+B)) / ((cr+1)*(nt+B)))` where ct/cr are the

@@ -110,7 +110,11 @@ object Standardizer {
     val r = df
       .agg(
         sum(scaled(col(column), decimals)).as("s1"),
-        sum(pow(scaled(col(column), decimals).cast("double"), 2)).as("s2"),
+        // x is an integer-valued double with x^2 < 2^53 here, so the
+        // product IS the exact square pow() would return (r16: avoid
+        // Math.pow per row)
+        sum({ val x = scaled(col(column), decimals).cast("double"); x * x })
+          .as("s2"),
         count(col(column)).as("n"))
       .head()
     val n = r.getLong(2).toDouble
