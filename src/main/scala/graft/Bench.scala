@@ -27,11 +27,28 @@ object Bench {
     // cluster the input is many files and the default is fine.
     val maxPartitionBytes =
       sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
+    // AQE coalescing mode: parallelismFirst=true (Spark's default) keeps
+    // post-shuffle partition count at defaultParallelism even when the
+    // data is tiny; false makes AQE size partitions to
+    // advisoryPartitionSizeInBytes — the setting Spark's own docs
+    // recommend for production, and the scale-adaptive choice (partition
+    // count derives from DATA SIZE at any scale factor, not from the
+    // local core count). Both knobs are env-overridable for the scale
+    // rungs; defaults chosen by the r16 A/B sweep (see
+    // OPTIMIZATION_r16.md).
+    val parallelismFirst =
+      sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true")
+    val advisoryBytes =
+      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "67108864")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        parallelismFirst)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        advisoryBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // bucketed-table queries write real table data: pin the warehouse

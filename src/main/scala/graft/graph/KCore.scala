@@ -32,7 +32,15 @@ object KCore {
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    for (_ <- 1 to peels) {
+    // Early exit at the fixpoint (r16): peeling only ever SHRINKS the
+    // edge set, so an unchanged edge count means an unchanged edge set
+    // and every remaining round is a no-op — identical result, fewer
+    // full passes (the oracle unrolls all rounds; extra rounds are
+    // idempotent there too). The count reads the just-checkpointed
+    // blocks, not the lineage.
+    var prevEdges = alive.count()
+    var converged = false
+    for (_ <- 1 to peels if !converged) {
       val deg = alive.select(col("a").as("id"))
         .union(alive.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -41,6 +49,8 @@ object KCore {
         .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
         .localCheckpoint()
+      val n = alive.count()
+      if (n == prevEdges) converged = true else prevEdges = n
     }
     alive.select(col("a").as("id"))
       .union(alive.select(col("b").as("id")))

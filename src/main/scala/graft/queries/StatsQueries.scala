@@ -158,13 +158,18 @@ object StatsQueries extends QueryPack {
     "hist_quantile_totalprice",
     (s, dir) => {
       import org.apache.spark.sql.functions._
+      val spark = s
+      import spark.implicits._
       val o = Tables(s, dir, "orders")
       val est = graft.sketch.HistQuantile.estimate(
         o, col("o_totalprice"), nBins = hqBins, probs = Seq(0.25, 0.5, 0.75))
-      val exact = o.agg(percentile(
-        col("o_totalprice"), typedlit(Array(0.25, 0.5, 0.75))).as("q"))
-        .select(posexplode(col("q")).as(Seq("i", "exact")))
-        .select((lit(0.25) * (col("i") + 1)).as("prob"), col("exact"))
+      // exact side from the distinct-value grid (r16) — value-identical
+      // to the percentile aggregate without its one-reducer merge
+      val exact = graft.transform.GridQuantiles.quantiles(
+        o.select(lit("q").as("g"), col("o_totalprice").cast("double").as("v")),
+        broadcast(Seq(("q", 1, 0.25), ("q", 2, 0.5), ("q", 3, 0.75))
+          .toDF("g", "i", "p")))
+        .select((lit(0.25) * col("i")).as("prob"), col("q").as("exact"))
       est.join(exact, Seq("prob"))
         .select(col("prob"), Q.r6(col("est")).as("est"),
           Q.r6(col("exact")).as("exact"),

@@ -26,12 +26,29 @@ object Stats {
   /** Per-column profile matching pandas `describe()` (column, n_rows,
     * n_nulls, n_distinct, mean, std, min, p25, p50, p75, max). `decimals`
     * gives each column's fixed decimal scale (for exact means). The
-    * quartiles use exact `percentile` (linear interpolation — identical to
-    * pandas and DuckDB `quantile_cont`).
-    * Single job: one wide agg, stacked to rows driver-side via union of
-    * literal projections on the 1-row result (data is one row — cheap).
+    * quartiles come from the distinct-value grid
+    * ([[graft.transform.GridQuantiles]]) — value-identical to the exact
+    * `percentile` aggregate (and to pandas / DuckDB `quantile_cont`),
+    * but distributed: the percentile aggregate merges every partition's
+    * value→count map in ONE reducer, the single-task bottleneck
+    * QuantileBinner.fitMany measured at 147 s for exactly this
+    * 4-lineitem-column shape at sf10 (r16: guide §5). Two jobs now (grid
+    * + wide agg), stacked to rows driver-side as before.
     */
   def profileNumeric(df: DataFrame, cols: Seq[(String, Int)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kvCols = cols.flatMap { case (c, _) =>
+      Seq(lit(c), col(c).cast("double")) }
+    val melted = df.select(explode(map(kvCols: _*)).as(Seq("g", "v")))
+    val probsDf = cols.flatMap { case (c, _) =>
+      Seq((c, 1, 0.25), (c, 2, 0.5), (c, 3, 0.75)) }.toDF("g", "i", "p")
+    val pct = graft.transform.GridQuantiles
+      .quantiles(melted, broadcast(probsDf)).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    def pctLit(c: String, i: Int): Column =
+      pct.get((c, i)) // all-null column: grid empty, like percentile=null
+        .map(q => lit(Q.r6Double(q))).getOrElse(lit(null).cast("double"))
     val aggs = cols.flatMap { case (c, d) =>
       Seq(
         count(col(c)).as(s"${c}__n"),
@@ -40,7 +57,6 @@ object Stats {
         sum(scaled(col(c), d)).as(s"${c}__ssum"),
         Q.r4(stddev_samp(col(c))).as(s"${c}__std"),
         min(col(c)).cast("double").as(s"${c}__min"),
-        expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"${c}__pct"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
@@ -54,9 +70,9 @@ object Stats {
           .as("mean"),
         col(s"${c}__std").as("std"),
         col(s"${c}__min").as("min"),
-        Q.r6(element_at(col(s"${c}__pct"), 1)).as("p25"),
-        Q.r6(element_at(col(s"${c}__pct"), 2)).as("p50"),
-        Q.r6(element_at(col(s"${c}__pct"), 3)).as("p75"),
+        pctLit(c, 1).as("p25"),
+        pctLit(c, 2).as("p50"),
+        pctLit(c, 3).as("p75"),
         col(s"${c}__max").as("max"))
     }
     perCol.reduce(_.unionByName(_)).orderBy("column")
@@ -404,19 +420,31 @@ object Stats {
     * Exactness: medians run on the DOUBLED integer grid (2v, |2v − 2·med|
     * stay integers; an even-count midpoint is then exact in double), so
     * both percentiles and the fence comparison are bit-identical across
-    * engines. Exact `percentile` is the parity-mode choice — at 100 TB
-    * the registered bounded-memory path is the same fence over
+    * engines. Both medians come from the distinct-value grid
+    * ([[graft.transform.GridQuantiles]], r16) — value-identical to the
+    * exact `percentile` aggregate but without its one-reducer
+    * value-map merge (guide §5); the grid's single-task window is
+    * bounded by the value DOMAIN. The fixed-memory estimate path stays
     * `histQuantile`'s fixed-m histogram.
     */
   def madOutliers(df: DataFrame, valueCents: Column): DataFrame = {
+    def gridMedian(vals: DataFrame, out: String): DataFrame = {
+      val spark = vals.sparkSession
+      import spark.implicits._
+      graft.transform.GridQuantiles.quantiles(
+        vals.select(lit("m").as("g"),
+          vals.columns.map(col).head.cast("double").as("v")),
+        broadcast(Seq(("m", 0, 0.5)).toDF("g", "i", "p")))
+        .select(col("q").as(out))
+    }
     val v2 = df.select((valueCents.cast("long") * 2L).as("v2"))
-    val med = v2.agg(expr("percentile(v2, 0.5)").as("med2"))
+    val med = gridMedian(v2, "med2")
     val dev = v2.crossJoin(broadcast(med)) // 1-row scalar attach
       .select(col("v2"), col("med2"),
         abs(col("v2") - col("med2").cast("long")).as("d2"))
-    val mad = dev.groupBy("med2")
-      .agg(expr("percentile(d2, 0.5)").as("mad2"), count(lit(1)).as("n"))
-    dev.select(col("v2"))
+    val mad = gridMedian(dev.select(col("d2")), "mad2")
+      .crossJoin(v2.agg(count(lit(1)).as("n")))
+    dev.select(col("v2"), col("med2"))
       .crossJoin(broadcast(mad)) // 1-row scalar attach
       .select(col("v2"), col("med2"), col("mad2"), col("n"),
         (abs(col("v2") - col("med2").cast("long")).cast("double") >

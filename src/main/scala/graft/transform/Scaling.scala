@@ -29,22 +29,29 @@ object Scaling {
       Q.r6(least(greatest(c, lit(p01)), lit(p99)))
   }
 
-  /** Fit min/max + the p01/p25/p50/p75/p99 grid in ONE aggregation pass
-    * (exact linear-interpolated percentiles — same semantics as DuckDB
-    * `quantile_cont`).
+  /** Fit min/max + the p01/p25/p50/p75/p99 grid in one distributed job
+    * over the DISTINCT-VALUE grid ([[GridQuantiles]]) — exact
+    * linear-interpolated percentiles, value-identical to Spark's
+    * `percentile` and DuckDB `quantile_cont`. The previous form used the
+    * exact `percentile` aggregate, which merges every partition's
+    * value→count map in ONE reducer — the single-task bottleneck
+    * [[QuantileBinner.fitMany]] measured at 147 s for 4 columns at sf10
+    * (r16: guide §5, no single-task data work). min/max ride the same
+    * grid as p=0 / p=1 (integral rank positions resolve to the extreme
+    * grid values exactly).
     */
   def fit(df: DataFrame, column: String): ScaleStats = {
-    val r = df
-      .agg(
-        expr(s"percentile($column, array(0.01, 0.25, 0.5, 0.75, 0.99))")
-          .as("qs"),
-        min(col(column)).cast("double").as("mn"),
-        max(col(column)).cast("double").as("mx"))
-      .head()
-    require(!r.isNullAt(0),
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val probsDf = probs.zipWithIndex
+      .map { case (p, i) => (column, i, p) }.toDF("g", "i", "p")
+    val kv = df.select(lit(column).as("g"), col(column).cast("double").as("v"))
+    val rows = GridQuantiles.quantiles(kv, broadcast(probsDf)).collect()
+    require(rows.nonEmpty,
       s"Scaling.fit: column '$column' has no non-null rows")
-    val qs = r.getSeq[Double](0)
-    ScaleStats(column, r.getDouble(1), r.getDouble(2),
-      qs(0), qs(1), qs(2), qs(3), qs(4))
+    val byI = rows.map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    ScaleStats(column, byI(0), byI(6),
+      byI(1), byI(2), byI(3), byI(4), byI(5))
   }
 }

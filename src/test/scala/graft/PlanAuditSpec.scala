@@ -125,6 +125,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "benford_digit_audit", "chi2_flag_status", "cusum_changepoint_daily",
     "entropy_gini_returnflag", "hist_quantile_totalprice",
     "ks_drift_totalprice", "label_encode_nation", "label_encode_unseen",
+    // (c) r16: MAD medians moved off the one-reducer percentile
+    // aggregate onto GridQuantiles — its cumulative windows run over
+    // the DISTINCT-VALUE grid of o_totalprice cents (value domain, not
+    // row count), the same bound as ks_drift_totalprice on the same
+    // column
+    "mad_outliers_totalprice",
     "mann_whitney_totalprice",
     "mutual_info_priority_status",
     "pr_curve_synth", "priority_abs_deviation", "psi_drift_totalprice",
