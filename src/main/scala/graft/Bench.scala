@@ -76,6 +76,13 @@ object Bench {
     val gateOnce = Set(
       "house_pipeline_gate", "sol2_pipeline_gate", "cv_random_search",
       "model_comparison", "rf_train_eval", "l1_feature_selection")
+    // Persist-heavy featurizer queries leave gram-frame GC debt that
+    // shadows their alphabetical neighbors (r16 two-order sweep:
+    // quality_gate_sources read 1.66 s after them in alpha order vs
+    // 0.29 s shuffled) — give them the same post-query GC fence as the
+    // MLlib gates, outside every timer.
+    val gcAfter = Set(
+      "quality_classifier_select", "quality_classifier_slice")
     // SPARK_GRAFT_DEBUG_REPS=1 prints every rep's time to stderr (dev
     // attribution aid: cold-vs-warm rep split, adjacency effects)
     val debugReps = sys.env.get("SPARK_GRAFT_DEBUG_REPS").contains("1")
@@ -155,8 +162,9 @@ object Bench {
           catch { case _: Throwable => () }
           System.gc()
         }
-        // ... and clear the gate's own fit garbage before the next timer
-        if (gateOnce(name)) System.gc()
+        // ... and clear the gate's own fit garbage (or a featurizer's
+        // persisted-frame debt) before the next timer
+        if (gateOnce(name) || gcAfter(name)) System.gc()
         name -> dt
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

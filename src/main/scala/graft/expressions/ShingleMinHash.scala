@@ -108,6 +108,50 @@ case class ShingleSet(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Non-distinct sibling of [[ShingleSet]]: every k-gram OCCURRENCE in
+  * position order — `transform(sequence(1, greatest(len-k+1, 0)),
+  * i -> substring(t, i, k))` compiled, INCLUDING its short-text edge:
+  * the descending [1, 0] sequence yields the whole text TWICE when the
+  * text has fewer than k chars (both positions substring to the full
+  * string). Feeds occurrence-counting consumers (tf postings).
+  */
+case class ShingleList(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any = {
+    val text = t.asInstanceOf[UTF8String]
+    val bytes = text.getBytes
+    val nBytes = bytes.length
+    val starts = new Array[Int](nBytes + 1)
+    var nChars = 0
+    var off = 0
+    while (off < nBytes) {
+      starts(nChars) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      nChars += 1
+    }
+    starts(nChars) = nBytes
+    if (nChars < k) {
+      // composed-form edge: i in [1, 0], both the whole text
+      new GenericArrayData(Array[Any](text, text))
+    } else {
+      val out = new Array[Any](nChars - k + 1)
+      var c = 0
+      while (c <= nChars - k) {
+        out(c) = UTF8String.fromBytes(
+          bytes, starts(c), starts(c + k) - starts(c))
+        c += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleList =
+    copy(child = newChild)
+}
+
 /** MinHash signature of a document in ONE compiled pass: distinct
   * k-shingles -> md5-based 60-bit hash mod P31 -> running min per
   * universal-hash permutation. Exactly the values of
@@ -152,6 +196,10 @@ object ShingleMinHash {
   def shingleSet(text: Column, k: Int): Column =
     GraftExprBridge.toColumn(
       ShingleSet(GraftExprBridge.toExpression(text), k))
+
+  def shingleList(text: Column, k: Int): Column =
+    GraftExprBridge.toColumn(
+      ShingleList(GraftExprBridge.toExpression(text), k))
 
   def minhashSig(text: Column, k: Int, perms: Seq[(Long, Long)]): Column =
     GraftExprBridge.toColumn(MinHashSig(

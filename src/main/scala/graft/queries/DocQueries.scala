@@ -277,9 +277,9 @@ object DocQueries extends QueryPack {
     (s, dir) => {
       val post = Tables(s, dir, "documents")
         .filter(col("doc_id") < 500)
-        .select(col("doc_id").as("id"), explode(expr(
-          "transform(sequence(1, greatest(length(text) - 3, 0))," +
-            " i -> substring(text, i, 4))")).as("tok"))
+        .select(col("doc_id").as("id"),
+          explode(graft.expressions.ShingleMinHash
+            .shingleList(col("text"), 4)).as("tok"))
         .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
       graft.text.TermCosine.cosineTopK(post, dfCap = 25, k = 15)
     },

@@ -40,6 +40,19 @@ class ShingleMinHashSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ShingleList equals composed transform(...) occurrence form") {
+    for (k <- Seq(3, 4)) {
+      val rows = texts.select(
+        ShingleMinHash.shingleList(col("text"), k).as("fast"),
+        expr(s"transform(sequence(1, greatest(length(text) - ${k - 1}, 0))," +
+          s" i -> substring(text, i, $k))").as("slow")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"k=$k: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("MinHashSig equals minhashSignaturesPerm over shingleSet") {
     val slow = Dedup.minhashSignaturesPerm(
       Dedup.shingleSet(texts, "doc_id", "text", 3), 32)
