@@ -140,6 +140,45 @@ object TextHashKernels {
         newChild: Expression): SpanFps = copy(child = newChild)
   }
 
+  /** k-token window STRINGS of a doc — the compiled form of
+    * `transform(sequence(...), i -> array_join(slice(split(text, " "),
+    * i, k), " "))` (equivalently `concat_ws` of adjacent tokens):
+    * tokens split on single spaces re-joined with one space ARE the
+    * original byte span, so each window is one byte-range slice, no
+    * join allocation, no interpreted lambda. Documents with fewer than
+    * k tokens yield an EMPTY array (callers' `size >= k` filters and
+    * `if(size < k, array(), ...)` guards behave identically on the
+    * empty result).
+    */
+  case class SpanGrams(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)
+
+    override def nullSafeEval(t: Any): Any = {
+      val bytes = t.asInstanceOf[UTF8String].getBytes
+      val (starts, ends, n) = spaceTokens(bytes)
+      if (n < k) return new GenericArrayData(new Array[Any](0))
+      val out = new Array[Any](n - k + 1)
+      var i = 0
+      while (i <= n - k) {
+        out(i) = UTF8String.fromBytes(
+          bytes, starts(i), ends(i + k - 1) - starts(i))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): SpanGrams = copy(child = newChild)
+  }
+
+  def spanGrams(text: Column, k: Int): Column =
+    GraftExprBridge.toColumn(
+      SpanGrams(GraftExprBridge.toExpression(text), k))
+
   def gramBuckets(text: Column, seed: Int, buckets: Int): Column =
     GraftExprBridge.toColumn(
       GramBuckets(GraftExprBridge.toExpression(text), seed, buckets))

@@ -840,14 +840,12 @@ object TextExtraQueries extends QueryPack {
   val boilerplate: GraftQuery = GraftQuery(
     "boilerplate_ngrams",
     (s, dir) => {
-      val toks = split(col("text"), " ")
-      val nt = size(toks)
+      // compiled byte-span windows (r16) — empty for docs under 6
+      // tokens, replacing the size filter + interpreted array_join
       Tables(s, dir, "documents")
-        .filter(nt >= 6)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(split(text, ' ')) - 5)," +
-            " i -> array_join(slice(split(text, ' '), i, 6), ' '))"))
-          .as("gram"))
+        .select(col("doc_id"),
+          explode(graft.expressions.TextHashKernels
+            .spanGrams(col("text"), 6)).as("gram"))
         .groupBy("gram")
         .agg(count(lit(1)).as("n"),
           countDistinct("doc_id").as("n_docs"))

@@ -23,16 +23,13 @@ object Contamination {
     */
   def ngramSet(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), split(col(textCol), " ").as("__ws"))
-      // guard, don't clamp: sequence(1, 0) DESCENDS ([1, 0]) and would
-      // emit junk grams for docs shorter than n tokens
-      .select(
-        col(idCol),
-        explode(array_distinct(expr(
-          s"if(size(__ws) < $n, array(), " +
-            s"transform(sequence(1, size(__ws) - ${n - 1}), " +
-            s"i -> array_join(slice(__ws, i, $n), ' ')))")))
-          .as("gram"))
+    // compiled byte-span windows (r16): SpanGrams returns [] for docs
+    // shorter than n tokens — the same guard the composed form needed
+    // against sequence(1, 0)'s descending [1, 0]
+    df.select(
+      col(idCol),
+      explode(array_distinct(graft.expressions.TextHashKernels
+        .spanGrams(col(textCol), n))).as("gram"))
 
   /** (bench doc, corpus doc) pairs whose shared distinct-gram count is
     * >= minFrac of the bench doc's grams. Output: bench_id, corpus_id,

@@ -178,16 +178,18 @@ object TextOps {
   def gramNovelty(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       groupCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    // compiled byte-span windows + PER-ROW dedup (r16): grams of a doc
+    // were exploded via an interpreted concat_ws lambda and deduped with
+    // a frame-level distinct — an exchange carrying every gram STRING
+    // occurrence. array_distinct per row is the same dedup (idCol is in
+    // every row), so that exchange disappears and the explode emits the
+    // distinct set directly; docs under 3 tokens yield an empty array,
+    // exactly what the old size filter excluded.
     val g = df
-      .withColumn("arr", tokens(col(textCol)))
-      .filter(size(col("arr")) >= 3)
       .select(
         col(idCol) +: groupCols.map(col) :+
-          explode(expr(
-            "transform(sequence(0, size(arr) - 3)," +
-              " i -> concat_ws(' ', arr[i], arr[i + 1], arr[i + 2]))"))
-            .as("gram"): _*)
-      .distinct()
+          explode(array_distinct(graft.expressions.TextHashKernels
+            .spanGrams(col(textCol), 3))).as("gram"): _*)
     val first = g.groupBy("gram").agg(min(idCol).as("first_doc"))
     g.join(first, "gram")
       .groupBy(idCol, groupCols: _*)

@@ -42,6 +42,21 @@ class TextHashKernelsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("SpanGrams equals composed windowed array_join form") {
+    for (k <- Seq(2, 3, 6)) {
+      val slow = expr(
+        s"if(size(split(text, ' ')) < $k, array(), " +
+          s"transform(sequence(1, size(split(text, ' ')) - ${k - 1}), " +
+          s"i -> array_join(slice(split(text, ' '), i, $k), ' ')))")
+      val rows = texts.select(
+        TextHashKernels.spanGrams(col("text"), k).as("fast"),
+        slow.as("slow")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k")
+      }
+    }
+  }
+
   test("SpanFps equals composed windowed array_join+md5 form") {
     for (k <- Seq(2, 8)) {
       val toks = split(col("text"), " ")
